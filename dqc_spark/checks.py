@@ -1,0 +1,629 @@
+"""The 21 data-quality checks, re-expressed as Catalyst predicates.
+
+Reference semantics: every check in
+``/root/reference/internal/checker/checker.go`` builds one DuckDB SQL
+string of the shape ``SELECT COUNT(*) FROM (<violation query>)`` and
+passes iff the count is zero ("zero-row success", README.md:10).  The
+violation predicates below are line-by-line parity mappings (citations
+per function); the architecture is not — instead of one fresh engine
+connection + full file scan per check (checker.go:52 et al., x21), each
+check here is:
+
+  * a ``Column`` **predicate** (``*_pred``) usable standalone or fused —
+    a whole suite of checks on one table compiles to ONE scan with a
+    single partial+final aggregate (see suite.CheckSuite), and
+  * a **violation DataFrame** builder (``*_violations``) so callers can
+    inspect offending rows lazily — a capability the reference discards
+    by wrapping everything in COUNT(*).
+
+NULL semantics are preserved exactly (enum/regex/set/range checks pass
+NULLs because the SQL predicate evaluates to NULL; not-null and
+referential checks count them).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# DuckDB type-name -> Spark type-name mapping (reference passes DuckDB type
+# names verbatim, main.go:732 "e.g., INTEGER, VARCHAR, DATE")
+# ---------------------------------------------------------------------------
+
+DUCKDB_TO_SPARK_TYPE: dict[str, str] = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "INT": "int",
+    "INT4": "int",
+    "BIGINT": "bigint",
+    "INT8": "bigint",
+    "HUGEINT": "decimal(38,0)",
+    "REAL": "float",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "DECIMAL": "decimal(38,18)",
+    "NUMERIC": "decimal(38,18)",
+    "VARCHAR": "string",
+    "TEXT": "string",
+    "STRING": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "DATETIME": "timestamp",
+    "TIME": "string",
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "BLOB": "binary",
+    "BYTEA": "binary",
+}
+
+
+def spark_type_name(duckdb_type: str) -> str:
+    t = duckdb_type.strip().upper()
+    if t not in DUCKDB_TO_SPARK_TYPE:
+        raise ValueError(f"unsupported type name: {duckdb_type}")
+    return DUCKDB_TO_SPARK_TYPE[t]
+
+
+# ---------------------------------------------------------------------------
+# Result model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CheckResult:
+    """One check outcome.
+
+    ``passed`` mirrors the reference's ``result := errorCount == 0``
+    (checker.go:70 and siblings); aggregate checks (max/min/mean/median)
+    instead record the ``observed`` scalar and range-compare it in the
+    driver, exactly like the Go code compares in-process
+    (checker.go:430-435).
+    """
+
+    check_type: str
+    passed: bool
+    error_count: int | None = None
+    observed: float | None = None
+    params: dict[str, str] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Row-level violation predicates (Column builders).
+# Each returns a BooleanType Column that is True for a VIOLATING row.
+# ---------------------------------------------------------------------------
+
+
+def not_null_pred(column: str) -> Column:
+    """#2 check-not-null: violation iff ``c IS NULL``
+    (checker.go:97-98)."""
+    return F.col(column).isNull()
+
+
+def enum_pred(column: str, allowed: Sequence) -> Column:
+    """#3 check-enum: ``c NOT IN (...) AND c IS NOT NULL`` — NULLs pass
+    (checker.go:140-142)."""
+    c = F.col(column)
+    return (~c.isin(list(allowed))) & c.isNotNull()
+
+
+def between_pred(column: str, lo: float, hi: float) -> Column:
+    """#6 check-between: ``c < min OR c > max`` — NULL predicate => NULLs
+    pass (checker.go:276-277)."""
+    c = F.col(column)
+    return (c < F.lit(lo)) | (c > F.lit(hi))
+
+
+def regex_pred(column: str, pattern: str) -> Column:
+    """#7 check-regex: ``NOT regexp_matches(c, re) AND c IS NOT NULL``.
+
+    DuckDB regexp_matches is *search* (partial match) semantics in RE2
+    (checker.go:314-316, README.md:33); Spark ``rlike`` is also
+    search-not-fullmatch over Java regex.  Callers must stay inside the
+    RE2/Java common subset (no backreferences, no lookbehind-by-default
+    differences) — the engine does not translate dialects.
+    """
+    c = F.col(column)
+    return (~c.rlike(pattern)) & c.isNotNull()
+
+
+def type_pred(column: str, duckdb_type: str) -> Column:
+    """#8 check-type: ``TRY_CAST(c AS T) IS NULL AND c IS NOT NULL``
+    (checker.go:352-354); DuckDB type name mapped to Spark."""
+    t = spark_type_name(duckdb_type)
+    c = F.col(column)
+    return F.expr(f"try_cast({column} AS {t})").isNull() & c.isNotNull()
+
+
+def length_pred(column: str, lo: int, hi: int) -> Column:
+    """#9 check-length: ``length(c) < min OR length(c) > max`` (char
+    length; NULLs pass) (checker.go:389-391)."""
+    ln = F.length(F.col(column))
+    return (ln < F.lit(lo)) | (ln > F.lit(hi))
+
+
+def not_in_set_pred(column: str, blacklist: Sequence) -> Column:
+    """#17 check-not-in-set: violation iff ``c IN (blacklist)`` — NULLs
+    pass (IN on NULL is NULL) (checker.go:687-689)."""
+    return F.col(column).isin(list(blacklist))
+
+
+def date_parseable_pred(column: str) -> Column:
+    """#19 check-date-parseable: ``TRY_CAST(c AS DATE) IS NULL AND c IS
+    NOT NULL`` (checker.go:765-767).
+
+    Dialect note: Spark's try_cast->date accepts a slightly wider ISO
+    family than DuckDB's; conformance tests pin the common subset
+    (ISO ``YYYY-MM-DD`` accepted, ``MM/DD/YYYY`` rejected).
+    """
+    c = F.col(column)
+    return F.expr(f"try_cast({column} AS date)").isNull() & c.isNotNull()
+
+
+def pair_not_equal_pred(col_a: str, col_b: str) -> Column:
+    """#20 check-pair-equal: violation iff not null-safe-equal — both
+    NULL counts as equal (checker.go:801-803).  Exactly ``NOT (a <=> b)``.
+    """
+    return ~F.col(col_a).eqNullSafe(F.col(col_b))
+
+
+# ---------------------------------------------------------------------------
+# Violation-set builders (DataFrame level)
+# ---------------------------------------------------------------------------
+
+
+def unique_violations(df: DataFrame, column: str) -> DataFrame:
+    """#1 check-unique: duplicated VALUES (not rows):
+    ``SELECT c FROM t GROUP BY c HAVING COUNT(*) > 1`` (checker.go:60-61).
+    NULLs group together, so two NULLs are a duplicate — Spark groupBy
+    has identical NULL-grouping semantics.
+
+    Physical plan: partial hash agg per partition -> shuffle on c ->
+    final agg; AQE coalesces/splits at runtime.  count(lit(1)) counts
+    NULL-key rows (count(c) would not).
+    """
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(column)
+    )
+
+
+def filter_violations(df: DataFrame, pred: Column) -> DataFrame:
+    return df.filter(pred)
+
+
+def referential_violations(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], broadcast: bool = True
+) -> DataFrame:
+    """#4 check-references: left rows with no multi-key match in the
+    reference table.  The reference builds
+    ``LEFT JOIN ref r ON l.k=r.k ... WHERE r.k IS NULL`` (checker.go:
+    184-199); NULL left keys never match and are counted as violations —
+    Spark ``left_anti`` has identical semantics including NULL keys.
+
+    ``broadcast=True`` hints BHJ for small dimension tables (the common
+    shape: fact vs. dimension); at scale AQE will also convert SMJ->BHJ
+    when the built side is small enough at runtime.
+    """
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on=list(keys), how="left_anti")
+
+
+def distinct_not_in_set_violations(
+    df: DataFrame, column: str, allowed: Sequence
+) -> DataFrame:
+    """#21 check-distinct-in-set: DISTINCT violating VALUES
+    (checker.go:844-846) — same predicate as #3, error_count counts
+    distinct values instead of rows."""
+    c = F.col(column)
+    return df.filter((~c.isin(list(allowed))) & c.isNotNull()).select(column).distinct()
+
+
+def increasing_violations(
+    df: DataFrame, column: str, order_column: str | None = None
+) -> DataFrame:
+    """#18 check-increasing: violation iff ``c <= LAG(c) OVER ()`` —
+    strictly increasing, ties fail (checker.go:725-730).
+
+    The reference's window has no PARTITION/ORDER and leans on DuckDB's
+    stable file-scan order.  Spark has no stable scan order, so an
+    explicit ``order_column`` is required for distributed data; if it is
+    None we fall back to a 1-partition ``monotonically_increasing_id``
+    read order (parity mode for small files ONLY — documented
+    divergence).
+
+    A single global Window.orderBy is a 1-reducer bottleneck; this
+    builder exists for parity and small data.  For scale use
+    ``count_increasing_violations_scalable`` (partition-local check +
+    boundary-seam exchange, no global sort).
+    """
+    if order_column is None:
+        df = df.coalesce(1).withColumn("__ord", F.monotonically_increasing_id())
+        order_column = "__ord"
+    w = Window.orderBy(order_column)
+    return (
+        df.withColumn("__lag", F.lag(column).over(w))
+        .filter(F.col(column) <= F.col("__lag"))
+        .drop("__lag", "__ord")
+    )
+
+
+def count_increasing_violations_scalable(
+    df: DataFrame, column: str, order_column: str
+) -> int:
+    """Scalable strict-increasing check: range-partition by the order
+    column, check each partition locally (sorted within partition), then
+    validate the partition seams on the driver.
+
+    No global sort / single-reducer window: the shuffle is a range
+    repartition and the per-partition work is a linear scan, so the plan
+    survives arbitrary scale-up.  Seam validation moves only
+    2*num_partitions tiny rows to the driver.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    parted = df.select(order_column, column).repartitionByRange(
+        n_part, order_column
+    ).sortWithinPartitions(order_column)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("violations", T.LongType()),
+            T.StructField("first_ord", T.DoubleType()),
+            T.StructField("last_ord", T.DoubleType()),
+            T.StructField("first_val", T.DoubleType()),
+            T.StructField("last_val", T.DoubleType()),
+        ]
+    )
+
+    def per_partition(batches):
+        prev = None
+        first_ord = first_val = last_ord = last_val = None
+        viol = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = pdf[column]
+            ords = pdf[order_column]
+            if first_ord is None:
+                first_ord = float(ords.iloc[0])
+                first_val = float(vals.iloc[0])
+            s = vals.reset_index(drop=True)
+            # strict increase: c <= lag(c) is a violation
+            viol += int((s.diff().iloc[1:] <= 0).sum())
+            if prev is not None and s.iloc[0] <= prev:
+                viol += 1
+            prev = float(s.iloc[-1])
+            last_ord = float(ords.iloc[-1])
+            last_val = prev
+        if first_ord is None:
+            yield pd.DataFrame(
+                {"violations": [0], "first_ord": [None], "last_ord": [None],
+                 "first_val": [None], "last_val": [None]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"violations": [viol], "first_ord": [first_ord],
+                 "last_ord": [last_ord], "first_val": [first_val],
+                 "last_val": [last_val]}
+            )
+
+    rows = parted.mapInPandas(per_partition, schema=out_schema).collect()
+    stats = sorted(
+        (r for r in rows if r["first_ord"] is not None),
+        key=lambda r: r["first_ord"],
+    )
+    total = sum(r["violations"] for r in rows)
+    for a, b in zip(stats, stats[1:]):
+        if b["first_val"] <= a["last_val"]:
+            total += 1
+    return int(total)
+
+
+# ---------------------------------------------------------------------------
+# Date-format check (#14) — vectorized strptime parity
+# ---------------------------------------------------------------------------
+
+
+def date_format_violation_count(df: DataFrame, column: str, fmt: str) -> int:
+    """#14 check-date-format: count values that do not parse under the
+    strftime-style format (checker.go:572-574 documents
+    ``strptime(CAST(c AS VARCHAR), fmt) IS NULL``).
+
+    De-facto the reference *errors out* on the first bad value because
+    DuckDB strptime raises (checker.go:576-580, main.go:462-464); we
+    implement the documented intent — count non-parsing values as
+    violations — via an Arrow-vectorized pandas UDF wrapping
+    ``datetime.strptime`` (same %-dialect as DuckDB strptime).
+    """
+    bad = date_format_violations(df, column, fmt)
+    return bad.count()
+
+
+def date_format_violations(df: DataFrame, column: str, fmt: str) -> DataFrame:
+    @F.pandas_udf(T.BooleanType())
+    def parses(s: pd.Series) -> pd.Series:
+        def ok(v) -> bool:
+            if v is None:
+                return True  # NULLs pass (predicate is NULL in SQL)
+            try:
+                _dt.datetime.strptime(str(v), fmt)
+                return True
+            except (ValueError, TypeError):
+                return False
+
+        return s.map(ok)
+
+    return df.filter(~parses(F.col(column).cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# Aggregate / table-level checks
+# ---------------------------------------------------------------------------
+
+
+def agg_between(
+    df: DataFrame, column: str, lo: float, hi: float, agg: str
+) -> tuple[bool, float | None]:
+    """#10-13 check-max/min/mean/median: compute the aggregate, compare
+    the scalar in the driver, exactly like the Go code scans the scalar
+    and compares in-process (checker.go:427-435, :463-471, :499-507,
+    :535-543).  AVG/MEDIAN ignore NULLs in both engines.
+
+    Physical: partial+final aggregate, one shuffle to one reducer of one
+    row — scale-safe.  Median is exact (F.median, interpolated 0.5
+    quantile, matches DuckDB MEDIAN); at 10^12 rows swap in
+    ``F.percentile_approx`` via ``approx=True`` call sites.
+    """
+    fns = {"max": F.max, "min": F.min, "mean": F.avg, "median": F.median}
+    observed = df.agg(fns[agg](column).alias("v")).first()["v"]
+    if observed is None:
+        # empty / all-NULL input: reference Scan into float64 errors out
+        # (returns (false, err)); we surface passed=False explicitly
+        return False, None
+    observed = float(observed)
+    return (lo <= observed <= hi), observed
+
+
+def row_count_between(df: DataFrame, lo: int, hi: int) -> tuple[bool, int]:
+    """#15 check-row-count (checker.go:609-617).  Parquet/Iceberg
+    metadata count fast path applies when unfiltered."""
+    n = df.count()
+    return (lo <= n <= hi), n
+
+
+def column_count_between(df: DataFrame, lo: int, hi: int) -> tuple[bool, int]:
+    """#16 check-col-count (checker.go:646-654) — catalog op, no job."""
+    n = len(df.columns)
+    return (lo <= n <= hi), n
+
+
+def column_exists(df: DataFrame, column: str) -> bool:
+    """#5 check-column-exists: schema probe only, no scan
+    (checker.go:249-251 uses ``SELECT c ... LIMIT 0``)."""
+    return column in df.columns
+
+
+# ---------------------------------------------------------------------------
+# Facade with reference-parity method names
+# ---------------------------------------------------------------------------
+
+
+class DataQualityChecker:
+    """API-parity facade: one method per reference check
+    (checker.go Is*/Are* methods), returning (passed, error_count|observed)
+    and logging an audit row per call via the injected sink — mirroring
+    ``NewDataQualityChecker(dbConnector)`` (checker.go:19-21).
+
+    Accepts DataFrames, file paths, or table names (sources.load_table).
+    Unlike the reference there is no per-check engine respawn; the same
+    SparkSession serves the whole suite, and `suite.CheckSuite` fuses
+    all checks on one table into a single scan.
+    """
+
+    def __init__(self, spark, audit_sink=None):
+        self.spark = spark
+        self.audit = audit_sink
+
+    # -- helpers ---------------------------------------------------------
+    def _load(self, data):
+        from dqc_spark.sources import load_table
+
+        return load_table(self.spark, data)
+
+    def _log(self, check_type: str, result: CheckResult) -> CheckResult:
+        if self.audit is not None:
+            self.audit.log(check_type, result.passed, result.params,
+                           error_count=result.error_count)
+        return result
+
+    def _count_check(self, name: str, violations: DataFrame, params) -> CheckResult:
+        n = violations.count()
+        return self._log(
+            name,
+            CheckResult(name, passed=(n == 0), error_count=n,
+                        params={k: str(v) for k, v in params.items()}),
+        )
+
+    def _agg_check(self, name, df, column, lo, hi, agg, obs_key) -> CheckResult:
+        passed, observed = agg_between(df, column, lo, hi, agg)
+        return self._log(
+            name,
+            CheckResult(
+                name, passed=passed, observed=observed,
+                params={"column": column, "min_value": str(lo),
+                        "max_value": str(hi), obs_key: str(observed)},
+            ),
+        )
+
+    # -- the 21 checks ---------------------------------------------------
+    def is_column_unique(self, data, column: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_unique", unique_violations(df, column), {"column": column}
+        )
+
+    def is_column_not_null(self, data, column: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_not_null", df.filter(not_null_pred(column)), {"column": column}
+        )
+
+    def is_column_enum(self, data, column: str, allowed: Sequence) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_enum",
+            df.filter(enum_pred(column, allowed)),
+            {"column": column, "enum_values": ",".join(map(str, allowed))},
+        )
+
+    def are_tables_referential_integral(
+        self, left_data, right_data, keys: Sequence[str]
+    ) -> CheckResult:
+        left, right = self._load(left_data), self._load(right_data)
+        return self._count_check(
+            "are_tables_referential_integral",
+            referential_violations(left, right, keys),
+            {"columns": ",".join(keys)},
+        )
+
+    def is_column_in_data(self, data, column: str) -> CheckResult:
+        df = self._load(data)
+        ok = column_exists(df, column)
+        # reference logs no error_count for this check (checker.go:251-257)
+        return self._log(
+            "is_column_in_data",
+            CheckResult("is_column_in_data", passed=ok, params={"column": column}),
+        )
+
+    def is_column_between(self, data, column: str, lo: float, hi: float) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_between",
+            df.filter(between_pred(column, lo, hi)),
+            {"column": column, "min_value": lo, "max_value": hi},
+        )
+
+    def is_column_regex_match(self, data, column: str, pattern: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_regex_match",
+            df.filter(regex_pred(column, pattern)),
+            {"column": column, "regex": pattern},
+        )
+
+    def is_column_of_type(self, data, column: str, duckdb_type: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_of_type",
+            df.filter(type_pred(column, duckdb_type)),
+            {"column": column, "type": duckdb_type},
+        )
+
+    def is_column_length_between(self, data, column: str, lo: int, hi: int) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_length_between",
+            df.filter(length_pred(column, lo, hi)),
+            {"column": column, "min_length": lo, "max_length": hi},
+        )
+
+    def is_column_max_between(self, data, column, lo, hi) -> CheckResult:
+        return self._agg_check(
+            "is_column_max_between", self._load(data), column, lo, hi, "max", "max_value_observed"
+        )
+
+    def is_column_min_between(self, data, column, lo, hi) -> CheckResult:
+        return self._agg_check(
+            "is_column_min_between", self._load(data), column, lo, hi, "min", "min_value_observed"
+        )
+
+    def is_column_mean_between(self, data, column, lo, hi) -> CheckResult:
+        return self._agg_check(
+            "is_column_mean_between", self._load(data), column, lo, hi, "mean", "mean_value_observed"
+        )
+
+    def is_column_median_between(self, data, column, lo, hi) -> CheckResult:
+        return self._agg_check(
+            "is_column_median_between", self._load(data), column, lo, hi, "median", "median_value_observed"
+        )
+
+    def is_column_date_format(self, data, column: str, fmt: str) -> CheckResult:
+        df = self._load(data)
+        n = date_format_violation_count(df, column, fmt)
+        return self._log(
+            "is_column_date_format",
+            CheckResult("is_column_date_format", passed=(n == 0), error_count=n,
+                        params={"column": column, "date_format": fmt}),
+        )
+
+    def is_table_row_count_between(self, data, lo: int, hi: int) -> CheckResult:
+        passed, n = row_count_between(self._load(data), lo, hi)
+        return self._log(
+            "is_table_row_count_between",
+            CheckResult("is_table_row_count_between", passed=passed, observed=float(n),
+                        params={"min_count": str(lo), "max_count": str(hi),
+                                "row_count": str(n)}),
+        )
+
+    def is_table_column_count_between(self, data, lo: int, hi: int) -> CheckResult:
+        passed, n = column_count_between(self._load(data), lo, hi)
+        return self._log(
+            "is_table_column_count_between",
+            CheckResult("is_table_column_count_between", passed=passed, observed=float(n),
+                        params={"min_count": str(lo), "max_count": str(hi),
+                                "column_count": str(n)}),
+        )
+
+    def is_column_not_in_set(self, data, column: str, blacklist: Sequence) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_not_in_set",
+            df.filter(not_in_set_pred(column, blacklist)),
+            {"column": column, "set_values": ",".join(map(str, blacklist))},
+        )
+
+    def is_column_increasing(self, data, column: str,
+                             order_column: str | None = None) -> CheckResult:
+        df = self._load(data)
+        if order_column is not None:
+            n = count_increasing_violations_scalable(df, column, order_column)
+        else:
+            n = increasing_violations(df, column).count()
+        return self._log(
+            "is_column_increasing",
+            CheckResult("is_column_increasing", passed=(n == 0), error_count=n,
+                        params={"column": column}),
+        )
+
+    def is_column_date_parseable(self, data, column: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "is_column_date_parseable",
+            df.filter(date_parseable_pred(column)),
+            {"column": column},
+        )
+
+    def are_column_pairs_equal(self, data, col_a: str, col_b: str) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "are_column_pairs_equal",
+            df.filter(pair_not_equal_pred(col_a, col_b)),
+            {"column_a": col_a, "column_b": col_b},
+        )
+
+    def are_distinct_values_in_set(self, data, column: str, allowed: Sequence) -> CheckResult:
+        df = self._load(data)
+        return self._count_check(
+            "are_distinct_values_in_set",
+            distinct_not_in_set_violations(df, column, allowed),
+            {"column": column, "set_values": ",".join(map(str, allowed))},
+        )

@@ -1,0 +1,77 @@
+"""Path-as-table loading, mirroring the reference's file-path data model.
+
+The reference has no catalog: every check takes a ``dataPath string`` and
+DuckDB reads it via ``SELECT * FROM '<path>'`` with format auto-detection
+(reference: internal/checker/checker.go:37,60; README.md:8).  Readability
+is probed with a ``LIMIT 0`` query before every check
+(checker.go:24-43 ``validatePathExists``).
+
+Here a "table" is either an already-built DataFrame, a filesystem path
+(format inferred from extension: csv / parquet / json), or a catalog
+table name — so the production pipeline can point the same checks at an
+Iceberg table while tests point them at tiny CSVs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMATS = {
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+
+class DataPathError(ValueError):
+    """Path missing or unreadable (parity with validatePathExists,
+    checker.go:24-43: os.Stat failure or LIMIT-0 probe failure)."""
+
+
+def infer_format(path: str) -> str:
+    ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    return _EXT_FORMATS.get(ext, "parquet")
+
+
+def load_table(
+    spark: SparkSession,
+    source: DataFrame | str,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Resolve a DataFrame / path / table name into a DataFrame.
+
+    CSV reads use header + schema inference to match DuckDB's sniffer
+    (checker.go:60 ``FROM '<path>'``); production paths should pass
+    explicit-schema DataFrames instead.
+    """
+    if isinstance(source, DataFrame):
+        return source
+    if os.path.exists(source) or "://" in source:
+        if not ("://" in source) and not os.path.exists(source):
+            raise DataPathError(f"data path does not exist: {source}")
+        fmt = fmt or infer_format(source)
+        try:
+            if fmt == "csv":
+                df = spark.read.csv(source, header=True, inferSchema=True)
+            elif fmt == "json":
+                df = spark.read.json(source)
+            else:
+                df = spark.read.parquet(source)
+            # LIMIT-0 readability probe, parity with checker.go:37-41
+            df.limit(0).collect()
+            return df
+        except DataPathError:
+            raise
+        except Exception as exc:  # unreadable / corrupt file
+            raise DataPathError(f"cannot read data at {source}: {exc}") from exc
+    # fall through: catalog table name
+    try:
+        return spark.table(source)
+    except Exception as exc:
+        raise DataPathError(f"data path does not exist: {source}") from exc

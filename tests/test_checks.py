@@ -1,0 +1,315 @@
+"""Parity unit tests: every pass/fail pair from the reference's
+internal/checker/checker_test.go:43-299, on the same fixture contents,
+plus the edge cases the reference repo ships fixtures for but never
+tests (null_enum, empty_data, corrupt_data.parquet)."""
+
+import os
+
+import pytest
+
+from dqc_spark.audit import MemoryAuditSink
+from dqc_spark.checks import DataQualityChecker
+from dqc_spark.sources import DataPathError, load_table
+from tests.conftest import fixture_path
+
+
+@pytest.fixture()
+def checker(spark):
+    return DataQualityChecker(spark, audit_sink=MemoryAuditSink())
+
+
+def csv_df(spark, cols, rows):
+    """Inline fixture helper, mirroring writeTempCSV
+    (checker_test.go:327-334) without the tempfile."""
+    return spark.createDataFrame(rows, cols)
+
+
+# -- unique (checker_test.go:46-66) -----------------------------------------
+def test_unique_pass(checker):
+    r = checker.is_column_unique(fixture_path("unique_data.csv"), "id")
+    assert r.passed and r.error_count == 0
+
+
+def test_unique_fail(checker):
+    r = checker.is_column_unique(fixture_path("duplicate_data.csv"), "id")
+    assert not r.passed and r.error_count == 1  # one duplicated VALUE (id=1)
+
+
+def test_unique_two_nulls_are_duplicate(checker, spark):
+    # NULLs group together (DuckDB parity, SURVEY §2.1 #1)
+    df = spark.createDataFrame([(None,), (None,), (1,)], "id int")
+    r = checker.is_column_unique(df, "id")
+    assert not r.passed and r.error_count == 1
+
+
+# -- not-null (checker_test.go:68-88) ----------------------------------------
+def test_not_null_pass(checker):
+    r = checker.is_column_not_null(fixture_path("no_nulls.csv"), "name")
+    assert r.passed and r.error_count == 0
+
+
+def test_not_null_fail(checker, spark):
+    df = spark.createDataFrame([("Alice",), (None,), ("Charlie",)], "name string")
+    r = checker.is_column_not_null(df, "name")
+    assert not r.passed and r.error_count == 1
+
+
+# -- enum (checker_test.go:90-112) -------------------------------------------
+def test_enum_pass(checker):
+    r = checker.is_column_enum(fixture_path("valid_enum.csv"), "status",
+                               ["active", "inactive", "pending"])
+    assert r.passed
+
+
+def test_enum_fail(checker):
+    r = checker.is_column_enum(fixture_path("invalid_enum.csv"), "status",
+                               ["active", "inactive", "pending"])
+    assert not r.passed and r.error_count == 1
+
+
+def test_enum_nulls_pass(checker, spark):
+    # null_enum.csv semantics: NULLs pass the enum check (IN on NULL is NULL)
+    df = spark.createDataFrame([("active",), (None,), ("pending",)],
+                               "status string")
+    r = checker.is_column_enum(df, "status", ["active", "pending"])
+    assert r.passed and r.error_count == 0
+
+
+# -- referential (checker_test.go:114-137) ------------------------------------
+def test_referential_pass(checker):
+    r = checker.are_tables_referential_integral(
+        fixture_path("orders.csv"), fixture_path("users.csv"), ["user_id"])
+    assert r.passed and r.error_count == 0
+
+
+def test_referential_fail(checker):
+    r = checker.are_tables_referential_integral(
+        fixture_path("orphaned_orders.csv"), fixture_path("users.csv"),
+        ["user_id"])
+    assert not r.passed and r.error_count == 1
+
+
+def test_referential_null_left_key_is_violation(checker, spark):
+    left = spark.createDataFrame([(1, 1), (2, None)], "order_id int, user_id int")
+    right = spark.createDataFrame([(1,)], "user_id int")
+    r = checker.are_tables_referential_integral(left, right, ["user_id"])
+    assert not r.passed and r.error_count == 1
+
+
+# -- column exists (checker_test.go:139-159) -----------------------------------
+def test_column_exists_pass(checker):
+    assert checker.is_column_in_data(fixture_path("unique_data.csv"), "id").passed
+
+
+def test_column_exists_fail(checker):
+    assert not checker.is_column_in_data(
+        fixture_path("unique_data.csv"), "nope").passed
+
+
+# -- between (checker_test.go:161-173) -----------------------------------------
+def test_between_pass(checker, spark):
+    df = csv_df(spark, "age: int", [(20,), (30,), (40,)])
+    assert checker.is_column_between(df, "age", 18, 50).passed
+
+
+def test_between_fail(checker, spark):
+    df = csv_df(spark, "age: int", [(20,), (30,), (40,)])
+    r = checker.is_column_between(df, "age", 25, 50)
+    assert not r.passed and r.error_count == 1
+
+
+def test_between_nulls_pass(checker, spark):
+    df = spark.createDataFrame([(20,), (None,)], "age int")
+    assert checker.is_column_between(df, "age", 18, 50).passed
+
+
+# -- regex (checker_test.go:175-187) --------------------------------------------
+def test_regex_pass(checker, spark):
+    df = csv_df(spark, "email: string", [("a@b.com",), ("c@d.com",)])
+    assert checker.is_column_regex_match(df, "email", r"^[a-z]+@[a-z]+\.com$").passed
+
+
+def test_regex_fail(checker, spark):
+    df = csv_df(spark, "email: string", [("a@b.com",), ("c@d.com",)])
+    r = checker.is_column_regex_match(df, "email", r"^[0-9]+$")
+    assert not r.passed and r.error_count == 2
+
+
+def test_regex_partial_match_semantics(checker, spark):
+    # regexp_matches is search, not fullmatch (README.md:33)
+    df = csv_df(spark, "s: string", [("xx123yy",)])
+    assert checker.is_column_regex_match(df, "s", "[0-9]+").passed
+
+
+# -- type (checker_test.go:189-201) ----------------------------------------------
+def test_type_pass(checker, spark):
+    df = csv_df(spark, "val: string", [("1",), ("2",), ("3",)])
+    assert checker.is_column_of_type(df, "val", "INTEGER").passed
+
+
+def test_type_fail(checker, spark):
+    df = csv_df(spark, "val: string", [("1",), ("2",), ("abc",)])
+    r = checker.is_column_of_type(df, "val", "INTEGER")
+    assert not r.passed and r.error_count == 1
+
+
+# -- length (checker_test.go:203-214) ---------------------------------------------
+def test_length_pass(checker, spark):
+    df = csv_df(spark, "name: string", [("Alice",), ("Bob",)])
+    assert checker.is_column_length_between(df, "name", 3, 5).passed
+
+
+def test_length_fail(checker, spark):
+    df = csv_df(spark, "name: string", [("Alice",), ("Bob",)])
+    r = checker.is_column_length_between(df, "name", 4, 5)
+    assert not r.passed and r.error_count == 1
+
+
+# -- aggregates (checker_test.go:216-235) --------------------------------------------
+@pytest.fixture()
+def vals_df(spark):
+    return csv_df(spark, "val: int", [(10,), (20,), (30,)])
+
+
+def test_max_between(checker, vals_df):
+    r = checker.is_column_max_between(vals_df, "val", 25, 35)
+    assert r.passed and r.observed == 30.0
+    assert not checker.is_column_max_between(vals_df, "val", 5, 15).passed
+
+
+def test_min_between(checker, vals_df):
+    r = checker.is_column_min_between(vals_df, "val", 5, 15)
+    assert r.passed and r.observed == 10.0
+
+
+def test_mean_between(checker, vals_df):
+    r = checker.is_column_mean_between(vals_df, "val", 15, 25)
+    assert r.passed and r.observed == 20.0
+
+
+def test_median_between(checker, vals_df):
+    r = checker.is_column_median_between(vals_df, "val", 15, 25)
+    assert r.passed and r.observed == 20.0
+
+
+def test_median_interpolates(checker, spark):
+    # DuckDB MEDIAN(1,2,3,4) = 2.5 (SURVEY §2.1 #13)
+    df = csv_df(spark, "val: int", [(1,), (2,), (3,), (4,)])
+    r = checker.is_column_median_between(df, "val", 2.5, 2.5)
+    assert r.passed and r.observed == 2.5
+
+
+def test_aggregate_on_empty_fails(checker, spark):
+    df = spark.createDataFrame([], "val int")
+    r = checker.is_column_max_between(df, "val", 0, 10)
+    assert not r.passed and r.observed is None
+
+
+# -- row / col count (checker_test.go:237-248) ------------------------------------------
+def test_row_count(checker, vals_df):
+    assert checker.is_table_row_count_between(vals_df, 1, 3).passed
+    assert not checker.is_table_row_count_between(vals_df, 4, 9).passed
+
+
+def test_col_count(checker, spark):
+    df = csv_df(spark, "a: int, b: int, c: int", [(1, 2, 3), (4, 5, 6)])
+    assert checker.is_table_column_count_between(df, 2, 4).passed
+    assert not checker.is_table_column_count_between(df, 4, 9).passed
+
+
+# -- set membership (checker_test.go:250-266) ---------------------------------------------
+@pytest.fixture()
+def colors_df(spark):
+    return csv_df(spark, "color: string", [("red",), ("blue",), ("green",)])
+
+
+def test_not_in_set(checker, colors_df):
+    assert checker.is_column_not_in_set(colors_df, "color",
+                                        ["yellow", "black"]).passed
+    r = checker.is_column_not_in_set(colors_df, "color", ["red"])
+    assert not r.passed and r.error_count == 1
+
+
+def test_distinct_in_set(checker, colors_df):
+    assert checker.are_distinct_values_in_set(
+        colors_df, "color", ["red", "blue", "green", "yellow"]).passed
+
+
+def test_distinct_in_set_counts_values_not_rows(checker, spark):
+    df = csv_df(spark, "c: string", [("x",), ("x",), ("x",), ("y",)])
+    r = checker.are_distinct_values_in_set(df, "c", ["y"])
+    assert not r.passed and r.error_count == 1  # one distinct bad VALUE
+
+
+# -- increasing / dates (checker_test.go:268-284) --------------------------------------------
+def test_increasing_pass(checker, spark):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 3])],
+                               "ord int, val int")
+    assert checker.is_column_increasing(df, "val", order_column="ord").passed
+
+
+def test_increasing_ties_fail(checker, spark):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 2, 3])],
+                               "ord int, val int")
+    r = checker.is_column_increasing(df, "val", order_column="ord")
+    assert not r.passed and r.error_count == 1
+
+
+def test_increasing_scan_order_fallback(checker, spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "val int").coalesce(1)
+    r = checker.is_column_increasing(df, "val")
+    assert not r.passed
+
+
+def test_date_parseable(checker, spark):
+    ok = csv_df(spark, "dt: string", [("2023-01-01",), ("2023-05-01",)])
+    assert checker.is_column_date_parseable(ok, "dt").passed
+    bad = csv_df(spark, "dt: string", [("01/02/2023",)])
+    assert not checker.is_column_date_parseable(bad, "dt").passed
+
+
+def test_date_format(checker, spark):
+    ok = csv_df(spark, "dt: string", [("2023-01-01",), ("2023-05-01",)])
+    assert checker.is_column_date_format(ok, "dt", "%Y-%m-%d").passed
+    # documented-intent behavior on bad values (reference raises; SURVEY #14)
+    bad = csv_df(spark, "dt: string", [("2023-01-01",), ("nope",)])
+    r = checker.is_column_date_format(bad, "dt", "%Y-%m-%d")
+    assert not r.passed and r.error_count == 1
+
+
+# -- pair equal (checker_test.go:286-298) ------------------------------------------------------
+def test_pair_equal(checker, spark):
+    ok = csv_df(spark, "a: int, b: int", [(1, 1), (2, 2)])
+    assert checker.are_column_pairs_equal(ok, "a", "b").passed
+    bad = csv_df(spark, "a: int, b: int", [(1, 1), (2, 3)])
+    r = checker.are_column_pairs_equal(bad, "a", "b")
+    assert not r.passed and r.error_count == 1
+
+
+def test_pair_equal_both_null_is_equal(checker, spark):
+    df = spark.createDataFrame([(None, None), (1, None)], "a int, b int")
+    r = checker.are_column_pairs_equal(df, "a", "b")
+    assert not r.passed and r.error_count == 1  # only (1, NULL) violates
+
+
+# -- path validation (validatePathExists, checker.go:24-43) ------------------------------------
+def test_missing_path_raises(spark):
+    with pytest.raises(DataPathError):
+        load_table(spark, "/nonexistent/file.csv")
+
+
+def test_corrupt_file_raises(spark):
+    with pytest.raises(DataPathError):
+        load_table(spark, fixture_path("corrupt_data.parquet"))
+
+
+# -- audit side effect (TestLogsAreWritten, checker_test.go:301-325) ----------------------------
+def test_logs_are_written(spark):
+    sink = MemoryAuditSink()
+    checker = DataQualityChecker(spark, audit_sink=sink)
+    checker.is_column_unique(fixture_path("unique_data.csv"), "id")
+    assert len(sink.rows) == 1
+    row = sink.rows[0]
+    assert row["check_type"] == "is_column_unique"
+    assert row["result"] is True
+    assert row["params"]["column"] == "id"
