@@ -1,38 +1,376 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md
+§2 (the 21 reference checks + the web-text/training-data operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the differential
+correctness gate.  Column names/aliases are kept identical between the
+Spark and SQL sides; float aggregates are rounded to 4 decimals on both
+sides so the order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the document quality-gate pipeline on sf0.001 documents —
+    per-document keep/drop with heuristic gate scores, one fused pass."""
+    from dqc_spark.pipeline import document_gate_report
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return document_gate_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# the 21 checks, bound to TPC-H-ish tables (FIXTURES.md §2 bindings,
+# adjusted so most queries return non-empty result sets)
+# ---------------------------------------------------------------------------
+
+
+def q_unique_violations(spark, sf):
+    # #1 is_column_unique: duplicated VALUES of lineitem.l_orderkey
+    from dqc_spark.checks import unique_violations
+
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def q_unique_pass(spark, sf):
+    # #1 on a genuinely unique key: orders.o_orderkey -> 0 rows
+    from dqc_spark.checks import unique_violations
+
+    return unique_violations(_t(spark, sf, "orders"), "o_orderkey").select(
+        F.col("o_orderkey")
+    )
+
+
+def q_not_null_summary(spark, sf):
+    # #2 is_column_not_null on documents.text (zero-row-success fold)
+    from dqc_spark.checks import not_null_pred
+
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.sum(F.when(not_null_pred("text"), 1).otherwise(0)).alias("error_count"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def q_enum_violations(spark, sf):
+    # #3 is_column_enum: documents.lang must be in {en,de,es,fr} -> zh rows
+    from dqc_spark.checks import enum_pred
+
+    docs = _t(spark, sf, "documents")
+    return docs.filter(enum_pred("lang", ["en", "de", "es", "fr"])).select(
+        "doc_id", "lang"
+    )
+
+
+def q_referential_violations(spark, sf):
+    # #4 are_tables_referential_integral: orders ⋉ customer (0 rows = pass)
+    from dqc_spark.checks import referential_violations
+
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf, "customer")
+    return referential_violations(orders, cust.select("c_custkey"), ["c_custkey"]).select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+def q_between_violations(spark, sf):
+    # #6 is_column_between: documents.n_chars outside [100, 5000]
+    from dqc_spark.checks import between_pred
+
+    docs = _t(spark, sf, "documents")
+    return docs.filter(between_pred("n_chars", 100, 5000)).select("doc_id", "n_chars")
+
+
+def q_regex_violations(spark, sf):
+    # #7 is_column_regex_match: nation names not matching ^[A-Z]{6,}$
+    from dqc_spark.checks import regex_pred
+
+    nation = _t(spark, sf, "nation")
+    return nation.filter(regex_pred("n_name", "^[A-Z]{6,}$")).select(
+        "n_nationkey", "n_name"
+    )
+
+
+def q_type_violations(spark, sf):
+    # #8 is_column_of_type: c_mktsegment as INTEGER -> every row violates
+    from dqc_spark.checks import type_pred
+
+    cust = _t(spark, sf, "customer")
+    return cust.filter(type_pred("c_mktsegment", "INTEGER")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_length_violations(spark, sf):
+    # #9 is_column_length_between: documents text length outside [100, 2000]
+    from dqc_spark.checks import length_pred
+
+    docs = _t(spark, sf, "documents")
+    return docs.filter(length_pred("text", 100, 2000)).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
+def q_agg_bounds(spark, sf):
+    # #10-13 max/min/mean/median on lineitem.l_extendedprice, one fused pass
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+def q_date_format_errors(spark, sf):
+    # #14 is_column_date_format: ISO date strings vs %Y-%m (all fail) and
+    # %Y-%m-%d (all pass) — counts via the vectorized strptime UDF
+    from dqc_spark.checks import date_format_violations
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderdate").cast("date").cast("string").alias("d")
+    )
+    bad = date_format_violations(orders, "d", "%Y-%m").agg(
+        F.count(F.lit(1)).alias("fmt_ym_errors")
+    )
+    good = date_format_violations(orders, "d", "%Y-%m-%d").agg(
+        F.count(F.lit(1)).alias("fmt_ymd_errors")
+    )
+    return bad.crossJoin(good)
+
+
+def q_row_counts(spark, sf):
+    # #15 is_table_row_count_between: metadata-count fast path per table
+    parts = []
+    for name in ["region", "nation", "customer", "orders", "lineitem", "documents"]:
+        parts.append(
+            _t(spark, sf, name).agg(
+                F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_col_count(spark, sf):
+    # #16 is_table_column_count_between: catalog op, no scan
+    docs = _t(spark, sf, "documents")
+    return spark.createDataFrame([(len(docs.columns),)], "n_cols bigint")
+
+
+def q_not_in_set_violations(spark, sf):
+    # #17 is_column_not_in_set: blocklisted sources {src0, src1}
+    from dqc_spark.checks import not_in_set_pred
+
+    docs = _t(spark, sf, "documents")
+    return docs.filter(not_in_set_pred("source", ["src0", "src1"])).select(
+        "doc_id", "source"
+    )
+
+
+def q_increasing_errors(spark, sf):
+    # #18 is_column_increasing: l_linenumber strictly increasing per
+    # l_orderkey — partitioned window, shuffles once on the partition key,
+    # no global sort (scale-safe)
+    li = _t(spark, sf, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("prev", F.lag("l_linenumber").over(w))
+        .filter(F.col("l_linenumber") <= F.col("prev"))
+        .agg(F.count(F.lit(1)).alias("error_count"))
+    )
+
+
+def q_date_parseable_errors(spark, sf):
+    # #19 is_column_date_parseable: nation names never parse as dates
+    from dqc_spark.checks import date_parseable_pred
+
+    nation = _t(spark, sf, "nation")
+    return nation.agg(
+        F.sum(F.when(date_parseable_pred("n_name"), 1).otherwise(0)).alias(
+            "error_count"
+        )
+    )
+
+
+def q_pair_equal_errors(spark, sf):
+    # #20 are_column_pairs_equal: l_orderkey vs l_partkey (null-safe !=)
+    from dqc_spark.checks import pair_not_equal_pred
+
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.sum(
+            F.when(pair_not_equal_pred("l_orderkey", "l_partkey"), 1).otherwise(0)
+        ).alias("error_count")
+    )
+
+
+def q_distinct_not_in_set(spark, sf):
+    # #21 are_distinct_values_in_set: distinct l_linestatus outside {O}
+    from dqc_spark.checks import distinct_not_in_set_violations
+
+    li = _t(spark, sf, "lineitem")
+    return distinct_not_in_set_violations(li, "l_linestatus", ["O"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "check_unique_violations": q_unique_violations,
+        "check_unique_pass": q_unique_pass,
+        "check_not_null": q_not_null_summary,
+        "check_enum": q_enum_violations,
+        "check_referential": q_referential_violations,
+        "check_between": q_between_violations,
+        "check_regex": q_regex_violations,
+        "check_type": q_type_violations,
+        "check_length": q_length_violations,
+        "check_agg_bounds": q_agg_bounds,
+        "check_date_format": q_date_format_errors,
+        "check_row_counts": q_row_counts,
+        "check_col_count": q_col_count,
+        "check_not_in_set": q_not_in_set_violations,
+        "check_increasing": q_increasing_errors,
+        "check_date_parseable": q_date_parseable_errors,
+        "check_pair_equal": q_pair_equal_errors,
+        "check_distinct_in_set": q_distinct_not_in_set,
+    }
+    try:  # text/dedup/similarity operators registered as they land
+        from dqc_spark.entry_ext import extra_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(extra_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "check_unique_violations": """
+            SELECT l_orderkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "check_unique_pass": """
+            SELECT o_orderkey FROM orders
+            GROUP BY o_orderkey HAVING COUNT(*) > 1
+        """,
+        "check_not_null": """
+            SELECT SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS error_count,
+                   COUNT(*) AS total_rows
+            FROM documents
+        """,
+        "check_enum": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang NOT IN ('en','de','es','fr') AND lang IS NOT NULL
+        """,
+        "check_referential": """
+            SELECT o.o_orderkey, o.o_custkey AS c_custkey
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        """,
+        "check_between": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars < 100 OR n_chars > 5000
+        """,
+        "check_regex": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE NOT regexp_matches(n_name, '^[A-Z]{6,}$') AND n_name IS NOT NULL
+        """,
+        "check_type": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE TRY_CAST(c_mktsegment AS INTEGER) IS NULL
+              AND c_mktsegment IS NOT NULL
+        """,
+        "check_length": """
+            SELECT doc_id, length(text) AS text_len FROM documents
+            WHERE length(text) < 100 OR length(text) > 2000
+        """,
+        "check_agg_bounds": """
+            SELECT ROUND(MAX(l_extendedprice), 4) AS max_price,
+                   ROUND(MIN(l_extendedprice), 4) AS min_price,
+                   ROUND(AVG(l_extendedprice), 4) AS mean_price,
+                   ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+            FROM lineitem
+        """,
+        "check_date_format": """
+            SELECT
+              (SELECT COUNT(*) FROM orders
+               WHERE try_strptime(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                                  '%Y-%m') IS NULL) AS fmt_ym_errors,
+              (SELECT COUNT(*) FROM orders
+               WHERE try_strptime(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                                  '%Y-%m-%d') IS NULL) AS fmt_ymd_errors
+        """,
+        "check_row_counts": """
+            SELECT 'region' AS tbl, COUNT(*) AS n FROM region
+            UNION ALL SELECT 'nation', COUNT(*) FROM nation
+            UNION ALL SELECT 'customer', COUNT(*) FROM customer
+            UNION ALL SELECT 'orders', COUNT(*) FROM orders
+            UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+            UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        """,
+        "check_col_count": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cols
+            FROM (DESCRIBE SELECT * FROM documents)
+        """,
+        "check_not_in_set": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src0','src1')
+        """,
+        "check_increasing": """
+            SELECT COUNT(*) AS error_count FROM (
+              SELECT l_linenumber,
+                     LAG(l_linenumber) OVER (PARTITION BY l_orderkey
+                                             ORDER BY l_linenumber) AS prev
+              FROM lineitem
+            ) WHERE l_linenumber <= prev
+        """,
+        "check_date_parseable": """
+            SELECT SUM(CASE WHEN TRY_CAST(n_name AS DATE) IS NULL
+                             AND n_name IS NOT NULL THEN 1 ELSE 0 END)
+                   AS error_count
+            FROM nation
+        """,
+        "check_pair_equal": """
+            SELECT SUM(CASE WHEN l_orderkey IS DISTINCT FROM l_partkey
+                            THEN 1 ELSE 0 END) AS error_count
+            FROM lineitem
+        """,
+        "check_distinct_in_set": """
+            SELECT DISTINCT l_linestatus FROM lineitem
+            WHERE l_linestatus NOT IN ('O') AND l_linestatus IS NOT NULL
+        """,
+    }
+    try:
+        from dqc_spark.entry_ext import extra_oracle_sql
+
+        out.update(extra_oracle_sql())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate: run each
+__spark_entry__.queries() entry and its oracle_sql() on the same
+parquet, compare row count, sorted column names, and an
+order-insensitive value hash.  Usage:
+
+    python tools/oracle_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    # normalize dtypes: everything to string with stable float repr
+    def norm(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    rows = sorted(
+        "|".join(norm(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from dqc_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", master="local[8]",
+                      shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {exc}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        if not problems and value_hash(sdf) != value_hash(odf):
+            problems.append("value hash mismatch")
+            merged = sdf.reindex(sorted(sdf.columns), axis=1)
+            omerged = odf.reindex(sorted(odf.columns), axis=1)
+            print("  spark:", merged.head(3).to_dict("records"))
+            print("  duck :", omerged.head(3).to_dict("records"))
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match")
+    spark.stop()
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} matched")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
