@@ -1,0 +1,171 @@
+"""Gopher/C4-style heuristic quality gates as pure Catalyst Columns.
+
+Every gate is a whole-stage-codegen'd expression over ``text`` — no
+Python in the hot path, no shuffle, fully fused into the single
+pipeline scan.  Each returns a *feature* Column; thresholded gates are
+built with ``Check.custom_pred`` (suite.py) or gate_columns() below so
+they participate in both the per-document keep decision and the
+table-level zero-row-success audit (SURVEY §2.4).
+
+Gate set (public heuristics from the Gopher and C4 papers):
+  * doc length in words / chars
+  * mean word length
+  * stop-word ratio
+  * alpha-character ratio
+  * symbol-to-word ratio (# and ellipsis)
+  * max / mean line length, duplicate-line fraction
+  * repetition: duplicate word-bigram fraction
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqc_spark.textmodels import STOPWORDS
+
+# union of per-language stopword lists; small → constant-folded IN set
+ALL_STOPWORDS = sorted(set().union(*STOPWORDS.values()))
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (split of ''
+    yields [''] which we filter)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words_col(text))
+
+
+def n_chars(text: Column) -> Column:
+    return F.length(text)
+
+
+def mean_word_length(text: Column) -> Column:
+    w = words_col(text)
+    return F.when(F.size(w) > 0,
+                  F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
+                  / F.size(w))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words_col(F.lower(text))
+    hits = F.size(F.filter(w, lambda x: x.isin(ALL_STOPWORDS)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of NON-WHITESPACE characters that are letters (unicode
+    letter class) — whitespace excluded so single-character-token
+    languages (zh) aren't penalized for their space density."""
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    return F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher: ratio of '#' or '...' symbols to words."""
+    syms = (
+        F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+        + (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    )
+    nw = n_words(text)
+    return F.when(nw > 0, syms / nw).otherwise(F.lit(0.0))
+
+
+def lines_col(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda l: l != F.lit(""))
+
+
+def max_line_length(text: Column) -> Column:
+    return F.coalesce(
+        F.array_max(F.transform(lines_col(text), F.length)), F.lit(0)
+    )
+
+
+def mean_line_length(text: Column) -> Column:
+    l = lines_col(text)
+    return F.when(
+        F.size(l) > 0,
+        F.aggregate(l, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(l),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction(text: Column) -> Column:
+    l = lines_col(text)
+    return F.when(
+        F.size(l) > 0,
+        1.0 - F.size(F.array_distinct(l)) / F.size(l),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_fraction(text: Column) -> Column:
+    """Repetition gate: fraction of duplicate word bigrams — boilerplate
+    and SEO spam repeat phrase patterns.  Pure array expressions: build
+    bigrams with transform over an index sequence, then distinct-count.
+    """
+    w = words_col(F.lower(text))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        ),
+    )
+    return F.when(
+        F.size(w) >= 2,
+        1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# default thresholds (Gopher-flavored, tuned for the synthetic corpus)
+# ---------------------------------------------------------------------------
+
+DEFAULT_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 50_000,
+    "min_mean_word_length": 1.0,
+    "max_mean_word_length": 12.0,
+    "min_stopword_ratio": 0.05,
+    "min_alpha_ratio": 0.55,
+    "max_symbol_word_ratio": 0.1,
+    "max_dup_line_fraction": 0.30,
+    "max_dup_bigram_fraction": 0.40,
+}
+
+
+def feature_columns(text: Column) -> dict[str, Column]:
+    """All gate features — computed once, shared by every threshold."""
+    return {
+        "n_words": n_words(text),
+        "mean_word_len": mean_word_length(text),
+        "stopword_ratio": stopword_ratio(text),
+        "alpha_ratio": alpha_ratio(text),
+        "symbol_word_ratio": symbol_word_ratio(text),
+        "dup_line_fraction": dup_line_fraction(text),
+        "dup_bigram_fraction": dup_bigram_fraction(text),
+    }
+
+
+def gate_predicates(
+    feats: dict[str, Column], th: dict | None = None
+) -> dict[str, Column]:
+    """Violation predicates (True = drop reason) over feature columns.
+    Mirrors the reference's range-check semantics (#6 between, #9
+    length): a gate is 'value outside [lo, hi]'."""
+    t = dict(DEFAULT_THRESHOLDS)
+    if th:
+        t.update(th)
+    return {
+        "gate_too_few_words": feats["n_words"] < t["min_words"],
+        "gate_too_many_words": feats["n_words"] > t["max_words"],
+        "gate_word_length": (feats["mean_word_len"] < t["min_mean_word_length"])
+        | (feats["mean_word_len"] > t["max_mean_word_length"]),
+        "gate_stopword": feats["stopword_ratio"] < t["min_stopword_ratio"],
+        "gate_alpha": feats["alpha_ratio"] < t["min_alpha_ratio"],
+        "gate_symbol": feats["symbol_word_ratio"] > t["max_symbol_word_ratio"],
+        "gate_dup_lines": feats["dup_line_fraction"] > t["max_dup_line_fraction"],
+        "gate_repetition": feats["dup_bigram_fraction"] > t["max_dup_bigram_fraction"],
+    }

@@ -1,0 +1,38 @@
+"""KenLM-style n-gram perplexity scoring as a broadcast-model pandas UDF.
+
+Same production shape as langid.py: bigram count tables built once
+(textmodels.build_lm — a real KenLM binary drops in the same slot),
+broadcast to executors, applied inside Arrow batches.  High perplexity
+= text unlike natural language -> drop gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqc_spark.textmodels import build_lm, perplexity
+
+DEFAULT_MAX_PPL = 100.0
+
+
+def make_perplexity_udf(spark: SparkSession):
+    bc = spark.sparkContext.broadcast(build_lm())
+
+    @F.pandas_udf(T.DoubleType())
+    def ppl_udf(texts: pd.Series) -> pd.Series:
+        lm = bc.value
+        return texts.map(lambda t: perplexity(t, lm))
+
+    return ppl_udf
+
+
+def with_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    udf = make_perplexity_udf(df.sparkSession)
+    return df.withColumn("ppl", udf(F.col(text_col)))
+
+
+def high_ppl_pred(max_ppl: float = DEFAULT_MAX_PPL) -> Column:
+    return F.col("ppl") > max_ppl

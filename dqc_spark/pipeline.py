@@ -1,0 +1,168 @@
+"""End-to-end document quality pipeline.
+
+pages(url, warc_ts, html, text, lang)
+  -> one fused projection: heuristic gate features (pure Catalyst
+     Columns), langid + perplexity (broadcast-model pandas UDFs)
+  -> keep = no gate fired        (per-doc generalization, SURVEY §2.4)
+  -> scrubbed_text = PII scrub, ONLY for kept docs (dropped docs never
+     pay the Python regex cost)
+  -> table-level audit: zero-row-success fold over the same gate
+     columns + salted URL-uniqueness + lang-enum checks
+
+Shuffle inventory (the whole pipeline):
+  0 shuffles for the gate/scrub path (pure map),
+  1 shuffle for URL uniqueness (two-phase salted groupBy),
+  1 tiny broadcast for the lang enum (none — it's an IN-list literal).
+The scan never reads ``html`` unless a gate needs it — column pruning
+drops the widest column at the parquet reader.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqc_spark import gates
+from dqc_spark.langid import lang_mismatch_pred, with_langid
+from dqc_spark.perplexity import DEFAULT_MAX_PPL, high_ppl_pred, with_perplexity
+from dqc_spark.scrub import scrub_udf
+from dqc_spark.skew import salted_duplicate_count
+from dqc_spark.textmodels import LANGS
+
+GATE_ORDER = [
+    "gate_too_few_words",
+    "gate_too_many_words",
+    "gate_word_length",
+    "gate_stopword",
+    "gate_alpha",
+    "gate_symbol",
+    "gate_dup_lines",
+    "gate_repetition",
+    "gate_lang_mismatch",
+    "gate_high_ppl",
+]
+
+
+def annotate(
+    pages: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+    max_ppl: float = DEFAULT_MAX_PPL,
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Append feature, gate, keep and scrubbed_text columns in one pass."""
+    text = F.col(text_col)
+    feats = gates.feature_columns(text)
+    df = pages
+    for name, col in feats.items():
+        df = df.withColumn(name, col)
+    df = with_langid(df, text_col)
+    df = with_perplexity(df, text_col)
+
+    preds = gates.gate_predicates(
+        {k: F.col(k) for k in feats}, thresholds
+    )
+    if lang_col is not None and lang_col in pages.columns:
+        preds["gate_lang_mismatch"] = lang_mismatch_pred(lang_col)
+    preds["gate_high_ppl"] = high_ppl_pred(max_ppl)
+
+    any_gate = None
+    for name in GATE_ORDER:
+        if name not in preds:
+            continue
+        p = F.coalesce(preds[name], F.lit(False))
+        df = df.withColumn(name, p)
+        any_gate = p if any_gate is None else (any_gate | p)
+
+    df = df.withColumn("keep", ~F.coalesce(any_gate, F.lit(False)))
+    df = df.withColumn(
+        "scrubbed_text", F.when(F.col("keep"), scrub_udf(text))
+    )
+    return df
+
+
+def table_checks(
+    annotated: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    allowed_langs: list[str] | None = None,
+) -> list:
+    """Reference-semantics table-level checks over the annotated frame:
+    every per-doc gate folds to a zero-row-success boolean (one fused
+    agg), URL uniqueness runs as a salted two-phase groupBy, lang enum
+    as a plain filter-count — all counted in the same job where possible.
+    """
+    from dqc_spark.checks import CheckResult, enum_pred
+
+    allowed = allowed_langs or LANGS
+    aggs = [
+        F.sum(F.when(F.col(g), 1).otherwise(0)).alias(g)
+        for g in GATE_ORDER
+        if g in annotated.columns
+    ]
+    aggs.append(
+        F.sum(F.when(enum_pred(lang_col, allowed), 1).otherwise(0)).alias("lang_enum")
+    )
+    aggs.append(F.count(F.lit(1)).alias("total"))
+    aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"))
+    row = annotated.agg(*aggs).first()
+
+    results = []
+    for g in GATE_ORDER:
+        if g in annotated.columns:
+            n = int(row[g])
+            results.append(CheckResult(g, passed=(n == 0), error_count=n))
+    n = int(row["lang_enum"])
+    results.append(
+        CheckResult("is_column_enum", passed=(n == 0), error_count=n,
+                    params={"column": lang_col, "enum_values": ",".join(allowed)})
+    )
+    dup_urls = salted_duplicate_count(annotated, url_col)
+    results.append(
+        CheckResult("is_column_unique", passed=(dup_urls == 0),
+                    error_count=dup_urls, params={"column": url_col})
+    )
+    results.append(
+        CheckResult("is_table_row_count_between", passed=row["total"] > 0,
+                    observed=float(row["total"]),
+                    params={"row_count": str(row["total"]),
+                            "kept": str(row["kept"])})
+    )
+    return results
+
+
+def run_pipeline(
+    pages: DataFrame,
+    output_path: str | None = None,
+    audit=None,
+    thresholds: dict | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Annotate -> (optionally) write kept docs -> audit the run."""
+    run_id = run_id or uuid.uuid4().hex
+    ann = annotate(pages, thresholds=thresholds)
+    if output_path is not None:
+        (
+            ann.withColumn("day", F.to_date("warc_ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(output_path)
+        )
+        ann = ann.sparkSession.read.parquet(output_path).drop("day")
+    if audit is not None:
+        for res in table_checks(ann):
+            audit.log(res.check_type, res.passed, res.params,
+                      error_count=res.error_count, input_snapshot=run_id)
+    return ann
+
+
+def document_gate_report(docs: DataFrame) -> DataFrame:
+    """Flagship query for __spark_entry__.entry(): adapt the driver's
+    ``documents`` table (doc_id, text, lang, source, n_chars) to the
+    pages pipeline and return per-document gate decisions."""
+    ann = annotate(docs, lang_col=None)
+    cols = ["doc_id", "lang", "n_words", "stopword_ratio", "alpha_ratio",
+            "dup_bigram_fraction", "lang_pred", "lang_conf", "ppl", "keep"]
+    return ann.select(*[c for c in cols if c in ann.columns])

@@ -1,0 +1,112 @@
+"""Golden pipeline tests (BASELINE.md gates): Spark pipeline vs the
+single-process pure-Python oracle — keep/drop F1 >= 0.99 and
+byte-identical scrubbed text per document."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.pagesgen import generate_pages, generate_pages_local
+from dqc_spark.pipeline import annotate, run_pipeline, table_checks
+from dqc_spark.pipeline_oracle import oracle_labels
+from dqc_spark.scrub import scrub_text_py
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, N_DOCS, n_partitions=4)
+
+
+def test_generator_deterministic_across_partitioning(spark):
+    a = generate_pages(spark, 50, n_partitions=1).orderBy("url", "text").collect()
+    b = generate_pages(spark, 50, n_partitions=7).orderBy("url", "text").collect()
+    assert [r.asDict() for r in a] == [
+        {**r.asDict()} for r in b
+    ]
+
+
+def test_generator_matches_local_oracle(spark):
+    spark_rows = generate_pages(spark, 60, n_partitions=3).collect()
+    local_rows = generate_pages_local(60)
+    s = sorted(((r["url"], r["text"], r["lang"]) for r in spark_rows))
+    l = sorted(((r["url"], r["text"], r["lang"]) for r in local_rows))
+    assert s == l
+
+
+def test_keep_f1_and_scrub_byte_identity(spark, pages):
+    ann = annotate(pages)
+    got = {
+        (r["url"], r["text"]): (r["keep"], r["scrubbed_text"])
+        for r in ann.select("url", "text", "keep", "scrubbed_text").collect()
+    }
+    golden = oracle_labels(generate_pages_local(N_DOCS))
+    texts = {(r["url"], r["text"]): r for r in
+             (dict(g, text=t["text"]) for g, t in
+              zip(golden, generate_pages_local(N_DOCS)))}
+
+    tp = fp = fn = tn = 0
+    byte_mismatches = 0
+    for key, g in texts.items():
+        k_spark, scrub_spark = got[key]
+        if g["keep"] and k_spark:
+            tp += 1
+            if scrub_spark != g["scrubbed_text"]:
+                byte_mismatches += 1
+        elif g["keep"] and not k_spark:
+            fn += 1
+        elif not g["keep"] and k_spark:
+            fp += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (tp, fp, fn, tn)
+    assert byte_mismatches == 0
+    assert tp > 0 and tn > 0  # non-trivial split
+
+
+def test_scrub_rules_byte_level():
+    s = ("mail me: a.b-c%d@sub.example.co.uk, tel (415) 555-0199, "
+         "ssn 123-45-6789, ip 10.0.0.1, card 4111-1111-1111-1111 badword2!")
+    out = scrub_text_py(s)
+    assert out == ("mail me: <EMAIL>, tel <PHONE>, ssn <SSN>, ip <IP>, "
+                   "card <CC> <TOX>!")
+    assert scrub_text_py("no pii here.") == "no pii here."
+    assert scrub_text_py(None) is None
+
+
+def test_table_checks_and_audit(spark, pages):
+    from dqc_spark.audit import MemoryAuditSink
+
+    sink = MemoryAuditSink()
+    ann = run_pipeline(pages, audit=sink)
+    results = {r["check_type"]: r for r in sink.rows}
+    # planted failure modes must surface as failing table-level checks
+    assert results["gate_too_few_words"]["result"] is False
+    assert results["gate_high_ppl"]["result"] is False
+    assert results["is_column_unique"]["result"] is False  # dup urls planted
+    assert results["is_column_enum"]["result"] is True     # langs all valid
+    assert results["is_table_row_count_between"]["result"] is True
+
+
+def test_salted_count_matches_plain_groupby(spark, pages):
+    from dqc_spark.skew import salted_group_count
+
+    plain = {
+        r["url"]: r["n"]
+        for r in pages.groupBy("url").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {r["url"]: r["n"] for r in salted_group_count(pages, "url").collect()}
+    assert plain == salted
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "keep" in df.columns and "doc_id" in df.columns
