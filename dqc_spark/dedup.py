@@ -1,0 +1,335 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, ordered by cost:
+
+  * exact           — hash-groupBy on a content digest (1 shuffle)
+  * ngram_jaccard   — exact Jaccard over shingle sets for candidate pairs
+  * minhash_lsh     — MinHash signatures + banded LSH bucketing: near-dup
+                      candidates meet in a bucket join instead of an
+                      O(n^2) cross join (the 100 TB path)
+  * simhash         — 64-bit SimHash + hamming-ball bucketing
+  * embedding cosine near-dup — see similarity.py (shares the LSH shape)
+
+All signatures are computed with vectorized/pandas kernels inside Arrow
+batches; all pair-finding is expressed as joins/groupBys so Catalyst
+plans the shuffles (AQE handles bucket skew).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n) with n > 1.
+    md5 runs JVM-side; the groupBy shuffles 16-byte digests, not text."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> DataFrame:
+    """Keep one representative per identical text: min(key) wins —
+    deterministic, and a window-free two-phase agg (no global sort)."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    winners = (
+        df.select(h, *key_cols)
+        .groupBy("__h")
+        .agg(*[F.min(k).alias(k) for k in key_cols])
+    )
+    return df.join(winners, on=key_cols, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-shingles -> stable 64-bit hashes (md5-derived, python-hash-
+    seed independent)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+        )
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(key, signature:array<long>) via a mapInPandas kernel — the
+    (a*x+b) mod p permutations vectorize over the shingle array."""
+    a, b = _minhash_params(num_perm)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("signature", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, sigs = [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                h = _shingle_hashes(text or "", shingle_k)
+                if len(h) == 0:
+                    sig = np.zeros(num_perm, dtype=np.uint64)
+                else:
+                    # (num_perm, n_shingles) via broadcasting, min over axis 1
+                    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                    sig = vals.min(axis=1)
+                keys.append(int(key))
+                sigs.append([int(x) & 0x7FFFFFFFFFFFFFFF for x in sig])
+            yield pd.DataFrame({"key": keys, "signature": sigs})
+
+    return df.select(F.col(key_col), F.col(text_col)).mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: split each signature into ``bands`` bands of
+    ``rows_per_band`` values, hash each band, self-join on
+    (band_id, band_hash).  Returns candidate pairs (key_a < key_b)
+    deduplicated across bands.
+
+    Scale shape: explode -> groupBy-join on band hash.  No cross join;
+    hot buckets (boilerplate) are bounded by AQE skew handling and can
+    be capped with a bucket-size filter.
+    """
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "key",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(F.col("l.key").alias("key_a"), F.col("r.key").alias("key_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of agreeing
+    signature positions (zip_with, JVM-side)."""
+    sa = signatures.select(F.col("key").alias("key_a"), F.col("signature").alias("sig_a"))
+    sb = signatures.select(F.col("key").alias("key_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup pairs above an estimated-Jaccard threshold."""
+    sigs = minhash_signatures(df, key_col, text_col, num_perm)
+    cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    return minhash_jaccard(cand, sigs).filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification pass / oracle for MinHash)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets for given candidate pairs —
+    array_intersect/array_union stay JVM-side; shingles built once per
+    doc with a transform over an index sequence."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    shingles = F.when(
+        F.size(w) >= shingle_k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - shingle_k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j + 1) for j in range(shingle_k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    sh = df.select(F.col(key_col).alias("key"), shingles.alias("sh"))
+    a = sh.select(F.col("key").alias("key_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("key").alias("key_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "key_a")
+        .join(b, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_py(text: str) -> int:
+    """64-bit SimHash of one document: md5-derived token hashes vote per
+    bit; sign of the vote sets the bit.  md5 keeps it engine-portable
+    (same value from any runtime), unlike xxhash64."""
+    toks = set((text or "").lower().split())
+    if not toks:
+        return 0
+    hs = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes per bit)
+    out = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out) & 0x7FFFFFFFFFFFFFFF  # keep sign bit clear for LongType
+
+
+def simhash_signatures(
+    df: DataFrame, key_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(key, sim:long) via a mapInPandas numpy kernel (Arrow batches)."""
+    out_schema = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("sim", T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col].astype("int64"),
+                    "sim": [simhash_py(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def simhash_near_dups(
+    df: DataFrame, key_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Bucketing: split the 64-bit hash into 4 16-bit chunks; by pigeonhole
+    any pair within hamming<=3 agrees on at least one chunk -> candidates
+    meet in a chunk-equality join (4x fanout, no cross join), then exact
+    hamming via bit_count(xor)."""
+    sh = simhash_signatures(df, key_col, text_col)
+    chunks = sh.select(
+        "key",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .select(
+            F.col("l.key").alias("key_a"),
+            F.col("r.key").alias("key_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "key_a",
+        "key_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

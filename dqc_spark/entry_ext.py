@@ -1,0 +1,364 @@
+"""Extended driver-contract queries: training-data operators (dedup,
+similarity, text stats, relational/window coverage) over the driver
+testdata tables.  Split from __spark_entry__ so the entry file stays the
+thin contract; see queries()/oracle_sql() there."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from dqc_spark.gates import ALL_STOPWORDS
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    from dqc_spark.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf, "documents"), "text")
+
+
+def q_dedup_distinct_count(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def q_minhash_near_dups(spark, sf):
+    # rows-only check (signature permutations are engine-specific)
+    from dqc_spark.dedup import minhash_near_dups
+
+    docs = _t(spark, sf, "documents")
+    return minhash_near_dups(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf):
+    # rows-only check (xxhash64 is Spark-specific)
+    from dqc_spark.dedup import simhash_near_dups
+
+    # hamming<=1: the synthetic docs share a small vocabulary, so wider
+    # balls explode the candidate set (29k pairs at <=3 on 500 docs)
+    docs = _t(spark, sf, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=1)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 7
+
+
+def _query_vec(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["embedding"]
+
+
+def q_ann_bruteforce_topk(spark, sf):
+    from dqc_spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return brute_force_topk(emb, q, k=10, round_to=4)
+
+
+def q_ann_lsh_topk(spark, sf):
+    # rows-only: approximate recall depends on the LSH draw
+    from dqc_spark.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return lsh_topk(emb, q, k=10, max_hamming=4)
+
+
+def q_embedding_near_dups_exact(spark, sf):
+    # exact all-pairs cosine >= 0.4 (oracle-checkable); the LSH variant
+    # below is the scale path
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("key_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("key_b"), F.col("embedding").alias("vb"))
+    from dqc_spark.similarity import cosine_col
+
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", F.round(cosine_col("va", "vb"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+def q_embedding_near_dups_lsh(spark, sf):
+    from dqc_spark.similarity import embedding_near_dups
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dups(emb, threshold=0.4, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark, sf):
+    from dqc_spark.textstats import token_stats
+
+    return token_stats(_t(spark, sf, "documents"), "doc_id")
+
+
+def q_quality_scores(spark, sf):
+    from dqc_spark.textstats import quality_scores
+
+    qs = quality_scores(_t(spark, sf, "documents"), "doc_id")
+    return qs.select(
+        "doc_id",
+        "n_words",
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+def q_langid_heuristic(spark, sf):
+    from dqc_spark.textstats import langid_heuristic
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", langid_heuristic(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_fingerprints(spark, sf):
+    from dqc_spark.textstats import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# relational / window coverage
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    # TPC-H Q1-shaped: the engine's bread-and-butter groupBy-agg
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_top_customers_per_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only: stubbed decode)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark, sf):
+    from dqc_spark.multimodal import extract_features, with_media_type
+    from dqc_spark.pagesgen import generate_pages
+
+    pages = generate_pages(spark, 200, n_partitions=4).withColumnRenamed(
+        "html", "media"
+    )
+    typed = with_media_type(pages)
+    feats = extract_features(typed, media_col="media", key_col="url", out_dim=8)
+    return feats.select("key", "n_bytes", F.size("features").alias("dim"))
+
+
+def extra_queries():
+    return {
+        "dedup_exact_groups": q_dedup_exact,
+        "dedup_distinct_count": q_dedup_distinct_count,
+        "dedup_minhash_near_dups": q_minhash_near_dups,
+        "dedup_simhash_near_dups": q_simhash_near_dups,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "text_token_counts": q_token_counts,
+        "text_quality_scores": q_quality_scores,
+        "text_langid_heuristic": q_langid_heuristic,
+        "text_fingerprints": q_fingerprints,
+        "olap_pricing_summary": q_pricing_summary,
+        "olap_events_hourly": q_events_hourly,
+        "olap_top_customers_per_nation": q_top_customers_per_nation,
+        "media_features": q_media_features,
+    }
+
+
+_STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
+
+
+def extra_oracle_sql():
+    return {
+        "dedup_exact_groups": """
+            SELECT md5(text) AS text_hash, COUNT(*) AS n FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_distinct_count": """
+            SELECT COUNT(DISTINCT md5(text)) AS n_distinct,
+                   COUNT(*) AS n_total
+            FROM documents
+        """,
+        "ann_bruteforce_topk": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID})), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dups_exact": """
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])),
+                        4) >= 0.4
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   length(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS ws_tokens,
+                   length(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+                   length(text) AS chars
+            FROM documents
+        """,
+        "text_quality_scores": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS nw,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_r,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS punct_r,
+                     CASE WHEN length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                  x -> x <> '')) > 0 THEN
+                       CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                       / length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) ELSE 0.0 END AS sw_r
+              FROM documents
+            )
+            SELECT doc_id, nw AS n_words,
+                   ROUND(alpha_r, 4) AS alpha_ratio,
+                   ROUND(punct_r, 4) AS punct_ratio,
+                   ROUND(sw_r, 4) AS stopword_ratio,
+                   ROUND(LEAST(nw / 100.0, 1.0) * 0.4
+                         + LEAST(sw_r * 4, 1.0) * 0.3
+                         + alpha_r * 0.3, 4) AS quality_score
+            FROM f
+        """,
+        "text_langid_heuristic": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w,
+                     length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+              FROM documents
+            ), c AS (
+              SELECT doc_id, cjk, length(w) AS nw,
+                length(list_filter(w, x -> list_contains(['the','and','of','to','that'], x))) AS c_en,
+                length(list_filter(w, x -> list_contains(['der','die','und','nicht','ist'], x))) AS c_de,
+                length(list_filter(w, x -> list_contains(['que','los','del','las','por'], x))) AS c_es,
+                length(list_filter(w, x -> list_contains(['les','des','est','dans','pour'], x))) AS c_fr
+              FROM f
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk * 2 > nw THEN 'zh'
+                        WHEN GREATEST(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM c
+        """,
+        "text_fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+            FROM documents
+        """,
+        "olap_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "olap_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "olap_top_customers_per_nation": """
+            SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rk
+            FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rk
+              FROM customer
+            ) WHERE rk <= 3
+        """,
+    }

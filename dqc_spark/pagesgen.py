@@ -135,7 +135,11 @@ def make_page(doc_id: int, allow_dup_url: bool = True) -> dict:
     if allow_dup_url and doc_id > 0 and r.random() < DUP_URL_RATE:
         url = make_page(doc_id - 1, allow_dup_url=False)["url"]
 
-    ts = BASE_TS + _dt.timedelta(seconds=int(doc_id) % (30 * 86400))
+    # Knuth-hash the id across the 30-day window so any corpus size
+    # exercises multiple day partitions (partition pruning is real)
+    ts = BASE_TS + _dt.timedelta(
+        seconds=(int(doc_id) * 2654435761) % (30 * 86400)
+    )
     html = f"<html><body><p>{text}</p></body></html>".encode("utf-8")
     return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": claimed}
 

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline; dot products as JVM-side
+    zip_with/aggregate expressions (no Python), broadcast of the query
+    vector as a literal array.  O(n) per query: right answer for one-off
+    queries at any scale because it's a single map + top-k reduce.
+  * LSH-bucketed (random hyperplane signs -> band join) — the scale path
+    for all-pairs / batch-query workloads where O(n) per query times many
+    queries is the bottleneck.
+
+Embedding near-duplicate detection (cosine > threshold over all pairs)
+reuses the hyperplane-LSH candidates + exact re-scoring, mirroring the
+MinHash design in dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.  The plan is a
+    single projection + TakeOrderedAndProject (per-partition top-k then
+    merge on the driver) — no full sort, no shuffle of the vectors."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_col(F.col(vec_col), q)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        df.select(F.col(key_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of <v, h_i> packed into a long.
+    Hyperplanes are deterministic (seeded) literals compiled into the
+    plan — no Python at execution time."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    planes = rng.standard_normal((n_planes, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), h) > 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return df.select(F.col(key_col).alias("key"), F.col(vec_col).alias("vec"),
+                     sig.alias("sig"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: restrict exact scoring to vectors whose
+    hyperplane signature is within ``max_hamming`` bits of the query's —
+    the candidate filter is a bit_count over a packed long (codegen)."""
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    planes = rng.standard_normal((n_planes, dim))
+    qsig = 0
+    qv = np.asarray(query_vec)
+    for i in range(n_planes):
+        if float(planes[i] @ qv) > 0:
+            qsig |= 1 << i
+    sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
+    cand = sigs.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(F.col("key").alias(key_col),
+                    cosine_col(F.col("vec"), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates: hyperplane-LSH candidates
+    (signature hamming <= max_hamming via 4x16-bit chunk pigeonhole
+    join for hamming<=3, else full signature equality) + exact cosine
+    re-score.  Avoids the O(n^2) cross join the brute-force would need.
+    """
+    sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
+    n_chunks = 4
+    width = n_planes // n_chunks
+    mask = (1 << width) - 1
+    chunks = sigs.select(
+        "key",
+        "vec",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.key") < F.col("r.key")),
+        )
+        .filter(
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))) <= max_hamming
+        )
+        .select(
+            F.col("l.key").alias("key_a"),
+            F.col("r.key").alias("key_b"),
+            F.col("l.vec").alias("vec_a"),
+            F.col("r.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return cand.select(
+        "key_a", "key_b", cosine_col("vec_a", "vec_b").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,148 @@
+"""Text-analysis operators over document tables.
+
+All pure Catalyst Columns unless noted: language-ID heuristic (n-gram,
+JVM-side approximation of langid.py's UDF model), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace +
+BPE-ish regex), and rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqc_spark.gates import ALL_STOPWORDS, stopword_ratio, words_col
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words_col(text))
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, and single non-space
+# symbols — the regex family GPT-2/tiktoken-style tokenizers use for
+# pre-splitting (token COUNT approximation, not real BPE merges)
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpeish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0))
+
+
+def token_stats(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(key_col),
+        whitespace_token_count(t).alias("ws_tokens"),
+        bpeish_token_count(t).alias("bpeish_tokens"),
+        F.length(t).alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Component ratios + a composite score in [0,1].  Mirrors the gate
+    features but packaged as a scoring operator (C4-style)."""
+    total = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    nw = F.size(words_col(text))
+    sw = stopword_ratio(text)
+    alpha_r = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+    punct_r = F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+    score = (
+        F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(sw * 4, F.lit(1.0)) * 0.3
+        + alpha_r * 0.3
+    )
+    return {
+        "n_words": nw,
+        "alpha_ratio": alpha_r,
+        "punct_ratio": punct_r,
+        "stopword_ratio": sw,
+        "quality_score": score,
+    }
+
+
+def quality_scores(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    cols = quality_score_cols(F.col(text_col))
+    return df.select(F.col(key_col), *[c.alias(n) for n, c in cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# heuristic language ID (JVM-side; the UDF model in langid.py is the
+# accurate path — this is the shuffle-free approximation for triage)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "that"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "es": ["que", "los", "del", "las", "por"],
+    "fr": ["les", "des", "est", "dans", "pour"],
+}
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Marker-word voting + CJK-character detection, entirely as Catalyst
+    expressions (no UDF): argmax over per-language marker hit counts."""
+    w = words_col(F.lower(text))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = [
+        (lang, F.size(F.filter(w, lambda x: x.isin(markers))))
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    # build argmax as nested CASE WHEN; ties resolve in list order
+    best_lang = F.lit("und")
+    best_score = F.lit(-1)
+    for lang, s in scores:
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    # zh tokens are single CJK chars -> cjk count == token count; use a
+    # majority-of-words test rather than strict >
+    return (
+        F.when(cjk * 2 > F.size(w), F.lit("zh"))
+        .when(best_score > 0, best_lang)
+        .otherwise(F.lit("und"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized
+    lowercased text.  Cross-engine reproducible (md5 is md5 everywhere),
+    unlike xxhash64 whose seed is Spark-specific."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.md5(F.trim(norm))
+
+
+def rolling_fingerprints(
+    df: DataFrame, key_col: str, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Winnowing-style rolling hashes: xxhash64 over each word window —
+    the per-doc min is a robust partial-overlap signature."""
+    w = words_col(F.lower(F.col(text_col)))
+    hashes = F.when(
+        F.size(w) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, window))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
+    return df.select(
+        F.col(key_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.array_min(hashes).alias("min_rolling_hash"),
+    )

@@ -1,0 +1,169 @@
+"""Unit tests for dedup / similarity / textstats / multimodal operators
+with planted duplicates and known-answer fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.textmodels import corpus_seq
+
+
+def _doc(seed: int, n: int = 120, lang: str = "en") -> str:
+    seq = corpus_seq(lang)
+    start = seed * 37 % len(seq)
+    return " ".join(seq[(start + j) % len(seq)] for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = _doc(1)
+    rows = [
+        (0, base),                       # original
+        (1, base),                       # exact dup of 0
+        (2, base.replace("the", "thy", 3)),  # near dup of 0
+        (3, _doc(7)),                    # different doc
+        (4, _doc(13, lang="de")),        # different lang
+        (5, _doc(29)),                   # another distinct doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    from dqc_spark.dedup import dedup_exact, exact_dup_groups
+
+    groups = exact_dup_groups(docs, "text").collect()
+    assert len(groups) == 1 and groups[0]["n"] == 2
+    kept = dedup_exact(docs, ["doc_id"], "text")
+    assert kept.count() == 5  # one of the exact pair dropped
+    assert kept.filter("doc_id = 0").count() == 1  # min key wins
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    from dqc_spark.dedup import minhash_near_dups
+
+    pairs = {(r["key_a"], r["key_b"]): r["est_jaccard"]
+             for r in minhash_near_dups(docs, "doc_id", threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup -> identical signatures
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert not any({a, b} & {3, 4, 5} and {a, b} <= {3, 4, 5}
+                   for a, b in pairs)    # distinct docs not paired
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    from dqc_spark.dedup import (minhash_near_dups, ngram_jaccard_pairs)
+
+    pairs = minhash_near_dups(docs, "doc_id", threshold=0.3)
+    both = ngram_jaccard_pairs(docs, pairs.select("key_a", "key_b"), "doc_id")
+    est = {(r["key_a"], r["key_b"]): r["est_jaccard"] for r in pairs.collect()}
+    for r in both.collect():
+        assert abs(est[(r["key_a"], r["key_b"])] - r["jaccard"]) < 0.25
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    from dqc_spark.dedup import simhash_near_dups, simhash_py
+
+    assert simhash_py("") == 0
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"]
+             for r in simhash_near_dups(docs, "doc_id", max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_brute_force_topk_exact(spark):
+    from dqc_spark.similarity import brute_force_topk
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[5]
+    got = brute_force_topk(df, [float(x) for x in q], k=5).collect()
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-sims)[:5])
+    assert [r["vec_id"] for r in got] == [int(i) for i in want]
+    assert got[0]["vec_id"] == 5 and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_contains_self(spark):
+    from dqc_spark.similarity import lsh_topk
+
+    rng = np.random.Generator(np.random.Philox(key=[4, 0]))
+    vecs = rng.standard_normal((80, 64)).astype("float32")
+    vecs[11] = vecs[3] + rng.standard_normal(64).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    got = lsh_topk(df, [float(x) for x in vecs[3]], k=3, max_hamming=2)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids[0] == 3 and 11 in ids  # self + planted neighbor retrieved
+
+
+def test_embedding_near_dups_lsh_finds_planted(spark):
+    from dqc_spark.similarity import embedding_near_dups
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 0]))
+    vecs = rng.standard_normal((60, 64)).astype("float32")
+    vecs[20] = vecs[7] * 1.001  # cosine ~ 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_dups(df, threshold=0.95, max_hamming=2).collect()
+    assert any(r["key_a"] == 7 and r["key_b"] == 20 for r in pairs)
+
+
+def test_textstats_known_answers(spark):
+    from dqc_spark.textstats import (fingerprint, langid_heuristic,
+                                     token_stats)
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog, of course!"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "的 一 是 不 了 在 有"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", langid_heuristic(F.col("text")).alias("lang")).collect()}
+    assert langs == {1: "en", 2: "de", 3: "zh", 4: "und"}
+
+    ts = {r["doc_id"]: r for r in token_stats(df, "doc_id").collect()}
+    assert ts[1]["ws_tokens"] == 7
+    assert ts[1]["bpeish_tokens"] == 9  # 7 words + ',' + '!'
+    fp = df.select(fingerprint(F.col("text")).alias("f")).collect()
+    assert all(len(r["f"]) == 32 for r in fp)
+    # fingerprint is whitespace/case normalized
+    df2 = spark.createDataFrame(
+        [(1, "THE   cat and the\ndog, of course!")], "doc_id long, text string")
+    f1 = df.filter("doc_id=1").select(fingerprint(F.col("text")).alias("f")).first()["f"]
+    f2 = df2.select(fingerprint(F.col("text")).alias("f")).first()["f"]
+    assert f1 == f2
+
+
+def test_multimodal_plumbing(spark):
+    from dqc_spark.multimodal import extract_features, with_media_type
+
+    rows = [
+        ("u1", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64),
+        ("u2", b"\xff\xd8\xff\xe0" + b"\x00" * 32),
+        ("u3", b"plain bytes"),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    typed = {r["url"]: r["media_type"] for r in with_media_type(df).collect()}
+    assert typed == {"u1": "image/png", "u2": "image/jpeg",
+                     "u3": "application/octet-stream", "u4": "unknown"}
+    feats = {r["key"]: r for r in
+             extract_features(df, out_dim=16).collect()}
+    assert len(feats["u1"]["features"]) == 16
+    assert feats["u4"]["n_bytes"] == 0
+    # determinism: same bytes -> same features
+    again = {r["key"]: r for r in extract_features(df, out_dim=16).collect()}
+    assert feats["u1"]["features"] == again["u1"]["features"]
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(df, out_dim=4, decode_stub=False).collect()
