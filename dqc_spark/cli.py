@@ -1,0 +1,223 @@
+"""dqc-compatible CLI over the Spark engine.
+
+Mirrors the reference's cobra subcommands (cmd/dqc/main.go:39-61: 21
+check-* commands + show-logs + clean-logs, persistent --db-path flag
+defaulting to quality_checks.db, main.go:37) and adds ``pipeline`` /
+``generate-pages`` for the web-text path.  Launch:
+
+    spark-submit --py-files dqc_spark.zip -m dqc_spark.cli ...   # cluster
+    python -m dqc_spark.cli check-unique --data f.csv --column id  # local
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from dqc_spark.audit import SQLiteAuditSink
+from dqc_spark.checks import DataQualityChecker
+from dqc_spark.session import get_spark
+
+
+def _add_common(p, needs_column=True):
+    p.add_argument("--data", required=True, help="path to the data file")
+    if needs_column:
+        p.add_argument("--column", required=True)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="dqc-spark", description="Data quality checks on Spark"
+    )
+    ap.add_argument("--db-path", default="quality_checks.db",
+                    help="SQLite audit log path (reference parity)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    simple = {
+        "check-unique": [],
+        "check-not-null": [],
+        "check-date-parseable": [],
+        "check-column-exists": [],
+    }
+    for name in simple:
+        _add_common(sub.add_parser(name))
+
+    p = sub.add_parser("check-enum")
+    _add_common(p)
+    p.add_argument("--values", required=True, help="comma-separated allowed values")
+
+    p = sub.add_parser("check-references")
+    p.add_argument("--data", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--columns", required=True, help="comma-separated join keys")
+
+    for name in ("check-between", "check-max", "check-min", "check-mean",
+                 "check-median"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--min", type=float, default=0.0)
+        p.add_argument("--max", type=float, default=0.0)
+
+    p = sub.add_parser("check-regex")
+    _add_common(p)
+    p.add_argument("--regex", required=True)
+
+    p = sub.add_parser("check-type")
+    _add_common(p)
+    p.add_argument("--type", required=True, dest="type_name",
+                   help="DuckDB type name, e.g. INTEGER, VARCHAR, DATE")
+
+    p = sub.add_parser("check-length")
+    _add_common(p)
+    p.add_argument("--min", type=int, default=0)
+    p.add_argument("--max", type=int, default=0)
+
+    for name in ("check-row-count", "check-col-count"):
+        p = sub.add_parser(name)
+        _add_common(p, needs_column=False)
+        p.add_argument("--min", type=int, default=0)
+        p.add_argument("--max", type=int, default=0)
+
+    p = sub.add_parser("check-not-in-set")
+    _add_common(p)
+    p.add_argument("--values", required=True)
+
+    p = sub.add_parser("check-distinct-in-set")
+    _add_common(p)
+    p.add_argument("--values", required=True)
+
+    p = sub.add_parser("check-increasing")
+    _add_common(p)
+    p.add_argument("--order-column", default=None,
+                   help="explicit order column (required for distributed "
+                         "data; omitting falls back to file order on a "
+                         "single partition)")
+
+    p = sub.add_parser("check-date-format")
+    _add_common(p)
+    p.add_argument("--format", required=True, dest="fmt",
+                   help="strftime format, e.g. %%Y-%%m-%%d")
+
+    p = sub.add_parser("check-pair-equal")
+    p.add_argument("--data", required=True)
+    p.add_argument("--column-a", required=True)
+    p.add_argument("--column-b", required=True)
+
+    sub.add_parser("show-logs")
+    sub.add_parser("clean-logs")
+
+    p = sub.add_parser("pipeline", help="run the document quality pipeline")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--audit", required=True, help="audit parquet path")
+    p.add_argument("--run-group", default="default")
+
+    p = sub.add_parser("generate-pages", help="write a synthetic pages table")
+    p.add_argument("--output", required=True)
+    p.add_argument("--docs", type=int, default=10000)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name=f"dqc-{args.cmd}")
+    sink = SQLiteAuditSink(args.db_path)
+    ck = DataQualityChecker(spark, audit_sink=sink)
+
+    def report(res):
+        state = "PASS" if res.passed else "FAIL"
+        extra = ""
+        if res.error_count is not None:
+            extra = f" error_count={res.error_count}"
+        if res.observed is not None:
+            extra += f" observed={res.observed}"
+        print(f"[{state}] {res.check_type}{extra}")
+        return 0 if res.passed else 1
+
+    c = args.cmd
+    if c == "check-unique":
+        return report(ck.is_column_unique(args.data, args.column))
+    if c == "check-not-null":
+        return report(ck.is_column_not_null(args.data, args.column))
+    if c == "check-enum":
+        vals = [v.strip() for v in args.values.split(",")]
+        return report(ck.is_column_enum(args.data, args.column, vals))
+    if c == "check-references":
+        keys = [k.strip() for k in args.columns.split(",")]
+        return report(
+            ck.are_tables_referential_integral(args.data, args.reference, keys))
+    if c == "check-column-exists":
+        return report(ck.is_column_in_data(args.data, args.column))
+    if c == "check-between":
+        return report(ck.is_column_between(args.data, args.column, args.min, args.max))
+    if c == "check-regex":
+        return report(ck.is_column_regex_match(args.data, args.column, args.regex))
+    if c == "check-type":
+        return report(ck.is_column_of_type(args.data, args.column, args.type_name))
+    if c == "check-length":
+        return report(
+            ck.is_column_length_between(args.data, args.column, args.min, args.max))
+    if c == "check-max":
+        return report(
+            ck.is_column_max_between(args.data, args.column, args.min, args.max))
+    if c == "check-min":
+        return report(
+            ck.is_column_min_between(args.data, args.column, args.min, args.max))
+    if c == "check-mean":
+        return report(
+            ck.is_column_mean_between(args.data, args.column, args.min, args.max))
+    if c == "check-median":
+        return report(
+            ck.is_column_median_between(args.data, args.column, args.min, args.max))
+    if c == "check-date-format":
+        return report(ck.is_column_date_format(args.data, args.column, args.fmt))
+    if c == "check-row-count":
+        return report(ck.is_table_row_count_between(args.data, args.min, args.max))
+    if c == "check-col-count":
+        return report(ck.is_table_column_count_between(args.data, args.min, args.max))
+    if c == "check-not-in-set":
+        vals = [v.strip() for v in args.values.split(",")]
+        return report(ck.is_column_not_in_set(args.data, args.column, vals))
+    if c == "check-distinct-in-set":
+        vals = [v.strip() for v in args.values.split(",")]
+        return report(ck.are_distinct_values_in_set(args.data, args.column, vals))
+    if c == "check-increasing":
+        return report(
+            ck.is_column_increasing(args.data, args.column, args.order_column))
+    if c == "check-date-parseable":
+        return report(ck.is_column_date_parseable(args.data, args.column))
+    if c == "check-pair-equal":
+        return report(
+            ck.are_column_pairs_equal(args.data, args.column_a, args.column_b))
+    if c == "show-logs":
+        for row in sink.all_logs():
+            rid, ts, ctype, result, params = row
+            state = "PASS" if result else "FAIL"
+            print(f"{rid:>4}  {ts:<22} {ctype:<34} {state:<5} {params}")
+        return 0
+    if c == "clean-logs":
+        sink.clear()
+        print("logs cleared")
+        return 0
+    if c == "pipeline":
+        from dqc_spark.audit import ParquetAuditSink
+        from dqc_spark.resume import run_resumable
+
+        pages = spark.read.parquet(args.input)
+        audit = ParquetAuditSink(spark, args.audit)
+        summary = run_resumable(spark, pages, args.output, audit, args.run_group)
+        print(f"processed days: {summary['processed']}")
+        print(f"skipped (already complete): {summary['skipped']}")
+        return 0
+    if c == "generate-pages":
+        from dqc_spark.pagesgen import generate_pages
+
+        generate_pages(spark, args.docs).write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.docs} pages to {args.output}")
+        return 0
+    raise SystemExit(f"unknown command {c}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

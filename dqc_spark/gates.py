@@ -102,21 +102,33 @@ def dup_line_fraction(text: Column) -> Column:
 
 def dup_bigram_fraction(text: Column) -> Column:
     """Repetition gate: fraction of duplicate word bigrams — boilerplate
-    and SEO spam repeat phrase patterns.  Pure array expressions: build
-    bigrams with transform over an index sequence, then distinct-count.
+    and SEO spam repeat phrase patterns.
+
+    Implementation note: ``array_distinct`` over string arrays is O(n^2)
+    with per-element string equality (66s for 20k docs measured); instead
+    hash each bigram (tokens are space-free, so the pair<->hash mapping
+    is faithful), sort the hash array, and count adjacent equals:
+    duplicates = n - distinct.  O(n log n) with long comparisons.
     """
     w = words_col(F.lower(text))
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
-        ),
+    n_b = F.size(w) - 1
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.xxhash64(F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
-    return F.when(
-        F.size(w) >= 2,
-        1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
-    ).otherwise(F.lit(0.0))
+    s = F.array_sort(hashes)
+    dups = F.aggregate(
+        F.zip_with(
+            F.slice(s, 1, n_b - 1),
+            F.slice(s, 2, n_b - 1),
+            lambda a, b: (a == b).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # size>=3 so the slice lengths stay positive; a 2-word doc has one
+    # bigram and therefore duplicate fraction 0 by definition
+    return F.when(F.size(w) >= 3, dups.cast("double") / n_b).otherwise(F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------

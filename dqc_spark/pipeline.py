@@ -25,8 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dqc_spark import gates
-from dqc_spark.langid import lang_mismatch_pred, with_langid
-from dqc_spark.perplexity import DEFAULT_MAX_PPL, high_ppl_pred, with_perplexity
+from dqc_spark.langid import lang_mismatch_pred
+from dqc_spark.perplexity import DEFAULT_MAX_PPL, high_ppl_pred
 from dqc_spark.scrub import scrub_udf
 from dqc_spark.skew import salted_duplicate_count
 from dqc_spark.textmodels import LANGS
@@ -58,8 +58,10 @@ def annotate(
     df = pages
     for name, col in feats.items():
         df = df.withColumn(name, col)
-    df = with_langid(df, text_col)
-    df = with_perplexity(df, text_col)
+    # fused langid+ppl UDF: one Arrow transfer of text, both scores
+    from dqc_spark.scoring import with_scores
+
+    df = with_scores(df, text_col)
 
     preds = gates.gate_predicates(
         {k: F.col(k) for k in feats}, thresholds
@@ -77,8 +79,12 @@ def annotate(
         any_gate = p if any_gate is None else (any_gate | p)
 
     df = df.withColumn("keep", ~F.coalesce(any_gate, F.lit(False)))
+    # scrub ONLY kept docs: the when() sits INSIDE the UDF argument, so
+    # dropped docs ship a NULL through Arrow instead of their full text
+    # (a when() around the UDF call would still evaluate it on all rows —
+    # pandas UDFs are extracted into an unconditional ArrowEvalPython node)
     df = df.withColumn(
-        "scrubbed_text", F.when(F.col("keep"), scrub_udf(text))
+        "scrubbed_text", scrub_udf(F.when(F.col("keep"), text))
     )
     return df
 

@@ -1,0 +1,71 @@
+"""Structured Streaming surface: incremental quality filtering.
+
+The reference is strictly batch (SURVEY §1.1), and so is the primary
+pipeline here; this module covers the incremental-ingest shape a crawl
+pipeline actually runs — new page files land in a directory (or Kafka
+topic), each micro-batch flows through the SAME annotate() used in
+batch, kept docs append to the output table, and per-batch audit rows
+record lineage.  All gate expressions and pandas UDFs are
+streaming-safe (stateless projections), so batch/stream parity is
+structural, not re-implemented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqc_spark.pagesgen import PAGES_SCHEMA
+from dqc_spark.pipeline import annotate
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of pages parquet (schema pinned — streaming
+    readers must not infer)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_quality_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    audit=None,
+    thresholds: dict | None = None,
+):
+    """readStream -> annotate -> keep-filter -> append sink.
+
+    foreachBatch is used instead of a plain writeStream so each
+    micro-batch can also fold its audit metrics (count/kept per batch)
+    — the streaming analogue of the per-day lineage rows in resume.py.
+    Checkpointing gives exactly-once file output; reprocessing after a
+    crash resumes from the last committed epoch.
+    """
+    ann_stream = stream_pages(spark, input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ann = annotate(batch_df, thresholds=thresholds)
+        row = ann.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        ).first()
+        ann.filter(F.col("keep")).write.mode("append").parquet(output_dir)
+        if audit is not None:
+            audit.log(
+                "stream_batch_complete",
+                True,
+                {"epoch": str(epoch_id), "n_docs": str(row["n"]),
+                 "n_kept": str(row["kept"])},
+                input_snapshot=f"epoch={epoch_id}",
+            )
+
+    return (
+        ann_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

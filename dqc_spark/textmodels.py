@@ -84,44 +84,59 @@ STOPWORDS: dict[str, set[str]] = {
 }
 
 
+# langid reads at most this many chars — plenty for a trigram profile,
+# and it bounds per-doc cost regardless of document size
+LANGID_SAMPLE_CHARS = 512
+
+
 def _trigrams(text: str) -> Counter:
     t = " " + " ".join(text.lower().split()) + " "
     return Counter(t[i : i + 3] for i in range(len(t) - 2))
 
 
-def build_langid_model() -> dict[str, dict[str, float]]:
-    """Char-trigram profile per language (L2-normalized), built from the
-    in-repo corpora.  Structure mirrors a compressed fastText model:
-    {lang: {trigram: weight}}."""
-    model = {}
+def build_langid_model() -> dict:
+    """Char-trigram profiles (L2-normalized), merged into a single
+    {trigram: [w_lang0, ..]} table so scoring is ONE dict lookup per
+    trigram instead of one per language.  Structure mirrors a
+    compressed fastText model."""
+    per_lang = {}
     for lang, words in WORDS.items():
         corpus = " ".join(words * 3)
         counts = _trigrams(corpus)
         norm = math.sqrt(sum(v * v for v in counts.values())) or 1.0
-        model[lang] = {g: v / norm for g, v in counts.items()}
-    return model
+        per_lang[lang] = {g: v / norm for g, v in counts.items()}
+    merged: dict[str, list[float]] = {}
+    for li, lang in enumerate(LANGS):
+        for g, w in per_lang[lang].items():
+            merged.setdefault(g, [0.0] * len(LANGS))[li] = w
+    return {"langs": list(LANGS), "profiles": merged}
 
 
-def langid_score(text: str, model: dict[str, dict[str, float]]) -> tuple[str, float]:
+def langid_score(text: str, model: dict) -> tuple[str, float]:
     """Predict (lang, confidence) for one document: cosine similarity of
-    the doc's trigram profile against each language profile, softmax-ish
-    confidence.  Called per document from inside an Arrow batch."""
-    counts = _trigrams(text or "")
+    the doc's trigram profile (over a bounded sample) against each
+    language profile.  Called per document from inside an Arrow batch."""
+    counts = _trigrams((text or "")[:LANGID_SAMPLE_CHARS])
     if not counts:
         return "und", 0.0
-    norm = math.sqrt(sum(v * v for v in counts.values())) or 1.0
-    sims = {}
-    for lang, prof in model.items():
-        s = 0.0
-        for g, v in counts.items():
-            w = prof.get(g)
-            if w:
-                s += w * v
-        sims[lang] = s / norm
-    best = max(sims, key=sims.get)
-    total = sum(sims.values())
-    conf = sims[best] / total if total > 0 else 0.0
-    return best, conf
+    langs = model["langs"]
+    profiles = model["profiles"]
+    sims = [0.0] * len(langs)
+    sq = 0.0
+    for g, v in counts.items():
+        sq += v * v
+        w = profiles.get(g)
+        if w is not None:
+            for i in range(len(langs)):
+                if w[i]:
+                    sims[i] += w[i] * v
+    norm = math.sqrt(sq) or 1.0
+    best_i = max(range(len(langs)), key=lambda i: sims[i])
+    total = sum(sims)
+    conf = (sims[best_i] / norm) / (total / norm) if total > 0 else 0.0
+    if sims[best_i] <= 0.0:
+        return "und", 0.0
+    return langs[best_i], conf
 
 
 def build_lm() -> dict:
