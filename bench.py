@@ -22,14 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "25000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
 PAGES_CACHE = f"/tmp/dqc_bench_pages_{N_DOCS}"
-# Scaling pair: N=4 and 4N=16 cores rather than 8/32 — this host runs
-# other tenants at a steady load of ~10 cores, so local[32] oversubscribes
-# and measures the neighbors, not the engine.  Trials are best-of-K for
-# the same reason.
-SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
-SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
+# Scaling pair: N=2 and 4N=8 cores rather than 8/32 — this host (32
+# physical cores, no SMT) runs other tenants at a steady ~10-core load,
+# so high-core runs measure the neighbors, not the engine; 2 vs 8 stays
+# inside the free headroom.  Trials are best-of-K for the same reason.
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
 

@@ -51,20 +51,39 @@ def annotate(
     thresholds: dict | None = None,
     max_ppl: float = DEFAULT_MAX_PPL,
     lang_col: str | None = "lang",
+    engine: str = "pandas",
 ) -> DataFrame:
-    """Append feature, gate, keep and scrubbed_text columns in one pass."""
-    text = F.col(text_col)
-    feats = gates.feature_columns(text)
-    df = pages
-    for name, col in feats.items():
-        df = df.withColumn(name, col)
-    # fused langid+ppl UDF: one Arrow transfer of text, both scores
-    from dqc_spark.scoring import with_scores
+    """Append feature, gate, keep and scrubbed_text columns in one pass.
 
-    df = with_scores(df, text_col)
+    ``engine="pandas"`` (default): one fused Arrow UDF computes all
+    features + langid + perplexity in a single tokenization pass — the
+    fast path (see features.py for why the Column forms lose here).
+    ``engine="column"``: pure-Catalyst feature expressions from gates.py
+    + the langid/ppl UDF — JVM-side, useful where Python workers are the
+    constrained resource.  Both produce identical gate decisions (tested).
+    """
+    if engine not in ("pandas", "column"):
+        raise ValueError(f"engine must be 'pandas' or 'column', got {engine!r}")
+    text = F.col(text_col)
+    df = pages
+    if engine == "pandas":
+        from dqc_spark.scoring import with_scores
+
+        df = with_scores(df, text_col)
+        feat_names = list(gates.feature_columns(text))
+    else:
+        feats = gates.feature_columns(text)
+        for name, col in feats.items():
+            df = df.withColumn(name, col)
+        feat_names = list(feats)
+        from dqc_spark.langid import with_langid
+        from dqc_spark.perplexity import with_perplexity
+
+        df = with_langid(df, text_col)
+        df = with_perplexity(df, text_col)
 
     preds = gates.gate_predicates(
-        {k: F.col(k) for k in feats}, thresholds
+        {k: F.col(k) for k in feat_names}, thresholds
     )
     if lang_col is not None and lang_col in pages.columns:
         preds["gate_lang_mismatch"] = lang_mismatch_pred(lang_col)

@@ -11,9 +11,8 @@ Column-expression vs Python mirrors, which the golden tests pin.
 
 from __future__ import annotations
 
-import re
-
 from dqc_spark import gates
+from dqc_spark.features import features_py  # noqa: F401  (re-export; shared kernel)
 from dqc_spark.perplexity import DEFAULT_MAX_PPL
 from dqc_spark.scrub import scrub_text_py
 from dqc_spark.textmodels import (
@@ -23,8 +22,6 @@ from dqc_spark.textmodels import (
     perplexity,
 )
 
-_WS = re.compile(r"\s+")
-_STOPSET = set(gates.ALL_STOPWORDS)
 _MODEL = None
 _LM = None
 
@@ -35,30 +32,6 @@ def _models():
         _MODEL = build_langid_model()
         _LM = build_lm()
     return _MODEL, _LM
-
-
-def features_py(text: str) -> dict:
-    """Python mirror of gates.feature_columns — same tokenization
-    (regex split + drop empties), same arithmetic, same edge defaults."""
-    words = [w for w in _WS.split(text) if w != ""]
-    lw = [w for w in _WS.split(text.lower()) if w != ""]
-    nw = len(words)
-    raw_len = len(text)
-    total = sum(1 for ch in text if not ch.isspace())
-    alpha = sum(1 for ch in text if ch.isalpha())
-    n_hash = text.count("#")
-    n_ell = (raw_len - len(text.replace("...", ""))) / 3
-    lines = [l for l in text.split("\n") if l != ""]
-    bigrams = [f"{lw[i]} {lw[i+1]}" for i in range(len(lw) - 1)]
-    return {
-        "n_words": nw,
-        "mean_word_len": (sum(len(w) for w in words) / nw) if nw else None,
-        "stopword_ratio": (sum(1 for w in lw if w in _STOPSET) / len(lw)) if lw else 0.0,
-        "alpha_ratio": (alpha / total) if total else 0.0,
-        "symbol_word_ratio": ((n_hash + n_ell) / nw) if nw else 0.0,
-        "dup_line_fraction": (1.0 - len(set(lines)) / len(lines)) if lines else 0.0,
-        "dup_bigram_fraction": (1.0 - len(set(bigrams)) / len(bigrams)) if bigrams else 0.0,
-    }
 
 
 def gate_flags_py(

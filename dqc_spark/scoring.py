@@ -1,9 +1,15 @@
-"""Combined model-scoring UDF: language ID + perplexity in one pass.
+"""Fused per-document scoring UDF: heuristic features + language ID +
+perplexity in ONE Arrow transfer and one tokenization pass.
 
-langid.py and perplexity.py expose the standalone operators; the
-pipeline uses this fused variant because each pandas UDF ships the full
-``text`` column through Arrow — two UDFs means paying that transfer
-twice.  One UDF, one transfer, both scores.
+Why fused: every pandas UDF ships the full ``text`` column through
+Arrow; and Spark's higher-order-function Column expressions (the
+gates.py forms) execute interpreted, re-splitting the text per feature
+(measured 100x slower per core than this kernel — see features.py).
+One UDF = one transfer + one pass, and the models are broadcast once
+per executor.
+
+langid.py / perplexity.py expose the standalone operators built on the
+same model functions.
 """
 
 from __future__ import annotations
@@ -13,15 +19,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqc_spark.features import features_py
 from dqc_spark.textmodels import build_langid_model, build_lm, langid_score, perplexity
 
-_SCORE_TYPE = T.StructType(
-    [
-        T.StructField("lang_pred", T.StringType()),
-        T.StructField("lang_conf", T.DoubleType()),
-        T.StructField("ppl", T.DoubleType()),
-    ]
-)
+SCORE_FIELDS = [
+    ("n_words", T.IntegerType()),
+    ("mean_word_len", T.DoubleType()),
+    ("stopword_ratio", T.DoubleType()),
+    ("alpha_ratio", T.DoubleType()),
+    ("symbol_word_ratio", T.DoubleType()),
+    ("dup_line_fraction", T.DoubleType()),
+    ("dup_bigram_fraction", T.DoubleType()),
+    ("lang_pred", T.StringType()),
+    ("lang_conf", T.DoubleType()),
+    ("ppl", T.DoubleType()),
+]
+
+_SCORE_TYPE = T.StructType([T.StructField(n, t) for n, t in SCORE_FIELDS])
+
+
+def score_doc_py(text: str, model: dict, lm: dict) -> dict:
+    """One document -> full score row (shared with the golden oracle)."""
+    out = features_py(text)
+    lang, conf = langid_score(text, model)
+    out["lang_pred"] = lang
+    out["lang_conf"] = conf
+    out["ppl"] = perplexity(text, lm)
+    return out
 
 
 def make_score_udf(spark: SparkSession):
@@ -31,25 +55,16 @@ def make_score_udf(spark: SparkSession):
     @F.pandas_udf(_SCORE_TYPE)
     def score_udf(texts: pd.Series) -> pd.DataFrame:
         model, lm = bc_model.value, bc_lm.value
-        preds, confs, ppls = [], [], []
-        for t in texts:
-            lang, conf = langid_score(t, model)
-            preds.append(lang)
-            confs.append(conf)
-            ppls.append(perplexity(t, lm))
-        return pd.DataFrame(
-            {"lang_pred": preds, "lang_conf": confs, "ppl": ppls}
-        )
+        rows = [score_doc_py(t or "", model, lm) for t in texts]
+        return pd.DataFrame(rows, columns=[n for n, _ in SCORE_FIELDS])
 
     return score_udf
 
 
 def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append all feature/score columns in one UDF stage."""
     udf = make_score_udf(df.sparkSession)
-    return (
-        df.withColumn("__sc", udf(F.col(text_col)))
-        .withColumn("lang_pred", F.col("__sc.lang_pred"))
-        .withColumn("lang_conf", F.col("__sc.lang_conf"))
-        .withColumn("ppl", F.col("__sc.ppl"))
-        .drop("__sc")
-    )
+    df = df.withColumn("__sc", udf(F.col(text_col)))
+    for name, _ in SCORE_FIELDS:
+        df = df.withColumn(name, F.col(f"__sc.{name}"))
+    return df.drop("__sc")

@@ -18,6 +18,8 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import numpy as np
+
 LANGS = ["en", "de", "es", "fr", "zh"]
 
 WORDS: dict[str, list[str]] = {
@@ -88,55 +90,64 @@ STOPWORDS: dict[str, set[str]] = {
 # and it bounds per-doc cost regardless of document size
 LANGID_SAMPLE_CHARS = 512
 
+# rolling trigram hash base (odd, > max codepoint); uint64 wraparound is
+# part of the hash definition and identical everywhere numpy runs
+_TRI_P = np.uint64(1_000_003)
 
-def _trigrams(text: str) -> Counter:
+
+def _trigram_hashes(text: str) -> np.ndarray:
+    """Vectorized char-trigram integer hashes: decode to codepoints via
+    utf-32, then one fused arithmetic pass — no per-trigram Python."""
     t = " " + " ".join(text.lower().split()) + " "
-    return Counter(t[i : i + 3] for i in range(len(t) - 2))
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(c) < 3:
+        return np.empty(0, dtype=np.uint64)
+    return (c[:-2] * _TRI_P + c[1:-1]) * _TRI_P + c[2:]
 
 
 def build_langid_model() -> dict:
-    """Char-trigram profiles (L2-normalized), merged into a single
-    {trigram: [w_lang0, ..]} table so scoring is ONE dict lookup per
-    trigram instead of one per language.  Structure mirrors a
-    compressed fastText model."""
-    per_lang = {}
-    for lang, words in WORDS.items():
-        corpus = " ".join(words * 3)
-        counts = _trigrams(corpus)
-        norm = math.sqrt(sum(v * v for v in counts.values())) or 1.0
-        per_lang[lang] = {g: v / norm for g, v in counts.items()}
-    merged: dict[str, list[float]] = {}
-    for li, lang in enumerate(LANGS):
-        for g, w in per_lang[lang].items():
-            merged.setdefault(g, [0.0] * len(LANGS))[li] = w
-    return {"langs": list(LANGS), "profiles": merged}
+    """Char-trigram profiles (L2-normalized), compiled to parallel numpy
+    arrays: sorted hash keys + an (n_keys, n_langs) weight matrix, so
+    scoring one document is unique -> searchsorted -> one matmul.
+    Structure mirrors a quantized fastText model (hash buckets + output
+    matrix)."""
+    per_lang: list[dict[int, float]] = []
+    for lang in LANGS:
+        corpus = " ".join(WORDS[lang] * 3)
+        h = _trigram_hashes(corpus)
+        uniq, counts = np.unique(h, return_counts=True)
+        norm = math.sqrt(float((counts.astype(np.float64) ** 2).sum())) or 1.0
+        per_lang.append({int(k): float(v) / norm for k, v in zip(uniq, counts)})
+    all_keys = sorted(set().union(*[set(d) for d in per_lang]))
+    keys = np.array(all_keys, dtype=np.uint64)
+    weights = np.zeros((len(all_keys), len(LANGS)), dtype=np.float64)
+    for li, d in enumerate(per_lang):
+        for row, k in enumerate(all_keys):
+            w = d.get(k)
+            if w:
+                weights[row, li] = w
+    return {"langs": list(LANGS), "keys": keys, "weights": weights}
 
 
 def langid_score(text: str, model: dict) -> tuple[str, float]:
     """Predict (lang, confidence) for one document: cosine similarity of
     the doc's trigram profile (over a bounded sample) against each
-    language profile.  Called per document from inside an Arrow batch."""
-    counts = _trigrams((text or "")[:LANGID_SAMPLE_CHARS])
-    if not counts:
+    language profile.  numpy end-to-end; called per document from inside
+    an Arrow batch (and verbatim by the single-process oracle)."""
+    h = _trigram_hashes((text or "")[:LANGID_SAMPLE_CHARS])
+    if len(h) == 0:
         return "und", 0.0
-    langs = model["langs"]
-    profiles = model["profiles"]
-    sims = [0.0] * len(langs)
-    sq = 0.0
-    for g, v in counts.items():
-        sq += v * v
-        w = profiles.get(g)
-        if w is not None:
-            for i in range(len(langs)):
-                if w[i]:
-                    sims[i] += w[i] * v
-    norm = math.sqrt(sq) or 1.0
-    best_i = max(range(len(langs)), key=lambda i: sims[i])
-    total = sum(sims)
-    conf = (sims[best_i] / norm) / (total / norm) if total > 0 else 0.0
-    if sims[best_i] <= 0.0:
+    uniq, counts = np.unique(h, return_counts=True)
+    keys, weights = model["keys"], model["weights"]
+    idx = np.searchsorted(keys, uniq)
+    idx = np.minimum(idx, len(keys) - 1)
+    valid = keys[idx] == uniq
+    sims = weights[idx[valid]].T @ counts[valid].astype(np.float64)
+    total = float(sims.sum())
+    best_i = int(np.argmax(sims))
+    if total <= 0.0 or sims[best_i] <= 0.0:
         return "und", 0.0
-    return langs[best_i], conf
+    return model["langs"][best_i], float(sims[best_i]) / total
 
 
 def build_lm() -> dict:

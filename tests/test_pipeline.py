@@ -110,3 +110,15 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "keep" in df.columns and "doc_id" in df.columns
+
+
+def test_column_engine_matches_pandas_engine(spark):
+    """The pure-Catalyst gate expressions and the fused-UDF kernel are
+    dual implementations of the same semantics — identical keep/gate
+    decisions (floating-point ties aside, which the generator avoids)."""
+    pages = generate_pages(spark, 150, n_partitions=3)
+    cols = ["url", "text", "keep"] + [c for c in
+            annotate(pages).columns if c.startswith("gate_")]
+    a = annotate(pages, engine="pandas").select(*cols)
+    b = annotate(pages, engine="column").select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
