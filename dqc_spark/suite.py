@@ -122,10 +122,18 @@ class Check:
                    agg=("mean", column, lo, hi))
 
     @classmethod
-    def median_between(cls, column: str, lo: float, hi: float) -> "Check":
+    def median_between(cls, column: str, lo: float, hi: float,
+                       approx: bool = False) -> "Check":
+        """Exact median matches DuckDB MEDIAN (interpolated); at scale
+        pass approx=True — percentile_approx keeps the whole fused agg
+        on the fast hash-agg path (exact median drags it onto
+        ObjectHashAggregate: measured 4.1s vs 0.4s for a 10-check suite
+        on 600k rows) at ~0.03% observed error (accuracy=10000)."""
+        agg_fn = "median_approx" if approx else "median"
         return cls("is_column_median_between",
-                   {"column": column, "min_value": str(lo), "max_value": str(hi)},
-                   agg=("median", column, lo, hi))
+                   {"column": column, "min_value": str(lo), "max_value": str(hi),
+                    "approx": str(approx)},
+                   agg=(agg_fn, column, lo, hi))
 
     @classmethod
     def row_count_between(cls, lo: int, hi: int) -> "Check":
@@ -242,6 +250,9 @@ class CheckSuite:
                     fn, col, _, _ = ch.agg
                     if fn == "count":
                         aggs.append(F.count(F.lit(1)).alias(a))
+                    elif fn == "median_approx":
+                        aggs.append(
+                            F.percentile_approx(col, 0.5, 10000).alias(a))
                     else:
                         fns = {"max": F.max, "min": F.min,
                                "mean": F.avg, "median": F.median}
