@@ -61,20 +61,44 @@ def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> D
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingles -> stable 64-bit hashes (md5-derived, python-hash-
-    seed independent)."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+_SHINGLE_P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _token_hash(tok: str, cache: dict) -> np.uint64:
+    h = cache.get(tok)
+    if h is None:
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
         )
-    return out
+        cache[tok] = h
+    return h
+
+
+def _shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
+    """Word k-shingles -> stable 64-bit hashes.
+
+    Tokens are md5-hashed ONCE (batch-level cache — web text has heavy
+    token reuse), then the k-gram hash is a vectorized polynomial fold
+    of consecutive token hashes: no per-shingle string building or
+    hashing.  uint64 wraparound is part of the hash definition.
+    """
+    if cache is None:
+        cache = {}
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (_token_hash(t, cache) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    if len(toks) < k:
+        out = np.uint64(0)
+        for v in h:
+            out = out * _SHINGLE_P + v
+        return np.array([out], dtype=np.uint64)
+    acc = h[: len(h) - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _SHINGLE_P + h[j : len(h) - k + 1 + j]
+    return acc
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -103,10 +127,11 @@ def minhash_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_cache: dict = {}
         for pdf in batches:
             keys, sigs = [], []
             for key, text in zip(pdf[key_col], pdf[text_col]):
-                h = _shingle_hashes(text or "", shingle_k)
+                h = _shingle_hashes(text or "", shingle_k, tok_cache)
                 if len(h) == 0:
                     sig = np.zeros(num_perm, dtype=np.uint64)
                 else:
@@ -122,17 +147,37 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(exploded: DataFrame, bucket_cols: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop pathological buckets before the self-join.  A bucket of m
+    members emits m^2/2 candidate pairs — boilerplate/templated docs
+    produce giant buckets that are better handled by exact dedup first.
+    The cap bounds the join fanout to max_bucket^2/2 per bucket
+    (standard LSH practice at scale); dropped bucket count is visible
+    via the returned frame's lineage, and recall for genuinely similar
+    SMALL groups is unaffected."""
+    if max_bucket is None:
+        return exploded
+    counts = exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    return (
+        exploded.join(F.broadcast(counts.filter(F.col("__bn") <= max_bucket)),
+                      on=bucket_cols, how="inner")
+        .drop("__bn")
+    )
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` bands of
     ``rows_per_band`` values, hash each band, self-join on
     (band_id, band_hash).  Returns candidate pairs (key_a < key_b)
     deduplicated across bands.
 
-    Scale shape: explode -> groupBy-join on band hash.  No cross join;
-    hot buckets (boilerplate) are bounded by AQE skew handling and can
-    be capped with a bucket-size filter.
+    Scale shape: explode -> bucket-cap -> groupBy-join on band hash.
+    No cross join; hot buckets are capped (``max_bucket``), residual
+    skew handled by AQE.
     """
     n = bands * rows_per_band
     banded = signatures.select(
@@ -146,6 +191,7 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -247,19 +293,17 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_py(text: str) -> int:
+def simhash_py(text: str, cache: dict | None = None) -> int:
     """64-bit SimHash of one document: md5-derived token hashes vote per
     bit; sign of the vote sets the bit.  md5 keeps it engine-portable
     (same value from any runtime), unlike xxhash64."""
+    if cache is None:
+        cache = {}
     toks = set((text or "").lower().split())
     if not toks:
         return 0
-    hs = np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
-            for t in toks
-        ],
-        dtype=np.uint64,
+    hs = np.fromiter(
+        (_token_hash(t, cache) for t in toks), dtype=np.uint64, count=len(toks)
     )
     bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     votes = bits.sum(axis=0) * 2 - len(hs)  # (+1/-1 votes per bit)
@@ -279,11 +323,12 @@ def simhash_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "key": pdf[key_col].astype("int64"),
-                    "sim": [simhash_py(t) for t in pdf[text_col]],
+                    "sim": [simhash_py(t, cache) for t in pdf[text_col]],
                 }
             )
 
@@ -291,7 +336,8 @@ def simhash_signatures(
 
 
 def simhash_near_dups(
-    df: DataFrame, key_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, key_col: str, text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -312,6 +358,7 @@ def simhash_near_dups(
             )
         ).alias("chunk_id", "chunk_val"),
     )
+    chunks = _cap_buckets(chunks, ["chunk_id", "chunk_val"], max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
