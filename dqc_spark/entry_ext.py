@@ -180,6 +180,23 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_lang_source_cube(spark, sf):
+    # grouping sets: per-lang x source audit rollup (SURVEY §2.3 — free
+    # with Catalyst; the NULL super-aggregate rows match ANSI semantics)
+    docs = _t(spark, sf, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    # set-op coverage: EXCEPT (anti-semantics at the set level)
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.exceptAll(ords.intersect(cust)).distinct()
+
+
 def q_top_customers_per_nation(spark, sf):
     cust = _t(spark, sf, "customer")
     w = W.partitionBy("c_nationkey").orderBy(
@@ -231,6 +248,8 @@ def extra_queries():
         "olap_pricing_summary": q_pricing_summary,
         "olap_events_hourly": q_events_hourly,
         "olap_top_customers_per_nation": q_top_customers_per_nation,
+        "olap_lang_source_cube": q_lang_source_cube,
+        "setop_customers_without_orders": q_customers_without_orders,
         "media_features": q_media_features,
     }
 
@@ -360,5 +379,14 @@ def extra_oracle_sql():
                                         ORDER BY c_acctbal DESC, c_custkey) AS rk
               FROM customer
             ) WHERE rk <= 3
+        """,
+        "olap_lang_source_cube": """
+            SELECT lang, source, COUNT(*) AS n,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "setop_customers_without_orders": """
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
     }
