@@ -180,6 +180,35 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_sessionization(spark, sf):
+    # lag + cumsum sessionization (one shuffle on user_id, no global sort)
+    from dqc_spark.sessions import session_stats
+
+    ev = _t(spark, sf, "events")
+    s = session_stats(ev, gap_minutes=30.0)
+    return s.select(
+        "user_id", "session_id", "n_events",
+        F.round("duration_s", 4).alias("duration_s"),
+    )
+
+
+def q_events_windowed(spark, sf):
+    # watermarked tumbling window (same code path as the streaming agg);
+    # on a static frame the watermark is a no-op, so it is oracle-able
+    from dqc_spark.streaming import windowed_event_counts
+
+    ev = _t(spark, sf, "events")
+    w = windowed_event_counts(ev, window="6 hours")
+    return w.select(
+        # back to NTZ so the hash compare sees the same naive timestamps
+        # the DuckDB oracle produces
+        F.col("window.start").cast("timestamp_ntz").alias("ws"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_lang_source_cube(spark, sf):
     # grouping sets: per-lang x source audit rollup (SURVEY §2.3 — free
     # with Catalyst; the NULL super-aggregate rows match ANSI semantics)
@@ -250,6 +279,8 @@ def extra_queries():
         "olap_top_customers_per_nation": q_top_customers_per_nation,
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
+        "olap_sessionization": q_sessionization,
+        "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
     }
 
@@ -388,5 +419,29 @@ def extra_oracle_sql():
         "setop_customers_without_orders": """
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_sessionization": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), t AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 4) AS duration_s
+            FROM t GROUP BY 1, 2
+        """,
+        "olap_events_windowed": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -29,6 +29,30 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (works on both a static
+    DataFrame and a stream): per (window, event_type) counts + value sum.
+    The watermark bounds state: late rows beyond it are dropped instead
+    of growing the state store forever.
+
+    Event-time columns must be TIMESTAMP (not NTZ) for watermarks; the
+    cast is value-preserving with the session timezone pinned to UTC."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def stream_quality_pipeline(
     spark: SparkSession,
     input_dir: str,

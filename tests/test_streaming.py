@@ -38,3 +38,46 @@ def test_stream_matches_batch(spark, tmp_path):
     q2 = stream_quality_pipeline(spark, src, out, ckpt, audit=sink)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    """The watermarked window agg gives the same totals run as a stream
+    (availableNow over files) and as a batch frame."""
+    from dqc_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+
+    batch = windowed_event_counts(ev, window="1 hour").select(
+        F.col("window.start").alias("ws"), "event_type", "n")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (agg.select(F.col("window.start").alias("ws"), "event_type", "n")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("winout")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT ws, event_type, n FROM winout")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_session_window(spark, tmp_path):
+    from dqc_spark.sessions import streaming_session_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev2")
+    ev.write.parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    q = (streaming_session_counts(stream, gap="30 minutes")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("sessout")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessout")
+    total = got.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()  # every event lands in exactly one session
