@@ -260,6 +260,74 @@ def q_media_features(spark, sf):
     return feats.select("key", "n_bytes", F.size("features").alias("dim"))
 
 
+# ---------------------------------------------------------------------------
+# sampling / packing / chunking / semi-structured (training-data selection)
+# ---------------------------------------------------------------------------
+
+
+def q_sample_hash(spark, sf):
+    # deterministic 10% sample: pure filter, no shuffle, engine-portable
+    from dqc_spark.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 10).select("doc_id", "lang", "source")
+
+
+def q_sample_stratified(spark, sf):
+    # hot-source quota cap: at most 5 docs per source, portable-hash order
+    from dqc_spark.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(docs, "source", "doc_id", 5).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def q_pack_token_budget(spark, sf):
+    # context-window packing: per-lang 2000-char bins from a running sum
+    from dqc_spark.sampling import pack_token_budget
+
+    docs = _t(spark, sf, "documents")
+    packed = pack_token_budget(docs, "lang", "doc_id", F.col("n_chars"), 2000)
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def q_text_chunks(spark, sf):
+    # fixed-width char chunking (pre-tokenization); md5 instead of the raw
+    # chunk keeps the differential compare payload small
+    from dqc_spark.sampling import chunk_text
+
+    docs = _t(spark, sf, "documents")
+    c = chunk_text(docs, "doc_id", "text", 500)
+    return c.select(
+        "key", "chunk_ix", F.md5("chunk").alias("chunk_md5"), "chunk_len"
+    )
+
+
+def q_events_json_kv(spark, sf):
+    # semi-structured extraction: JSON props field -> typed aggregate
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+        ).alias("avg_k"),
+    )
+
+
+def q_column_exists(spark, sf):
+    # reference check #5 (checker.go:224-262): catalog probe, no scan
+    docs = _t(spark, sf, "documents")
+    cols = set(docs.columns)
+    probes = ["text", "lang", "nope_col"]
+    return spark.createDataFrame(
+        [(c, c in cols) for c in probes], "col string, present boolean"
+    )
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -282,6 +350,12 @@ def extra_queries():
         "olap_sessionization": q_sessionization,
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
+        "sample_hash_10pct": q_sample_hash,
+        "sample_stratified_quota": q_sample_stratified,
+        "pack_token_budget": q_pack_token_budget,
+        "text_chunks": q_text_chunks,
+        "events_json_extract": q_events_json_kv,
+        "check_column_exists": q_column_exists,
     }
 
 
@@ -443,5 +517,53 @@ def extra_oracle_sql():
             SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sample_hash_10pct": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 10
+        """,
+        "sample_stratified_quota": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                   1, 8))::BIGINT, doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 5
+        """,
+        "pack_token_budget": """
+            WITH r AS (
+              SELECT lang, n_chars AS n_tokens,
+                     SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                     - n_chars AS excl
+              FROM documents
+            )
+            SELECT lang, CAST(FLOOR(excl / 2000.0) AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+            FROM r GROUP BY 1, 2
+        """,
+        "text_chunks": """
+            SELECT d.doc_id AS key, CAST(g.ix AS INT) AS chunk_ix,
+                   md5(substring(d.text, g.ix * 500 + 1, 500)) AS chunk_md5,
+                   length(substring(d.text, g.ix * 500 + 1, 500)) AS chunk_len
+            FROM documents d, LATERAL (
+              SELECT unnest(generate_series(0,
+                     CAST(ceil(length(d.text) / 500.0) AS INT) - 1)) AS ix) g
+        """,
+        "events_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+                         4) AS avg_k
+            FROM events GROUP BY 1
+        """,
+        "check_column_exists": """
+            SELECT c.col, d.column_name IS NOT NULL AS present
+            FROM (VALUES ('text'), ('lang'), ('nope_col')) c(col)
+            LEFT JOIN (DESCRIBE SELECT * FROM documents) d
+              ON d.column_name = c.col
         """,
     }

@@ -1,0 +1,149 @@
+"""Deterministic sampling + sequence-packing operators for training-data
+pipelines.
+
+These generalize the reference's per-table validation scans (checker.go's
+single-pass SELECTs) into the *selection* ops a 100 TB web-text corpus
+needs before training: reproducible subsampling, per-stratum quota capping
+(hot-domain downweighting), and token-budget packing of documents into
+context-window bins.
+
+Scale design notes
+------------------
+* ``hash_sample`` is a pure narrow ``filter`` — no shuffle, no RNG state,
+  and the same rows are selected regardless of partitioning or executor
+  count (unlike ``df.sample`` whose output depends on partition layout).
+  The predicate is a Catalyst ``Column`` so it is pushed into the scan
+  stage and fused with downstream projections by whole-stage codegen.
+* ``stratified_sample`` is one hash-partitioned window per stratum
+  (single shuffle on the stratum key).  For heavy skew (one stratum ≫
+  the rest) the hash-order ``row_number`` is still O(stratum) at the
+  shuffle; cap extreme strata first with ``hash_sample`` at a rate that
+  overshoots ``k`` (e.g. 4k/|stratum|) so the window input stays small.
+* ``pack_token_budget`` needs a running sum *within* each stratum in a
+  deterministic order — one shuffle on the stratum key, then a
+  per-partition cumulative window.  Bin ids are a pure function of the
+  (stratum, order, token-count) triple, so re-running on different
+  cluster sizes yields identical bins.
+
+The portable hash is the first 8 hex chars of ``md5`` (uniform 32-bit),
+chosen over ``xxhash64`` because every engine (DuckDB, Trino, Spark) can
+reproduce it — sampling decisions survive an engine migration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "portable_hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "pack_token_budget",
+    "chunk_text",
+]
+
+
+def portable_hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of ``col``'s string form.
+
+    Engine-portable: DuckDB equivalent is
+    ``('0x' || substring(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT % buckets``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return (h % F.lit(buckets)).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_pct: int, buckets: int = 100
+) -> DataFrame:
+    """Deterministic ``rate_pct``% sample: keep rows whose portable hash
+    bucket < rate_pct.  Pure filter — no shuffle, reproducible across
+    cluster sizes and engines."""
+    return df.filter(portable_hash_bucket(key_col, buckets) < rate_pct)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, k: int
+) -> DataFrame:
+    """At most ``k`` rows per stratum, chosen in portable-hash order of
+    ``key_col`` (deterministic pseudo-random, engine-reproducible).
+
+    This is the hot-domain quota cap: strata larger than ``k`` are
+    downsampled, small strata pass through whole.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    stratum_col: str,
+    order_col: str,
+    tokens_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document to a context-window bin of ~``budget`` tokens.
+
+    Within each stratum, documents are taken in ``order_col`` order and a
+    running token total places each doc in bin
+    ``floor(exclusive_cumsum / budget)`` — i.e. a doc starts a new bin
+    when the budget before it is exhausted.  Deterministic: bins are a
+    pure function of (stratum, order, token counts), independent of
+    partitioning.
+
+    Returns the input plus ``n_tokens`` and ``bin_id`` columns.
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        W.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    inclusive = F.sum(t).over(w)
+    exclusive = inclusive - t
+    return df.withColumn("n_tokens", t).withColumn(
+        "bin_id", F.floor(exclusive / F.lit(budget)).cast("bigint")
+    )
+
+
+def chunk_text(
+    df: DataFrame, key_col: str, text_col: str, chunk_chars: int
+) -> DataFrame:
+    """Split each document into fixed-width character chunks (the
+    context-window chunking step before tokenization).
+
+    Narrow op: ``sequence`` + ``posexplode`` generate chunk offsets
+    JVM-side — no shuffle, no Python.  Rows with empty/NULL text yield no
+    chunks (matching ``generate_series`` semantics in the SQL oracle).
+
+    Returns (key, chunk_ix, chunk, chunk_len).
+    """
+    n_chunks = F.ceil(F.length(text_col) / F.lit(chunk_chars)).cast("int")
+    offsets = F.sequence(
+        F.lit(0), n_chunks - 1, F.lit(1)
+    )  # empty when n_chunks == 0
+    exploded = df.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("_t"),
+        F.posexplode(
+            F.when(n_chunks > 0, offsets).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_ix", "_off"),
+    )
+    chunk = F.substring(
+        F.col("_t"), F.col("_off") * chunk_chars + 1, chunk_chars
+    )
+    return exploded.select(
+        "key",
+        "chunk_ix",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
