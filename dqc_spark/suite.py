@@ -231,33 +231,7 @@ class CheckSuite:
         results: dict[int, CheckResult] = {}
 
         if fused:
-            aggs: list[Column] = []
-            for i, ch in fused:
-                a = f"c{i}"
-                if ch.distinct_on is not None:
-                    # distinct violating VALUES (#21): count_distinct over
-                    # a predicated projection — still one pass
-                    aggs.append(
-                        F.count_distinct(
-                            F.when(ch.pred, F.col(ch.distinct_on))
-                        ).alias(a)
-                    )
-                elif ch.pred is not None:
-                    aggs.append(
-                        F.sum(F.when(ch.pred, 1).otherwise(0)).alias(a)
-                    )
-                else:
-                    fn, col, _, _ = ch.agg
-                    if fn == "count":
-                        aggs.append(F.count(F.lit(1)).alias(a))
-                    elif fn == "median_approx":
-                        aggs.append(
-                            F.percentile_approx(col, 0.5, 10000).alias(a))
-                    else:
-                        fns = {"max": F.max, "min": F.min,
-                               "mean": F.avg, "median": F.median}
-                        aggs.append(fns[fn](col).alias(a))
-            row = df.agg(*aggs).first()
+            row = self.fused_agg_frame(df, fused).first()
             for i, ch in fused:
                 v = row[f"c{i}"]
                 if ch.agg is not None:
@@ -285,6 +259,44 @@ class CheckSuite:
                           error_count=res.error_count,
                           input_snapshot=input_snapshot)
         return ordered
+
+    def fused_agg_frame(self, df: DataFrame,
+                        fused: Sequence[tuple[int, "Check"]] | None = None
+                        ) -> DataFrame:
+        """The single-pass aggregate frame for every fusable check:
+        one scan, one partial+final hash aggregate, one single-row
+        exchange — regardless of how many checks the suite holds.
+        Exposed so plan-regression tests can pin that shape."""
+        if fused is None:
+            fused = [(i, ch) for i, ch in enumerate(self.checks)
+                     if ch.runner is None]
+        aggs: list[Column] = []
+        for i, ch in fused:
+            a = f"c{i}"
+            if ch.distinct_on is not None:
+                # distinct violating VALUES (#21): count_distinct over
+                # a predicated projection — still one pass
+                aggs.append(
+                    F.count_distinct(
+                        F.when(ch.pred, F.col(ch.distinct_on))
+                    ).alias(a)
+                )
+            elif ch.pred is not None:
+                aggs.append(
+                    F.sum(F.when(ch.pred, 1).otherwise(0)).alias(a)
+                )
+            else:
+                fn, col, _, _ = ch.agg
+                if fn == "count":
+                    aggs.append(F.count(F.lit(1)).alias(a))
+                elif fn == "median_approx":
+                    aggs.append(
+                        F.percentile_approx(col, 0.5, 10000).alias(a))
+                else:
+                    fns = {"max": F.max, "min": F.min,
+                           "mean": F.avg, "median": F.median}
+                    aggs.append(fns[fn](col).alias(a))
+        return df.agg(*aggs)
 
     # -- per-document gate view (SURVEY §2.4) ------------------------------
     def gate_columns(self) -> list[tuple[str, Column]]:

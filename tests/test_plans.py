@@ -1,0 +1,129 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the small-SF answers; these pin the *plan shapes*
+the 100 TB deployment depends on, so a refactor that silently de-optimizes
+(drops a pushed filter, widens a scan, loses a broadcast, adds a shuffle)
+fails CI even though results stay right.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.checks import (
+    between_pred,
+    enum_pred,
+    not_null_pred,
+    referential_violations,
+    unique_violations,
+)
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_check_predicates_push_down_to_scan(docs):
+    # range/null/enum gates must reach the parquet reader: at 100 TB the
+    # difference is row-group skipping vs a full scan
+    df = docs.filter(between_pred("n_chars", 100, 5000)).select("doc_id", "n_chars")
+    p = plan_str(df)
+    assert "PushedFilters: [" in p
+    assert "n_chars" in p.split("PushedFilters:")[1].split("]")[0]
+
+    p2 = plan_str(docs.filter(not_null_pred("lang")).select("doc_id"))
+    assert "IsNull(lang)" in p2.split("PushedFilters:")[1].split("]")[0]
+
+    p3 = plan_str(docs.filter(enum_pred("lang", ["en", "de"])).select("doc_id"))
+    assert "lang" in p3.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_never_reads_text_payload(docs):
+    # checks that touch only metadata columns must not deserialize the
+    # (dominant) text payload — ReadSchema is the contract
+    df = docs.filter(between_pred("n_chars", 100, 5000)).select("doc_id", "n_chars")
+    p = plan_str(df)
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_referential_check_is_broadcast_anti_join(spark, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select("c_custkey")
+    p = plan_str(referential_violations(orders, cust, ["c_custkey"]))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unique_check_partial_aggregates_before_shuffle(lineitem):
+    # map-side combine: a partial_count aggregate BELOW the single exchange
+    p = plan_str(unique_violations(lineitem, "l_orderkey"))
+    assert "partial_count" in p
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") == 1
+    # only the groupBy key is read from parquet, never the payload
+    assert "ReadSchema: struct<l_orderkey:bigint>" in p
+
+
+def test_groupby_agg_stays_in_codegen(lineitem):
+    q1 = (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"), F.avg("l_discount").alias("a"))
+    )
+    assert "ObjectHashAggregate" not in plan_str(q1)  # fast hash-agg path
+    assert "partial_sum" in plan_str(q1)
+    assert plan_str(q1).count("Exchange") == 1
+    # execute, then assert the final adaptive plan ran inside whole-stage
+    # codegen (the "*(n)" markers on aggregate/filter/scan nodes)
+    q1.collect()
+    final = plan_str(q1)
+    assert "isFinalPlan=true" in final
+    assert "*(1) HashAggregate" in final and "*(1) Filter" in final
+
+
+def test_stratified_sample_single_shuffle(docs):
+    from dqc_spark.sampling import stratified_sample
+
+    p = plan_str(stratified_sample(docs, "source", "doc_id", 5))
+    assert p.count("Exchange") == 1  # one hash partition on the stratum key
+
+
+def test_hash_sample_is_pure_narrow_filter(docs):
+    from dqc_spark.sampling import hash_sample
+
+    p = plan_str(hash_sample(docs, "doc_id", 10))
+    assert "Exchange" not in p
+
+
+def test_fused_suite_is_single_scan_single_shuffle(lineitem):
+    from dqc_spark.suite import Check, CheckSuite
+
+    suite = CheckSuite(
+        [
+            Check.not_null("l_orderkey"),
+            Check.enum("l_returnflag", ["A", "N", "R"]),
+            Check.between("l_discount", 0.0, 0.1),
+            Check.length("l_linestatus", 1, 1),
+            Check.mean_between("l_quantity", 0, 100),
+            Check.max_between("l_extendedprice", 0, 1e9),
+        ]
+    )
+    agg_df = suite.fused_agg_frame(lineitem)
+    p = plan_str(agg_df)
+    assert p.count("Scan parquet") == 1  # N checks, ONE pass over the data
+    assert p.count("Exchange") == 1  # only the final single-row agg exchange
