@@ -12,8 +12,12 @@ structural, not re-implemented.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dqc_spark.pagesgen import PAGES_SCHEMA
 from dqc_spark.pipeline import annotate
@@ -51,6 +55,86 @@ def windowed_event_counts(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def stream_dedup_first_seen(
+    pages: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Custom stateful streaming operator: emit only the FIRST document
+    ever seen per content hash; later exact duplicates (across
+    micro-batches, crawls, and restarts) are dropped.
+
+    This is the crawl-ingest dedup that a stateless filter cannot express
+    — the "seen" set must survive between micro-batches.  Implemented
+    with ``applyInPandasWithState``: state is keyed by ``md5(text)``
+    (16-byte digests, not text, so the state store stays small — ~48
+    bytes/key including the dup counter), partitioned by the state key
+    across executors, and checkpointed with the query, so a restart
+    neither re-emits nor forgets.
+
+    State growth at scale is bounded by distinct-content cardinality;
+    for an unbounded crawl horizon, swap NoTimeout for a processing-time
+    timeout to expire content not re-seen within the dedup window.
+
+    Output: (<key_col>, text_hash, n_prior_dups) — one row per first
+    occurrence, with the number of duplicates already absorbed (0 on
+    first emit; re-emitted never).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("text_hash", T.StringType()),
+            T.StructField("n_prior_dups", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n_seen", T.LongType())])
+
+    def first_seen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        n_seen = state.get[0] if state.exists else 0
+        emit_key = None
+        for pdf in pdfs:
+            if n_seen == 0 and len(pdf) > 0:
+                emit_key = str(pdf[key_col].iloc[0])
+            n_seen += len(pdf)
+        state.update((n_seen,))
+        if emit_key is not None:
+            yield pd.DataFrame(
+                {"key": [emit_key], "text_hash": [key[0]], "n_prior_dups": [0]}
+            )
+
+    hashed = pages.select(
+        F.col(key_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def stream_dedup_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """readStream -> stateful first-seen dedup -> append parquet sink.
+    availableNow + checkpoint: each run drains pending files exactly
+    once; the seen-set persists across runs via the state store."""
+    q = (
+        stream_dedup_first_seen(stream_pages(spark, input_dir))
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
 
 
 def stream_quality_pipeline(

@@ -81,3 +81,44 @@ def test_streaming_session_window(spark, tmp_path):
     got = spark.sql("SELECT * FROM sessout")
     total = got.agg(F.sum("n_events")).first()[0]
     assert total == ev.count()  # every event lands in exactly one session
+
+
+def test_stateful_first_seen_dedup_across_runs(spark, tmp_path):
+    """applyInPandasWithState dedup: the seen-set survives micro-batches
+    AND query restarts (state store in the checkpoint)."""
+    from dqc_spark.pagesgen import PAGES_SCHEMA
+    from dqc_spark.streaming import stream_dedup_pipeline
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    import datetime as dt
+    ts = dt.datetime(2024, 1, 1)
+
+    def write_round(rows, part):
+        df = spark.createDataFrame(
+            [(u, ts, b"<html>", t, "en") for u, t in rows], PAGES_SCHEMA
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # round 1: A twice (same text), B once
+    write_round([("u1", "text A"), ("u2", "text B"), ("u3", "text A")], 1)
+    q = stream_dedup_pipeline(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+    assert {r.text_hash for r in got1.collect()} == {
+        r.text_hash
+        for r in spark.createDataFrame([("text A",), ("text B",)], "t string")
+        .select(F.md5("t").alias("text_hash")).collect()
+    }
+
+    # round 2 (restarted query, same checkpoint): B again + new C
+    write_round([("u4", "text B"), ("u5", "text C")], 2)
+    q2 = stream_dedup_pipeline(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # only C was new; B was absorbed by state
+    keys = {r.key for r in got2.collect()}
+    assert "u5" in keys and "u4" not in keys
