@@ -260,6 +260,46 @@ def q_media_features(spark, sf):
     return feats.select("key", "n_bytes", F.size("features").alias("dim"))
 
 
+def _exact_dup_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    a = h.select(F.col("doc_id").alias("key_a"), F.col("h").alias("ha"))
+    b = h.select(F.col("doc_id").alias("key_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("key_a") < F.col("key_b")))
+        .select("key_a", "key_b")
+    )
+
+
+def q_components_exact(spark, sf):
+    # iterative min-label propagation, differentially checked: on exact-
+    # dup edges the closure is SQL-expressible (component = min doc_id
+    # of the text-hash group), so DuckDB can verify the iterative loop
+    from dqc_spark.components import connected_components
+
+    return connected_components(_exact_dup_pairs(spark, sf))
+
+
+def q_keep_canonical(spark, sf):
+    # cluster -> one canonical survivor (min key), pass-through otherwise
+    from dqc_spark.components import keep_canonical
+
+    docs = _t(spark, sf, "documents")
+    return keep_canonical(docs, _exact_dup_pairs(spark, sf), "doc_id").select(
+        "doc_id"
+    )
+
+
+def q_ann_topk_arrow(spark, sf):
+    # same exact answer as ann_bruteforce_topk, scored in one Arrow
+    # matmul kernel instead of interpreted Catalyst HOF lambdas
+    from dqc_spark.similarity import brute_force_topk_arrow
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return brute_force_topk_arrow(emb, q, k=10, round_to=4)
+
+
 # ---------------------------------------------------------------------------
 # sampling / packing / chunking / semi-structured (training-data selection)
 # ---------------------------------------------------------------------------
@@ -356,6 +396,9 @@ def extra_queries():
         "text_chunks": q_text_chunks,
         "events_json_extract": q_events_json_kv,
         "check_column_exists": q_column_exists,
+        "dedup_components": q_components_exact,
+        "dedup_keep_canonical": q_keep_canonical,
+        "ann_topk_arrow": q_ann_topk_arrow,
     }
 
 
@@ -565,5 +608,29 @@ def extra_oracle_sql():
             FROM (VALUES ('text'), ('lang'), ('nope_col')) c(col)
             LEFT JOIN (DESCRIBE SELECT * FROM documents) d
               ON d.column_name = c.col
+        """,
+        "dedup_components": """
+            WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+                 m AS (SELECT h, MIN(doc_id) AS mn, COUNT(*) AS c
+                       FROM g GROUP BY h)
+            SELECT g.doc_id AS key, m.mn AS component
+            FROM g JOIN m USING (h) WHERE m.c > 1
+        """,
+        "dedup_keep_canonical": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "ann_topk_arrow": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID})), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
     }

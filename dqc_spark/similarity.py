@@ -59,6 +59,45 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k with the scoring in ONE Arrow kernel: each
+    batch is stacked into a (n, d) matrix and scored with a BLAS matmul.
+
+    Same answer as ``brute_force_topk``; the Catalyst-HOF version
+    evaluates the zip_with/aggregate lambdas interpreted per element,
+    this one does n*d work in vectorized C.  Measured ~1.5x at 2k x 64
+    and the gap widens with rows x dim; prefer this for batch scoring of
+    large corpora, the HOF form for oracle-parity paths."""
+    import numpy as np
+    import pandas as pd
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            yield pd.DataFrame({key_col: pdf[key_col], "cosine": sims})
+
+    scored = df.select(key_col, vec_col).mapInPandas(
+        kernel, f"{key_col} long, cosine double"
+    )
+    # TakeOrderedAndProject: per-partition top-k, merge on driver
+    return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
+
+
 def hyperplane_signatures(
     df: DataFrame,
     key_col: str = "vec_id",

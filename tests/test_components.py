@@ -1,0 +1,85 @@
+"""Connected-components / canonical-dedup semantics vs a pure-Python
+union-find oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from dqc_spark.components import connected_components, keep_canonical
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    out = {}
+    for n in list(parent):
+        out[n] = find(n)
+    return out
+
+
+def test_components_match_union_find_random_graph(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = {(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(150))}
+    oracle = _union_find_components(edges)
+
+    pairs = spark.createDataFrame(sorted(edges), "key_a long, key_b long")
+    got = {
+        r.key: r.component
+        for r in connected_components(pairs).collect()
+    }
+    # same node set, and identical min-id component labels
+    assert set(got) == set(oracle)
+    assert got == oracle
+
+
+def test_components_long_chain_converges(spark):
+    # worst-case diameter: a path 0-1-2-...-30 -> every node labels to 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "key_a long, key_b long"
+    )
+    got = connected_components(pairs, max_iter=40).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 31
+
+
+def test_keep_canonical_drops_cluster_losers(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {1,3,5} and {2,8}; 0,4,6,7,9 unclustered
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 8)], "key_a long, key_b long"
+    )
+    kept = keep_canonical(docs, pairs, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_keep_canonical_end_to_end_minhash(spark, sf_dir):
+    import os
+
+    from dqc_spark.dedup import minhash_near_dups
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_near_dups(docs, "doc_id", threshold=0.5)
+    kept = keep_canonical(docs, pairs, "doc_id")
+    n_docs, n_kept = docs.count(), kept.count()
+    comp = connected_components(pairs)
+    n_losers = comp.filter(F.col("key") != F.col("component")).count()
+    assert n_kept == n_docs - n_losers
+    assert n_losers > 0  # synthetic corpus does contain near-dups
