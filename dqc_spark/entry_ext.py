@@ -368,6 +368,19 @@ def q_column_exists(spark, sf):
     )
 
 
+def q_pipeline_curate(spark, sf):
+    # rows-only: full curation composition (gates -> dedup -> quota ->
+    # pack) on a deterministic synthetic pages table; near-dup keys are
+    # engine-specific so correctness is pinned by pytest oracles instead
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 300, n_partitions=4)
+    cur = curate(pages, near_dup_threshold=0.7, domain_quota=50,
+                 pack_budget=500)
+    return cur.select("doc_key", "lang", "domain", "n_tokens", "bin_id")
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -399,6 +412,7 @@ def extra_queries():
         "dedup_components": q_components_exact,
         "dedup_keep_canonical": q_keep_canonical,
         "ann_topk_arrow": q_ann_topk_arrow,
+        "pipeline_curate": q_pipeline_curate,
     }
 
 

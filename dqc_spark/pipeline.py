@@ -183,6 +183,63 @@ def run_pipeline(
     return ann
 
 
+def curate(
+    pages: DataFrame,
+    thresholds: dict | None = None,
+    near_dup_threshold: float | None = 0.7,
+    domain_quota: int | None = None,
+    pack_budget: int | None = None,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full corpus curation: quality filter -> dedup -> quota -> pack.
+
+    The composition a training-data run actually executes, each stage an
+    operator tested on its own:
+
+      1. ``annotate`` + keep-filter (gates/langid/ppl/scrub; 0 shuffles)
+      2. exact dedup — min-key canonical per identical ``scrubbed_text``
+         (one digest groupBy; dedup.py)
+      3. near-dup dedup — MinHash-LSH pairs -> connected components ->
+         canonical survivor per cluster (components.py); skipped when
+         ``near_dup_threshold`` is None
+      4. per-domain quota — portable-hash stratified cap of
+         ``domain_quota`` docs per registrable host (sampling.py);
+         the hot-domain bound, skipped when None
+      5. token-budget packing — ``bin_id`` per (lang, budget) context
+         window over the surviving docs (sampling.py); skipped when None
+
+    Returns the curated frame with ``doc_key``, ``domain`` and (if
+    packing) ``n_tokens``/``bin_id`` columns appended.  Stage order
+    matters at scale: each stage shrinks the rows the next one shuffles,
+    and the expensive near-dup pass runs only on quality-kept text.
+    """
+    from dqc_spark.components import keep_canonical
+    from dqc_spark.dedup import dedup_exact, minhash_near_dups
+    from dqc_spark.sampling import pack_token_budget, stratified_sample
+
+    ann = annotate(pages, text_col=text_col, thresholds=thresholds)
+    kept = ann.filter(F.col("keep")).withColumn(
+        "doc_key", F.xxhash64(key_col)
+    )
+    kept = dedup_exact(kept, ["doc_key"], text_col="scrubbed_text")
+    if near_dup_threshold is not None:
+        pairs = minhash_near_dups(
+            kept, "doc_key", "scrubbed_text", threshold=near_dup_threshold
+        )
+        kept = keep_canonical(kept, pairs, "doc_key")
+    kept = kept.withColumn(
+        "domain", F.regexp_extract(key_col, r"^[a-z]+://([^/]+)", 1)
+    )
+    if domain_quota is not None:
+        kept = stratified_sample(kept, "domain", "doc_key", domain_quota)
+    if pack_budget is not None:
+        kept = pack_token_budget(
+            kept, "lang", "doc_key", F.col("n_words"), pack_budget
+        )
+    return kept
+
+
 def document_gate_report(docs: DataFrame) -> DataFrame:
     """Flagship query for __spark_entry__.entry(): adapt the driver's
     ``documents`` table (doc_id, text, lang, source, n_chars) to the

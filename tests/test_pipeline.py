@@ -122,3 +122,31 @@ def test_column_engine_matches_pandas_engine(spark):
     a = annotate(pages, engine="pandas").select(*cols)
     b = annotate(pages, engine="column").select(*cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_end_to_end(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import annotate, curate
+
+    pages = generate_pages(spark, 400, n_partitions=4)
+    cur = curate(pages, near_dup_threshold=0.7, domain_quota=50,
+                 pack_budget=500).persist()
+    n_cur = cur.count()
+    n_kept = annotate(pages).filter(F.col("keep")).count()
+    assert 0 < n_cur <= n_kept
+
+    # exact dedup: scrubbed_text unique among survivors
+    assert cur.select("scrubbed_text").distinct().count() == n_cur
+    # doc keys unique
+    assert cur.select("doc_key").distinct().count() == n_cur
+    # domain quota respected
+    assert all(
+        r["count"] <= 50 for r in cur.groupBy("domain").count().collect()
+    )
+    # packing: every surviving doc has a bin, bins dense from 0 per lang
+    assert cur.filter(F.col("bin_id").isNull()).count() == 0
+    assert all(
+        r["mn"] == 0
+        for r in cur.groupBy("lang").agg(F.min("bin_id").alias("mn")).collect()
+    )
+    cur.unpersist()
