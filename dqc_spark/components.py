@@ -55,6 +55,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # empty graph short-circuit: the loop below costs several scheduler
+    # round-trips per iteration even over empty frames — a corpus with no
+    # near-dup pairs (the common case after exact dedup) skips it all
+    if edges.isEmpty():
+        edges.unpersist()
+        # preserve the key type whatever it is
+        return pairs.select(
+            F.col(src).alias("key"), F.col(src).alias("component")
+        ).limit(0)
+
     # undirected: keep both orientations so one join propagates both ways
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

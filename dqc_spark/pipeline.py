@@ -219,8 +219,27 @@ def curate(
     from dqc_spark.sampling import pack_token_budget, stratified_sample
 
     ann = annotate(pages, text_col=text_col, thresholds=thresholds)
-    kept = ann.filter(F.col("keep")).withColumn(
-        "doc_key", F.xxhash64(key_col)
+    # persist the annotated survivors: the frame embeds the fused Arrow
+    # scoring UDF and feeds 4+ downstream consumers (exact-dedup winners
+    # + semi join, minhash signatures, canonical anti-join) — without
+    # this the whole scoring pass re-executes per consumer (measured 2x
+    # end-to-end at 20k docs).  Cluster-scale equivalent: write the
+    # annotated table once, curate from it.
+    kept = (
+        ann.filter(F.col("keep"))
+        .withColumn("doc_key", F.xxhash64(key_col))
+        .persist()
+    )
+    # URL uniqueness (north-rule check, applied as a curation step): a
+    # re-crawled url appears with several texts — keep ONE row per key,
+    # deterministic winner by content digest (min md5)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_key").orderBy(F.md5("scrubbed_text"))
+    kept = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     kept = dedup_exact(kept, ["doc_key"], text_col="scrubbed_text")
     if near_dup_threshold is not None:
