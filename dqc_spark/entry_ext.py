@@ -116,6 +116,16 @@ def q_token_counts(spark, sf):
     return token_stats(_t(spark, sf, "documents"), "doc_id")
 
 
+def _trunc4(c):
+    # 4dp truncation instead of ROUND: these ratio columns are rationals
+    # whose shortest decimal repr often lands EXACTLY on a x.xxxx5
+    # half-way point where Spark (HALF_UP on the decimal repr) and
+    # DuckDB (rounds the binary double, which sits just below) disagree
+    # — observed on quality_score at sf0.1.  floor() of the identical
+    # double is engine-agnostic.
+    return F.floor(F.col(c) * 10000) / 10000
+
+
 def q_quality_scores(spark, sf):
     from dqc_spark.textstats import quality_scores
 
@@ -123,10 +133,10 @@ def q_quality_scores(spark, sf):
     return qs.select(
         "doc_id",
         "n_words",
-        F.round("alpha_ratio", 4).alias("alpha_ratio"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        F.round("quality_score", 4).alias("quality_score"),
+        _trunc4("alpha_ratio").alias("alpha_ratio"),
+        _trunc4("punct_ratio").alias("punct_ratio"),
+        _trunc4("stopword_ratio").alias("stopword_ratio"),
+        _trunc4("quality_score").alias("quality_score"),
     )
 
 
@@ -478,12 +488,12 @@ def extra_oracle_sql():
               FROM documents
             )
             SELECT doc_id, nw AS n_words,
-                   ROUND(alpha_r, 4) AS alpha_ratio,
-                   ROUND(punct_r, 4) AS punct_ratio,
-                   ROUND(sw_r, 4) AS stopword_ratio,
-                   ROUND(LEAST(nw / 100.0, 1.0) * 0.4
-                         + LEAST(sw_r * 4, 1.0) * 0.3
-                         + alpha_r * 0.3, 4) AS quality_score
+                   FLOOR(alpha_r * 10000) / 10000 AS alpha_ratio,
+                   FLOOR(punct_r * 10000) / 10000 AS punct_ratio,
+                   FLOOR(sw_r * 10000) / 10000 AS stopword_ratio,
+                   FLOOR((LEAST(nw / 100.0, 1.0) * 0.4
+                          + LEAST(sw_r * 4, 1.0) * 0.3
+                          + alpha_r * 0.3) * 10000) / 10000 AS quality_score
             FROM f
         """,
         "text_langid_heuristic": r"""
