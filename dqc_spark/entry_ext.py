@@ -173,8 +173,11 @@ def q_pricing_summary(spark, sf):
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # floor-truncation, not ROUND: avg = sum/count is an integer
+            # ratio that can land exactly on a half-way decimal where the
+            # engines' rounding modes diverge (see _trunc4)
+            (F.floor(F.avg("l_quantity") * 10000) / 10000).alias("avg_qty"),
+            (F.floor(F.avg("l_discount") * 10000) / 10000).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -225,7 +228,7 @@ def q_lang_source_cube(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.floor(F.avg("n_chars") * 10000) / 10000).alias("avg_chars"),
     )
 
 
@@ -362,8 +365,9 @@ def q_events_json_kv(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+        (
+            F.floor(F.avg(F.get_json_object("props", "$.k").cast("double"))
+                    * 10000) / 10000
         ).alias("avg_k"),
     )
 
@@ -531,8 +535,8 @@ def extra_oracle_sql():
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   FLOOR(AVG(l_quantity) * 10000) / 10000 AS avg_qty,
+                   FLOOR(AVG(l_discount) * 10000) / 10000 AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -554,7 +558,7 @@ def extra_oracle_sql():
         """,
         "olap_lang_source_cube": """
             SELECT lang, source, COUNT(*) AS n,
-                   ROUND(AVG(n_chars), 4) AS avg_chars
+                   FLOOR(AVG(n_chars) * 10000) / 10000 AS avg_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
         "setop_customers_without_orders": """
@@ -623,8 +627,8 @@ def extra_oracle_sql():
         """,
         "events_json_extract": """
             SELECT event_type, COUNT(*) AS n,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)),
-                         4) AS avg_k
+                   FLOOR(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                         * 10000) / 10000 AS avg_k
             FROM events GROUP BY 1
         """,
         "check_column_exists": """
