@@ -149,6 +149,14 @@ def q_langid_heuristic(spark, sf):
     )
 
 
+def q_top_ngrams(spark, sf):
+    # corpus boilerplate stats: top-k trigram frequencies, deterministic
+    # tie-break; plans as TakeOrderedAndProject (no global sort)
+    from dqc_spark.textstats import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), "text", n=3, k=20)
+
+
 def q_fingerprints(spark, sf):
     from dqc_spark.textstats import fingerprint
 
@@ -409,6 +417,7 @@ def extra_queries():
         "text_quality_scores": q_quality_scores,
         "text_langid_heuristic": q_langid_heuristic,
         "text_fingerprints": q_fingerprints,
+        "text_top_ngrams": q_top_ngrams,
         "olap_pricing_summary": q_pricing_summary,
         "olap_events_hourly": q_events_hourly,
         "olap_top_customers_per_nation": q_top_customers_per_nation,
@@ -529,6 +538,20 @@ def extra_oracle_sql():
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                    AS fingerprint
             FROM documents
+        """,
+        "text_top_ngrams": r"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT array_to_string(toks[i:i+2], ' ') AS ngram
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(toks)-2))
+                               AS i) s
+              WHERE len(toks) >= 3
+            )
+            SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, ngram LIMIT 20
         """,
         "olap_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

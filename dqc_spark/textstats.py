@@ -146,3 +146,44 @@ def rolling_fingerprints(
         fingerprint(F.col(text_col)).alias("fingerprint"),
         F.array_min(hashes).alias("min_rolling_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus boilerplate statistics: most frequent word n-grams
+# ---------------------------------------------------------------------------
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Lowercased word n-grams as an array column (empty when the doc has
+    fewer than n words).  Built with an explicit per-position concat over
+    a sequence — the gram count varies per row so the sequence transform
+    is unavoidable, but each gram is a single JVM concat_ws."""
+    w = words_col(F.lower(text))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the boilerplate detector
+    (navigation strings, cookie banners, licence blurbs surface first).
+
+    Scale shape: explode -> partial+final hash agg on the gram, then
+    ``orderBy().limit(k)`` which plans as TakeOrderedAndProject
+    (per-partition top-k, k-row merge on the driver) — no global sort,
+    no single-partition window.  Ties at the cut are broken by the gram
+    string so the result is deterministic.
+    """
+    grams = df.select(F.explode(ngrams_col(F.col(text_col), n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram")
+    ).limit(k)

@@ -127,3 +127,11 @@ def test_fused_suite_is_single_scan_single_shuffle(lineitem):
     p = plan_str(agg_df)
     assert p.count("Scan parquet") == 1  # N checks, ONE pass over the data
     assert p.count("Exchange") == 1  # only the final single-row agg exchange
+
+
+def test_top_ngrams_uses_takeordered_not_global_sort(docs):
+    from dqc_spark.textstats import top_ngrams
+
+    p = plan_str(top_ngrams(docs, "text", 3, 20))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # map-side combine before the gram shuffle
