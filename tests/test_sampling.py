@@ -122,3 +122,22 @@ def test_chunk_text_narrow_plan(docs):
     # the chunker must stay shuffle-free (generate + explode only)
     plan = chunk_text(docs, "doc_id", "text", 500)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_text_codepoint_semantics_unicode(spark):
+    # chunks must slice by CODE POINT (matching Python str slicing),
+    # not UTF-8 bytes or UTF-16 units — pinned incl. astral-plane chars
+    texts = [
+        "héllo wörld ünïcode",
+        "日本語のテキストです、長さのテスト",
+        "emoji 😀😃😄😁 astral 𝔘𝔫𝔦 chars",
+        "a" * 7 + "😀" + "b" * 7,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = chunk_text(df, "doc_id", "text", 5).collect()
+    for r in got:
+        assert r.chunk == texts[r.key][r.chunk_ix * 5:(r.chunk_ix + 1) * 5]
+    n_expect = sum((len(t) + 4) // 5 for t in texts)
+    assert len(got) == n_expect
