@@ -77,3 +77,25 @@ def test_pair_equal_null_safe(spark, pairs):
     # both-NULL counts as equal; one-sided NULL as unequal
     want = sum(1 for a, b in pairs if a != b)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(max_size=24), min_size=1, max_size=40, unique=True))
+def test_portable_hash_bucket_matches_python_md5(spark, keys):
+    """sampling.portable_hash_bucket is the cross-engine contract:
+    bucket = int(md5(str)[:8], 16) % B must match a pure-Python model
+    for arbitrary unicode key strings (it's what DuckDB/Trino compute)."""
+    import hashlib
+
+    from dqc_spark.sampling import portable_hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.k: r.bucket
+        for r in df.select(
+            "k", portable_hash_bucket("k", 100).alias("bucket")
+        ).collect()
+    }
+    for k in keys:
+        want = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) % 100
+        assert got[k] == want, k
