@@ -116,6 +116,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--docs", type=int, default=10000)
 
+    p = sub.add_parser(
+        "curate",
+        help="full corpus curation: gates -> dedup -> domain quota -> pack",
+    )
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--near-dup-threshold", type=float, default=0.7,
+                   help="MinHash Jaccard threshold; negative disables")
+    p.add_argument("--domain-quota", type=int, default=0,
+                   help="max docs per domain (0 = unlimited)")
+    p.add_argument("--pack-budget", type=int, default=0,
+                   help="tokens per context-window bin (0 = no packing)")
+
     return ap
 
 
@@ -215,6 +228,22 @@ def main(argv=None) -> int:
 
         generate_pages(spark, args.docs).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.docs} pages to {args.output}")
+        return 0
+    if c == "curate":
+        from dqc_spark.pipeline import curate
+
+        pages = spark.read.parquet(args.input)
+        cur = curate(
+            pages,
+            near_dup_threshold=(args.near_dup_threshold
+                                if args.near_dup_threshold >= 0 else None),
+            domain_quota=args.domain_quota or None,
+            pack_budget=args.pack_budget or None,
+        )
+        cur.write.mode("overwrite").parquet(args.output)
+        n_in = pages.count()
+        n_out = spark.read.parquet(args.output).count()
+        print(f"curated {n_in} -> {n_out} docs at {args.output}")
         return 0
     raise SystemExit(f"unknown command {c}")
 

@@ -77,6 +77,7 @@ def connected_components(
         .persist()
     )
 
+    converged = False
     for it in range(max_iter):
         # candidate labels: own label + the label of every neighbor
         neighbor_labels = (
@@ -100,8 +101,23 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        # non-converged labels are a CORRECT but coarser-keyed partition
+        # (every label is some member of the component, just not yet the
+        # global min) — canonical selection then keeps one doc per
+        # partial cluster instead of per full cluster: conservative, no
+        # data loss, but surface it
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels form a finer "
+            "partition than true components",
+            stacklevel=2,
+        )
     edges.unpersist()
     sym.unpersist()
     return labels
