@@ -230,6 +230,30 @@ def q_events_windowed(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    # temporal nearest join (operator Spark lacks natively): for each
+    # click, the latest at-or-before purchase per user — checked against
+    # DuckDB's native ASOF LEFT JOIN
+    from dqc_spark.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    j = asof_join(clicks, purch, on="ts", by="user_id", right_cols=["ts", "value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").cast("timestamp_ntz").alias("asof_ts"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
 def q_lang_source_cube(spark, sf):
     # grouping sets: per-lang x source audit rollup (SURVEY §2.3 — free
     # with Catalyst; the NULL super-aggregate rows match ANSI semantics)
@@ -424,6 +448,7 @@ def extra_queries():
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
         "olap_sessionization": q_sessionization,
+        "olap_asof_join": q_asof_join,
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "sample_hash_10pct": q_sample_hash,
@@ -587,6 +612,19 @@ def extra_oracle_sql():
         "setop_customers_without_orders": """
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            ), purchases AS (
+              SELECT user_id, ts, MAX(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.event_id, c.user_id, p.ts AS asof_ts,
+                   ROUND(p.value, 4) AS asof_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "olap_sessionization": """
             WITH s AS (
