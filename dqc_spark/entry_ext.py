@@ -254,6 +254,20 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_value_percentiles(spark, sf):
+    # grouped exact interpolated percentiles (matches DuckDB
+    # quantile_cont bit-for-bit on identical input).  Exact percentile
+    # drags the agg onto ObjectHashAggregate — at 10^12 rows use
+    # percentile_approx (Check.median_between(approx=True) pattern);
+    # exact here because the oracle demands it
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        (F.floor(F.expr("percentile(value, 0.5)") * 10000) / 10000).alias("p50"),
+        (F.floor(F.expr("percentile(value, 0.95)") * 10000) / 10000).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_lang_source_cube(spark, sf):
     # grouping sets: per-lang x source audit rollup (SURVEY §2.3 — free
     # with Catalyst; the NULL super-aggregate rows match ANSI semantics)
@@ -449,6 +463,7 @@ def extra_queries():
         "setop_customers_without_orders": q_customers_without_orders,
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
+        "olap_value_percentiles": q_value_percentiles,
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "sample_hash_10pct": q_sample_hash,
@@ -612,6 +627,13 @@ def extra_oracle_sql():
         "setop_customers_without_orders": """
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_value_percentiles": """
+            SELECT event_type,
+                   FLOOR(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
+                   FLOOR(quantile_cont(value, 0.95) * 10000) / 10000 AS p95,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
         """,
         "olap_asof_join": """
             WITH clicks AS (
