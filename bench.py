@@ -147,6 +147,10 @@ def headline_queries(spark) -> dict[str, float]:
         ).count()
     )
     pages.unpersist()
+    # minhash persists its signature/band frames internally (needed for
+    # its 3 consumers); drop them between bench phases so the pipeline
+    # timings don't compete with orphaned caches
+    spark.catalog.clearCache()
     return out
 
 

@@ -59,6 +59,10 @@ def asof_join(
             right.select(payload.alias("p")).schema["p"].dataType
         )
     )
+    # NULL-ts right rows can never satisfy l.on >= r.on / <= (ASOF
+    # semantics): drop them, or they sort nulls-first and get carried
+    # into left rows that have no true match
+    right = right.filter(F.col(on).isNotNull())
     rhs = right.select(
         *by,
         F.col(on).alias(on),
@@ -80,9 +84,13 @@ def asof_join(
         F.when(F.col("__side") == 0, F.col("__payload")), ignorenulls=True
     ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
 
+    # a left row with NULL `on` has no defined match either — mask it
+    # (desc ordering would otherwise sort it last and pick up a payload)
     out = (
         lhs.unionByName(rhs)
-        .withColumn("__carried", carried)
+        .withColumn(
+            "__carried", F.when(F.col(on).isNotNull(), carried)
+        )
         .filter(F.col("__side") == 1)
     )
     keep = [c for c in left.columns]

@@ -246,11 +246,14 @@ def q_asof_join(spark, sf):
         .agg(F.max("value").alias("value"))
     )
     j = asof_join(clicks, purch, on="ts", by="user_id", right_cols=["ts", "value"])
+    # asof_value is a raw stored double (no arithmetic on either side):
+    # emit it unrounded — identical bits hash-match directly, and any
+    # rounding mode would only ADD divergence risk
     return j.select(
         "event_id",
         "user_id",
         F.col("asof_ts").cast("timestamp_ntz").alias("asof_ts"),
-        F.round("asof_value", 4).alias("asof_value"),
+        "asof_value",
     )
 
 
@@ -644,7 +647,7 @@ def extra_oracle_sql():
               WHERE event_type = 'purchase' GROUP BY 1, 2
             )
             SELECT c.event_id, c.user_id, p.ts AS asof_ts,
-                   ROUND(p.value, 4) AS asof_value
+                   p.value AS asof_value
             FROM clicks c ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
         """,

@@ -91,9 +91,15 @@ def brute_force_topk_arrow(
                 sims = np.round(sims, round_to)
             yield pd.DataFrame({key_col: pdf[key_col], "cosine": sims})
 
-    scored = df.select(key_col, vec_col).mapInPandas(
-        kernel, f"{key_col} long, cosine double"
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],  # preserve the key type, whatever it is
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+    scored = df.select(key_col, vec_col).mapInPandas(kernel, out_schema)
     # TakeOrderedAndProject: per-partition top-k, merge on driver
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 

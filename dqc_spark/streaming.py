@@ -77,8 +77,9 @@ def stream_dedup_first_seen(
     timeout to expire content not re-seen within the dedup window.
 
     Output: (<key_col>, text_hash, n_prior_dups) — one row per first
-    occurrence, with the number of duplicates already absorbed (0 on
-    first emit; re-emitted never).
+    occurrence, with the number of duplicates absorbed from the same
+    micro-batch (re-emitted never; later-batch duplicates accumulate
+    only in the state counter).
     """
     out_schema = T.StructType(
         [
@@ -100,8 +101,15 @@ def stream_dedup_first_seen(
             n_seen += len(pdf)
         state.update((n_seen,))
         if emit_key is not None:
+            # duplicates absorbed in the same micro-batch as the first
+            # occurrence (later batches never re-emit, so their dups are
+            # visible only in the state counter)
             yield pd.DataFrame(
-                {"key": [emit_key], "text_hash": [key[0]], "n_prior_dups": [0]}
+                {
+                    "key": [emit_key],
+                    "text_hash": [key[0]],
+                    "n_prior_dups": [n_seen - 1],
+                }
             )
 
     hashed = pages.select(

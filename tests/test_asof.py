@@ -92,3 +92,29 @@ def test_asof_single_shuffle_plan(spark):
     # one hash partition on the key for the window; union sides shuffle
     # into it — no range/cross join anywhere
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_null_timestamps_never_match(spark):
+    # NULL `on` values have no defined temporal position: a NULL-ts right
+    # row must never be carried, and a NULL-ts left row gets no match
+    # (DuckDB ASOF / pandas merge_asof semantics)
+    left = spark.createDataFrame(
+        [(1, "u", _ts(8)), (2, "u", None), (3, "u", _ts(12))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", None, 999.0), ("u", _ts(10), 100.0)],
+        "k string, ts timestamp, px double",
+    )
+    got = {
+        r.id: r.asof_px
+        for r in asof_join(left, right, on="ts", by="k",
+                           right_cols=["px"]).collect()
+    }
+    assert got == {1: None, 2: None, 3: 100.0}
+    gotf = {
+        r.id: r.asof_px
+        for r in asof_join(left, right, on="ts", by="k", right_cols=["px"],
+                           direction="forward").collect()
+    }
+    assert gotf == {1: 100.0, 2: None, 3: None}

@@ -113,6 +113,9 @@ def test_stateful_first_seen_dedup_across_runs(spark, tmp_path):
         for r in spark.createDataFrame([("text A",), ("text B",)], "t string")
         .select(F.md5("t").alias("text_hash")).collect()
     }
+    # same-batch duplicates are counted on the emitted first occurrence
+    dups = {r.key: r.n_prior_dups for r in got1.collect()}
+    assert dups == {"u1": 1, "u2": 0}
 
     # round 2 (restarted query, same checkpoint): B again + new C
     write_round([("u4", "text B"), ("u5", "text C")], 2)
