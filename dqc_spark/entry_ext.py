@@ -271,6 +271,48 @@ def q_value_percentiles(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    # interval containment join via bucketized equi-join (no nested-loop
+    # plan): purchases inside each user's daily view-activity window
+    from dqc_spark.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    iv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("win_start"), F.max("ts").alias("win_end"))
+        .drop("d")
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = range_join(pts, iv, "ts", "win_start", "win_end", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+    )
+
+
+def q_rollup_daily(spark, sf):
+    # hypertable-style continuous aggregate: the DAILY level re-aggregates
+    # the hourly one (never the raw scan) — the oracle groups raw rows
+    # directly, so a compositionality bug would hash-mismatch
+    from dqc_spark.temporal import rollup_hierarchy
+
+    ev = _t(spark, sf, "events")
+    day = rollup_hierarchy(ev, "ts", "value", dims=["event_type"])["day"]
+    return day.select(
+        F.col("bucket_ts").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_lang_source_cube(spark, sf):
     # grouping sets: per-lang x source audit rollup (SURVEY §2.3 — free
     # with Catalyst; the NULL super-aggregate rows match ANSI semantics)
@@ -467,6 +509,8 @@ def extra_queries():
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
         "olap_value_percentiles": q_value_percentiles,
+        "olap_range_join": q_range_join,
+        "olap_rollup_daily": q_rollup_daily,
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "sample_hash_10pct": q_sample_hash,
@@ -630,6 +674,27 @@ def extra_oracle_sql():
         "setop_customers_without_orders": """
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_range_join": """
+            WITH iv AS (
+              SELECT user_id, MIN(ts) AS win_start, MAX(ts) AS win_end
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, date_trunc('day', ts)
+            ), p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, iv.win_start, iv.win_end
+            FROM p JOIN iv ON p.user_id = iv.user_id
+                          AND p.ts BETWEEN iv.win_start AND iv.win_end
+        """,
+        "olap_rollup_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
         """,
         "olap_value_percentiles": """
             SELECT event_type,
