@@ -36,6 +36,27 @@ def q_dedup_distinct_count(spark, sf):
     )
 
 
+def q_approx_distinct(spark, sf):
+    # HLL++ sketch at 10^12-row scale replaces exact COUNT(DISTINCT).
+    # The sketch value itself is engine-specific, so the differential
+    # checks the PROPERTY: the exact count (oracle-matched) plus a
+    # boolean asserting the sketch landed within its configured rsd —
+    # the oracle hardcodes TRUE, so a drifting sketch hash-mismatches.
+    docs = _t(spark, sf, "documents")
+    agg = docs.agg(
+        F.count_distinct(F.md5("text")).alias("n_exact"),
+        F.approx_count_distinct(F.md5("text"), 0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.06  # 3x the configured rsd=0.02
+        ).alias("within_tolerance"),
+    )
+
+
 def q_minhash_near_dups(spark, sf):
     # rows-only check (signature permutations are engine-specific)
     from dqc_spark.dedup import minhash_near_dups
@@ -490,6 +511,7 @@ def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
         "dedup_distinct_count": q_dedup_distinct_count,
+        "dedup_approx_distinct": q_approx_distinct,
         "dedup_minhash_near_dups": q_minhash_near_dups,
         "dedup_simhash_near_dups": q_simhash_near_dups,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -538,6 +560,11 @@ def extra_oracle_sql():
         "dedup_distinct_count": """
             SELECT COUNT(DISTINCT md5(text)) AS n_distinct,
                    COUNT(*) AS n_total
+            FROM documents
+        """,
+        "dedup_approx_distinct": """
+            SELECT COUNT(DISTINCT md5(text)) AS n_exact,
+                   TRUE AS within_tolerance
             FROM documents
         """,
         "ann_bruteforce_topk": f"""
