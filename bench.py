@@ -93,25 +93,13 @@ def _pipeline_seconds(spark, trials: int = TRIALS) -> float:
     return min(_timed(run) for _ in range(trials))
 
 
-def headline_queries(spark) -> dict[str, float]:
-    from pyspark.sql import functions as F
-
-    from dqc_spark.dedup import minhash_near_dups
-    from dqc_spark.entry_ext import q_ann_bruteforce_topk, q_pricing_summary
-    from dqc_spark.skew import salted_duplicate_count
+def headline_suite():
+    """The 10-check lineitem suite used by BOTH the fused-Spark headline
+    timing and tools/ref_compare.py's reference-architecture comparison
+    (ref_compare's DuckDB SQL list mirrors this — keep them in sync)."""
     from dqc_spark.suite import Check, CheckSuite
 
-    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
-    out: dict[str, float] = {}
-
-    # spawn the Arrow python workers once so UDF-stage timings measure
-    # steady-state compute, not per-process interpreter startup (same
-    # rationale as the pipeline warm-up below)
-    spark.range(256).repartition(CPUS).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
-
-    suite = CheckSuite(
+    return CheckSuite(
         [
             Check.not_null("l_orderkey"),
             Check.enum("l_returnflag", ["A", "N", "R"]),
@@ -125,6 +113,26 @@ def headline_queries(spark) -> dict[str, float]:
             Check.distinct_in_set("l_linestatus", ["O", "F"]),
         ]
     )
+
+
+def headline_queries(spark) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from dqc_spark.dedup import minhash_near_dups
+    from dqc_spark.entry_ext import q_ann_bruteforce_topk, q_pricing_summary
+    from dqc_spark.skew import salted_duplicate_count
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    out: dict[str, float] = {}
+
+    # spawn the Arrow python workers once so UDF-stage timings measure
+    # steady-state compute, not per-process interpreter startup (same
+    # rationale as the pipeline warm-up below)
+    spark.range(256).repartition(CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    suite = headline_suite()
     out["checks_fused_10"] = _best_of(lambda: suite.run(li))
     out["unique_salted"] = _best_of(
         lambda: salted_duplicate_count(li, "l_orderkey")

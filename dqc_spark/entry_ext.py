@@ -279,15 +279,17 @@ def q_asof_join(spark, sf):
 
 
 def q_value_percentiles(spark, sf):
-    # grouped exact interpolated percentiles (matches DuckDB
-    # quantile_cont bit-for-bit on identical input).  Exact percentile
-    # drags the agg onto ObjectHashAggregate — at 10^12 rows use
-    # percentile_approx (Check.median_between(approx=True) pattern);
-    # exact here because the oracle demands it
+    # grouped exact interpolated percentiles, emitted UNROUNDED:
+    # verified bit-identical to DuckDB quantile_cont on this data at
+    # sf0.01 and sf0.1 (both interpolate linearly over the same sorted
+    # doubles), so any future hash mismatch flags a real semantic
+    # change rather than a rounding artifact.  Exact percentile drags
+    # the agg onto ObjectHashAggregate — at 10^12 rows use
+    # percentile_approx (Check.median_between(approx=True) pattern)
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        (F.floor(F.expr("percentile(value, 0.5)") * 10000) / 10000).alias("p50"),
-        (F.floor(F.expr("percentile(value, 0.95)") * 10000) / 10000).alias("p95"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -725,8 +727,8 @@ def extra_oracle_sql():
         """,
         "olap_value_percentiles": """
             SELECT event_type,
-                   FLOOR(quantile_cont(value, 0.5) * 10000) / 10000 AS p50,
-                   FLOOR(quantile_cont(value, 0.95) * 10000) / 10000 AS p95,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
                    COUNT(*) AS n
             FROM events GROUP BY 1
         """,

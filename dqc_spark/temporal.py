@@ -51,14 +51,22 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left: {how!r}")
     by = [by] if isinstance(by, str) else list(by)
+    ival_cols = [c for c in intervals.columns if c not in by]
+    clash = set(points.columns) & set(ival_cols)
+    if clash:
+        raise ValueError(
+            f"column name collision between points and intervals: {sorted(clash)}"
+            " — rename one side before joining"
+        )
 
     b = F.lit(bucket_seconds)
-    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / b)
     i_first = F.floor(F.unix_timestamp(F.col(start_ts)) / b)
     i_last = F.floor(F.unix_timestamp(F.col(end_ts)) / b)
 
     # explode each interval to every bucket it covers; empty/inverted
-    # intervals (end < start) produce no buckets and thus never match
+    # intervals (end < start) produce no buckets and thus never match.
+    # A point's own bucket meets exactly one exploded copy of any
+    # containing interval, so the join emits no duplicates.
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -66,28 +74,29 @@ def range_join(
                 F.array().cast("array<bigint>")
             )
         ),
-    )
-    pts = points.withColumn("__bucket", p_bucket)
+    ).alias("iv")
+    pts = points.withColumn(
+        "__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / b)
+    ).alias("pts")
 
-    joined = pts.join(iv, on=[*by, "__bucket"], how="inner").filter(
-        (F.col(point_ts) >= F.col(start_ts))
-        & (F.col(point_ts) <= F.col(end_ts))
+    # ONE join with a mixed condition: Catalyst extracts the equi part
+    # (keys + bucket) as hash-join keys and applies the range predicate
+    # as the join residual — so "left" keeps unmatched points natively
+    # (no anti-join second pass, no NULL-equality pitfalls)
+    cond = F.lit(True)
+    for k in by:
+        cond = cond & (F.col(f"pts.{k}") == F.col(f"iv.{k}"))
+    cond = (
+        cond
+        & (F.col("pts.__bucket") == F.col("iv.__bucket"))
+        & (F.col(f"pts.{point_ts}") >= F.col(f"iv.{start_ts}"))
+        & (F.col(f"pts.{point_ts}") <= F.col(f"iv.{end_ts}"))
     )
-    ival_cols = [c for c in intervals.columns if c not in by]
-    out = joined.select(*points.columns, *ival_cols)
-    if how == "inner":
-        return out
-    # left: re-attach points that matched nothing
-    matched = out
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(), on=points.columns,
-        how="left_anti",
+    joined = pts.join(iv, cond, how)
+    return joined.select(
+        *[F.col(f"pts.{c}") for c in points.columns],
+        *[F.col(f"iv.{c}") for c in ival_cols],
     )
-    for c in ival_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(intervals.dtypes)[c])
-        )
-    return matched.unionByName(unmatched)
 
 
 def rollup_hierarchy(

@@ -94,3 +94,33 @@ def test_range_join_no_nested_loop_plan(spark):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_left_null_payload_no_duplicates(spark):
+    # regression: a matched point carrying a NULL non-key column must NOT
+    # also reappear as a spurious unmatched row (the old anti-join used
+    # null-unsafe equality)
+    pts = spark.createDataFrame(
+        [(1, "u", _ts(10), None), (2, "x", _ts(10), "n")],
+        "id long, k string, t timestamp, note string",
+    )
+    iv = spark.createDataFrame(
+        [("u", _ts(9), _ts(12), "a")],
+        "k string, s timestamp, e timestamp, tag string",
+    )
+    got = sorted(
+        (r.id, r.note, r.tag)
+        for r in range_join(pts, iv, "t", "s", "e", by="k", how="left").collect()
+    )
+    assert got == [(1, None, "a"), (2, "n", None)]
+
+
+def test_range_join_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    pts = spark.createDataFrame([(1, "u", _ts(10), "x")],
+                                "id long, k string, t timestamp, tag string")
+    iv = spark.createDataFrame([("u", _ts(9), _ts(12), "a")],
+                               "k string, s timestamp, e timestamp, tag string")
+    with _pytest.raises(ValueError, match="collision"):
+        range_join(pts, iv, "t", "s", "e", by="k")

@@ -6,7 +6,7 @@
   (b) this engine's way    — one fused Spark CheckSuite pass.
 
 at 1x/4x/16x multiples of sf0.1 lineitem (600k/2.4M/9.6M rows), best of
-3.  Prints one JSON line with both series and the per-600k-rows marginal
+3.  Prints one JSON line with both series and the per-base-table marginal
 cost of each architecture.
 
 Usage: python tools/ref_compare.py
@@ -61,22 +61,10 @@ def duck_run(mult: int) -> float:
 
 
 def spark_suite():
-    from dqc_spark.suite import Check, CheckSuite
+    # the SAME suite bench.py times as checks_fused_10 — single source
+    import bench
 
-    return CheckSuite(
-        [
-            Check.not_null("l_orderkey"),
-            Check.enum("l_returnflag", ["A", "N", "R"]),
-            Check.between("l_discount", 0.0, 0.1),
-            Check.length("l_linestatus", 1, 1),
-            Check.max_between("l_quantity", 1, 50),
-            Check.min_between("l_extendedprice", 0, 1e9),
-            Check.mean_between("l_extendedprice", 0, 1e9),
-            Check.median_between("l_extendedprice", 0, 1e9, approx=True),
-            Check.row_count_between(1, 10**12),
-            Check.distinct_in_set("l_linestatus", ["O", "F"]),
-        ]
-    )
+    return bench.headline_suite()
 
 
 def main() -> None:
@@ -86,6 +74,7 @@ def main() -> None:
     spark = get_spark(app_name="ref_compare", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     li = spark.read.parquet(PATH)
+    base_rows = li.count()
     suite = spark_suite()
     suite.run(li)  # warm
 
@@ -108,11 +97,11 @@ def main() -> None:
         json.dumps(
             {
                 "checks": 10,
-                "base_rows": 600_572,
+                "base_rows": base_rows,
                 "multiples": MULTIPLES,
                 "duckdb_per_check_sec": {str(m): round(duck[m], 3) for m in MULTIPLES},
                 "spark_fused_sec": {str(m): round(sp[m], 3) for m in MULTIPLES},
-                "marginal_sec_per_600k": {
+                "marginal_sec_per_base": {
                     "duckdb_ref_architecture": round(marginal_duck, 4),
                     "spark_fused": round(marginal_spark, 4),
                 },
