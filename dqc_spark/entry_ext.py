@@ -212,6 +212,58 @@ def q_pricing_summary(spark, sf):
     )
 
 
+def q_local_supplier_revenue(spark, sf):
+    # TPC-H Q5 shape: 6-table join chain with small-dim broadcasts.
+    # Join order/physical strategy is Catalyst's call: region+nation are
+    # broadcast (constant-folded filter first), customer/supplier hash-
+    # join against the orders-lineitem fact spine.
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_shipping_priority(spark, sf):
+    # TPC-H Q3 shape: join + agg + deterministic top-k
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1996-06-30")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -527,6 +579,8 @@ def extra_queries():
         "text_top_ngrams": q_top_ngrams,
         "olap_pricing_summary": q_pricing_summary,
         "olap_events_hourly": q_events_hourly,
+        "olap_local_supplier_revenue": q_local_supplier_revenue,
+        "olap_shipping_priority": q_shipping_priority,
         "olap_top_customers_per_nation": q_top_customers_per_nation,
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
@@ -685,6 +739,29 @@ def extra_oracle_sql():
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "olap_local_supplier_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "olap_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "olap_top_customers_per_nation": """
             SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rk
