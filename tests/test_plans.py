@@ -135,3 +135,47 @@ def test_top_ngrams_uses_takeordered_not_global_sort(docs):
     p = plan_str(top_ngrams(docs, "text", 3, 20))
     assert "TakeOrderedAndProject" in p
     assert "partial_count" in p  # map-side combine before the gram shuffle
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (session default skewJoin.enabled=true):
+    a 90%-hot key in a sort-merge join gets its partition SPLIT at
+    runtime — `skew=true` in the final adaptive plan.  (Skewed
+    AGGREGATIONS are not auto-split, which is why skew.py's salted
+    two-phase groupBy exists.)"""
+    import re
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # thresholds scaled down so a ~200k-row local fixture exhibits
+        # what a multi-GB hot partition does in production
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200000).select(
+            F.when(F.rand(7) < 0.9, 0)
+            .otherwise((F.rand(11) * 1000).cast("long"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+        dim = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").select(F.count("v").alias("n"))
+        assert j.collect()[0]["n"] == 200000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"skew=true", plan), "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
