@@ -110,8 +110,11 @@ class ParquetAuditSink(MemoryAuditSink):
 
     def print_all_logs(self) -> str:
         """show-logs parity (connector.go:109-157): ordered fixed-width
-        render with PASS/FAIL."""
-        rows = self.read().orderBy("run_id", "seq").collect()
+        render with PASS/FAIL.  ts leads the sort — run_id is a random
+        uuid, so (run_id, seq) alone would interleave runs arbitrarily
+        instead of chronologically (the reference orders by its
+        AUTOINCREMENT id = insertion order)."""
+        rows = self.read().orderBy("ts", "run_id", "seq").collect()
         return format_log_rows(rows)
 
     def clear_logs(self) -> None:
@@ -157,7 +160,12 @@ class SQLiteAuditSink:
             c.execute(self.CREATE)
 
     def _conn(self):
-        return sqlite3.connect(self.db_path)
+        # sqlite3's `with conn` ends the TRANSACTION, not the connection;
+        # closing() makes the handle lifetime explicit instead of leaving
+        # it to refcount GC (latent fd leak / 'database is locked')
+        import contextlib
+
+        return contextlib.closing(sqlite3.connect(self.db_path))
 
     def log(self, check_type: str, result: bool, params: dict,
             error_count: int | None = None, **_ignored) -> None:
@@ -165,7 +173,7 @@ class SQLiteAuditSink:
         payload = dict(params or {})
         if error_count is not None:
             payload["error_count"] = str(error_count)
-        with self._conn() as c:
+        with self._conn() as c, c:
             c.execute(
                 "INSERT INTO log (timestamp, data_quality_check_type, result,"
                 " additional_params) VALUES (?, ?, ?, ?)",
@@ -177,5 +185,5 @@ class SQLiteAuditSink:
             return list(c.execute("SELECT * FROM log ORDER BY id"))
 
     def clear(self) -> None:
-        with self._conn() as c:
+        with self._conn() as c, c:
             c.execute("DELETE FROM log")

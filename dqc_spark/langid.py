@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.textmodels import build_langid_model, langid_score
+from dqc_spark.textmodels import langid_score
 
 _RESULT_TYPE = T.StructType(
     [
@@ -26,8 +26,11 @@ _RESULT_TYPE = T.StructType(
 
 
 def make_langid_udf(spark: SparkSession):
-    """Build the UDF with the model broadcast to executors."""
-    bc = spark.sparkContext.broadcast(build_langid_model())
+    """Build the UDF with the model broadcast to executors (broadcast
+    reused across calls via scoring._broadcast_models)."""
+    from dqc_spark.scoring import _broadcast_models
+
+    bc, _ = _broadcast_models(spark)
 
     @F.pandas_udf(_RESULT_TYPE)
     def langid_udf(texts: pd.Series) -> pd.DataFrame:
@@ -45,11 +48,11 @@ def make_langid_udf(spark: SparkSession):
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append lang_pred/lang_conf columns in one projection."""
     udf = make_langid_udf(df.sparkSession)
-    return (
-        df.withColumn("__lid", udf(F.col(text_col)))
-        .withColumn("lang_pred", F.col("__lid.lang_pred"))
-        .withColumn("lang_conf", F.col("__lid.lang_conf"))
-        .drop("__lid")
+    tagged = df.withColumn("__lid", udf(F.col(text_col)))
+    return tagged.select(
+        *[F.col(c) for c in df.columns],
+        F.col("__lid.lang_pred").alias("lang_pred"),
+        F.col("__lid.lang_conf").alias("lang_conf"),
     )
 
 

@@ -133,7 +133,11 @@ def make_page(doc_id: int, allow_dup_url: bool = True) -> dict:
         dom = int(r.integers(HOT_DOMAINS, N_DOMAINS))
     url = f"https://site{dom}.example.com/page/{doc_id}"
     if allow_dup_url and doc_id > 0 and r.random() < DUP_URL_RATE:
-        url = make_page(doc_id - 1, allow_dup_url=False)["url"]
+        # follow the chain (allow_dup_url=True): doc i-1's ACTUAL url may
+        # itself be a duplicate of i-2's — taking its pre-dup base url
+        # would plant a "duplicate" no other document has.  Pure function
+        # of (SEED, doc_id) either way; expected chain depth ~1.02.
+        url = make_page(doc_id - 1, allow_dup_url=True)["url"]
 
     # Knuth-hash the id across the 30-day window so any corpus size
     # exercises multiple day partitions (partition pruning is real)

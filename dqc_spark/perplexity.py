@@ -13,13 +13,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.textmodels import build_lm, perplexity
+from dqc_spark.textmodels import perplexity
 
 DEFAULT_MAX_PPL = 100.0
 
 
 def make_perplexity_udf(spark: SparkSession):
-    bc = spark.sparkContext.broadcast(build_lm())
+    from dqc_spark.scoring import _broadcast_models
+
+    _, bc = _broadcast_models(spark)
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:

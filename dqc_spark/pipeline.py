@@ -64,7 +64,11 @@ def annotate(
     """
     if engine not in ("pandas", "column"):
         raise ValueError(f"engine must be 'pandas' or 'column', got {engine!r}")
-    text = F.col(text_col)
+    # NULL text == empty text for every gate: the pandas kernel already
+    # maps None -> "" (scoring.score_udf), so the Column forms must see
+    # "" too or the engines diverge on NULL rows (NULL predicates get
+    # coalesced to False -> doc kept; "" fires too_few_words -> dropped)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     df = pages
     if engine == "pandas":
         from dqc_spark.scoring import with_scores

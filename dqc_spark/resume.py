@@ -27,19 +27,26 @@ PARTITION_DONE = "partition_complete"
 
 
 def completed_days(audit: ParquetAuditSink, run_group: str) -> set[str]:
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = (
-            audit.read()
-            .filter(
-                (F.col("check_type") == PARTITION_DONE)
-                & (F.col("input_snapshot") == run_group)
-                & F.col("result")
-            )
-            .select(F.col("params")["day"].alias("day"))
-            .collect()
+        audit_df = audit.read()
+    except AnalysisException as exc:
+        # only a genuinely-missing table means "nothing completed yet";
+        # any other read failure (corrupt footer, permissions) must NOT
+        # silently disable resume and reprocess the whole input
+        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+            return set()
+        raise
+    rows = (
+        audit_df.filter(
+            (F.col("check_type") == PARTITION_DONE)
+            & (F.col("input_snapshot") == run_group)
+            & F.col("result")
         )
-    except Exception:  # audit table does not exist yet
-        return set()
+        .select(F.col("params")["day"].alias("day"))
+        .collect()
+    )
     return {r["day"] for r in rows if r["day"] is not None}
 
 
@@ -57,8 +64,6 @@ def run_resumable(
     in ONE Spark job (a single isin filter + partitioned write), not a
     per-day loop — day count can be large.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     days_df = pages.select(F.to_date("warc_ts").alias("day")).distinct()
     all_days = sorted(str(r["day"]) for r in days_df.collect())
     done = completed_days(audit, run_group)
@@ -72,11 +77,23 @@ def run_resumable(
     ann = annotate(subset, thresholds=thresholds).withColumn(
         "day", F.to_date("warc_ts")
     )
-    (
-        ann.write.mode("overwrite")  # dynamic: replaces only written days
-        .partitionBy("day")
-        .parquet(output_path)
-    )
+    # dynamic overwrite (replace only the written days) — scoped with a
+    # save/restore: leaking the session-wide conf would silently turn
+    # run_pipeline's later full overwrites into partial ones
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            ann.write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(output_path)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
 
     # per-partition lineage metrics from the written output (cheap: the
     # day column prunes, and only 3 small aggregates per day)

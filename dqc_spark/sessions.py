@@ -64,11 +64,16 @@ def streaming_session_counts(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """Streaming-native session windows (per user, gap-closed)."""
+    """Streaming-native session windows (per user, gap-closed).
+
+    ``watermark`` bounds allowed event-time lateness independently of
+    the session gap (defaults to the gap); coupling them would force a
+    semantic change to the sessions just to tolerate later data."""
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
-        events.withWatermark(ts_col, gap)
+        events.withWatermark(ts_col, watermark or gap)
         .groupBy(F.session_window(ts_col, gap), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -52,9 +52,16 @@ def load_table(
     """
     if isinstance(source, DataFrame):
         return source
+    looks_like_path = (
+        "://" in source or "/" in source or
+        os.path.splitext(source)[1].lower() in _EXT_FORMATS
+    )
+    if looks_like_path and "://" not in source and not os.path.exists(source):
+        # validatePathExists parity (checker.go:24-43): a local path that
+        # is not there fails fast with a clear error, instead of falling
+        # through to a confusing catalog lookup
+        raise DataPathError(f"data path does not exist: {source}")
     if os.path.exists(source) or "://" in source:
-        if not ("://" in source) and not os.path.exists(source):
-            raise DataPathError(f"data path does not exist: {source}")
         fmt = fmt or infer_format(source)
         try:
             if fmt == "csv":

@@ -124,6 +124,28 @@ def test_column_engine_matches_pandas_engine(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_engines_agree_on_null_and_empty_text(spark):
+    """NULL text must gate identically to "" in BOTH engines (the pandas
+    kernel maps None -> ""; the Column forms coalesce the input)."""
+    import datetime as dt
+
+    from dqc_spark.pagesgen import PAGES_SCHEMA
+
+    ts = dt.datetime(2024, 1, 1)
+    sch = PAGES_SCHEMA
+    rows = [("u1", ts, b"", None, "en"), ("u2", ts, b"", "", "en"),
+            ("u3", ts, b"", "plain short text", "en")]
+    # PAGES_SCHEMA marks text non-null; build a nullable clone
+    from pyspark.sql import types as T
+    nullable = T.StructType([T.StructField(f.name, f.dataType, True) for f in sch])
+    pages = spark.createDataFrame(rows, nullable)
+    for eng in ("pandas", "column"):
+        ann = {r.url: (r.keep, r.n_words)
+               for r in annotate(pages, engine=eng).collect()}
+        assert ann["u1"][0] is False and ann["u2"][0] is False, eng
+        assert ann["u1"][1] == 0 and ann["u2"][1] == 0, eng
+
+
 def test_curate_end_to_end(spark):
     from dqc_spark.pagesgen import generate_pages
     from dqc_spark.pipeline import annotate, curate
