@@ -30,7 +30,7 @@ PAGES_CACHE = f"/tmp/dqc_bench_pages_{N_DOCS}"
 # inside the free headroom.  Trials are best-of-K for the same reason.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 
 
 def _sf_label() -> float:
