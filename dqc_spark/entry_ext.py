@@ -398,6 +398,20 @@ def q_lang_source_cube(spark, sf):
     )
 
 
+def q_lang_source_pivot(spark, sf):
+    # pivot/cross-tab: per-lang doc counts across a fixed source list
+    # (explicit pivot values keep the schema deterministic and skip the
+    # extra distinct-values job Spark otherwise runs)
+    docs = _t(spark, sf, "documents")
+    srcs = ["src0", "src1", "src2", "src3"]
+    return (
+        docs.groupBy("lang")
+        .pivot("source", srcs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, srcs)
+    )
+
+
 def q_customers_without_orders(spark, sf):
     # set-op coverage: EXCEPT (anti-semantics at the set level)
     cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
@@ -584,6 +598,7 @@ def extra_queries():
         "olap_top_customers_per_nation": q_top_customers_per_nation,
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
+        "olap_lang_source_pivot": q_lang_source_pivot,
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
         "olap_value_percentiles": q_value_percentiles,
@@ -780,6 +795,14 @@ def extra_oracle_sql():
         "setop_customers_without_orders": """
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_lang_source_pivot": """
+            SELECT lang,
+                   COUNT(*) FILTER (source = 'src0') AS src0,
+                   COUNT(*) FILTER (source = 'src1') AS src1,
+                   COUNT(*) FILTER (source = 'src2') AS src2,
+                   COUNT(*) FILTER (source = 'src3') AS src3
+            FROM documents GROUP BY lang
         """,
         "olap_range_join": """
             WITH iv AS (
