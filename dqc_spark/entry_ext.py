@@ -398,6 +398,17 @@ def q_lang_source_cube(spark, sf):
     )
 
 
+def q_customers_with_orders(spark, sf):
+    # left-semi join (the inverse of the referential anti-join): keep
+    # customers that DO have orders — the keep-side shape the pipeline
+    # uses for allowlists
+    cust = _t(spark, sf, "customer")
+    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(ords, on="c_custkey", how="left_semi").select(
+        "c_custkey"
+    )
+
+
 def q_lang_source_pivot(spark, sf):
     # pivot/cross-tab: per-lang doc counts across a fixed source list
     # (explicit pivot values keep the schema deterministic and skip the
@@ -599,6 +610,7 @@ def extra_queries():
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
         "olap_lang_source_pivot": q_lang_source_pivot,
+        "setop_customers_with_orders": q_customers_with_orders,
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
         "olap_value_percentiles": q_value_percentiles,
@@ -803,6 +815,10 @@ def extra_oracle_sql():
                    COUNT(*) FILTER (source = 'src2') AS src2,
                    COUNT(*) FILTER (source = 'src3') AS src3
             FROM documents GROUP BY lang
+        """,
+        "setop_customers_with_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
         "olap_range_join": """
             WITH iv AS (

@@ -99,3 +99,33 @@ def test_portable_hash_bucket_matches_python_md5(spark, keys):
     for k in keys:
         want = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) % 100
         assert got[k] == want, k
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pack_token_budget_matches_python_model(spark, items):
+    """Budget-bin assignment equals the sequential python fold for
+    arbitrary (stratum, token) streams — partitioning must not leak into
+    bin ids."""
+    from dqc_spark.sampling import pack_token_budget
+
+    budget = 600
+    rows = [(i, s, t) for i, (s, t) in enumerate(items)]
+    df = spark.createDataFrame(rows, "id long, s string, toks long").repartition(3)
+    got = {
+        r.id: r.bin_id
+        for r in pack_token_budget(df, "s", "id", F.col("toks"), budget).collect()
+    }
+    want = {}
+    run = {}
+    for i, s, t in sorted(rows):
+        prior = run.get(s, 0)
+        want[i] = prior // budget
+        run[s] = prior + t
+    assert got == want
