@@ -93,6 +93,51 @@ def _pipeline_seconds(spark, trials: int = TRIALS) -> float:
     return min(_timed(run) for _ in range(trials))
 
 
+def quality_metrics(spark, n_docs: int = 5000) -> dict:
+    """BASELINE.md's headline metric, measured: keep/drop F1 and
+    scrubbed-text byte parity of the Spark pipeline vs the pure-Python
+    golden oracle on the deterministic synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from dqc_spark.pagesgen import generate_pages, generate_pages_local
+    from dqc_spark.pipeline import annotate
+    from dqc_spark.pipeline_oracle import oracle_labels
+
+    local = generate_pages_local(n_docs)
+    golden = {
+        (row["url"], row["text"]): g
+        for row, g in zip(local, oracle_labels(local))
+    }
+    ann = annotate(generate_pages(spark, n_docs, n_partitions=CPUS)).select(
+        "url", "text", "keep",
+        F.when(F.col("keep"), F.col("scrubbed_text")).alias("st"),
+    ).collect()
+    tp = fp = fn = tn = 0
+    byte_ok = byte_total = 0
+    for r in ann:
+        g = golden[(r["url"], r["text"])]
+        if r["keep"] and g["keep"]:
+            tp += 1
+        elif r["keep"] and not g["keep"]:
+            fp += 1
+        elif not r["keep"] and g["keep"]:
+            fn += 1
+        else:
+            tn += 1
+        if g["keep"] and r["keep"]:
+            byte_total += 1
+            if r["st"] == g["scrubbed_text"]:
+                byte_ok += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "n_docs": n_docs,
+        "keep_f1": round(f1, 6),
+        "scrub_byte_parity": round(byte_ok / byte_total, 6) if byte_total else 1.0,
+    }
+
+
 def headline_suite():
     """The 10-check lineitem suite used by BOTH the fused-Spark headline
     timing and tools/ref_compare.py's reference-architecture comparison
@@ -167,6 +212,7 @@ def main() -> None:
 
     spark = _session(CPUS)
     _ensure_pages(spark)
+    quality = quality_metrics(spark)
     results.update(headline_queries(spark))
     t_full = _pipeline_seconds(spark)
     results[f"pipeline_{N_DOCS}docs_c{CPUS}"] = t_full
@@ -208,6 +254,12 @@ same input ({N_DOCS} synthetic pages), two parallelism levels:
 **Scaling efficiency = ({t_lo:.1f} / {t_hi:.1f}) / {SCALE_HIGH // SCALE_LOW}
 = {eff:.2f}**  (target >= 0.8)
 
+## Correctness metric (BASELINE.md: keep/drop F1 >= 0.99, byte-identical scrub)
+
+Spark pipeline vs the pure-Python golden oracle on {quality['n_docs']}
+deterministic synthetic docs: **keep/drop F1 = {quality['keep_f1']}**,
+**scrubbed-text byte parity = {quality['scrub_byte_parity']}**.
+
 ## Headline query timings (local[{CPUS}], seconds)
 
 | query | sec |
@@ -233,6 +285,7 @@ same input ({N_DOCS} synthetic pages), two parallelism levels:
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": _sf_label(),
                 "docs": N_DOCS,
+                "quality": quality,
                 "scaling": {
                     "cores_low": SCALE_LOW,
                     "cores_high": SCALE_HIGH,
