@@ -58,7 +58,10 @@ def windowed_event_counts(
 
 
 def stream_dedup_first_seen(
-    pages: DataFrame, key_col: str = "url", text_col: str = "text"
+    pages: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: emit only the FIRST document
     ever seen per content hash; later exact duplicates (across
@@ -76,14 +79,17 @@ def stream_dedup_first_seen(
     for an unbounded crawl horizon, swap NoTimeout for a processing-time
     timeout to expire content not re-seen within the dedup window.
 
-    Output: (<key_col>, text_hash, n_prior_dups) — one row per first
-    occurrence, with the number of duplicates absorbed from the same
-    micro-batch (re-emitted never; later-batch duplicates accumulate
-    only in the state counter).
+    Output: (<key_col>, *payload_cols, text_hash, n_prior_dups) — one
+    row per first occurrence (its full payload), with the number of
+    duplicates absorbed from the same micro-batch (re-emitted never;
+    later-batch duplicates accumulate only in the state counter).
     """
+    payload_cols = payload_cols or []
+    src_fields = {f.name: f for f in pages.schema.fields}
     out_schema = T.StructType(
-        [
-            T.StructField("key", T.StringType()),
+        [T.StructField("key", src_fields[key_col].dataType)]
+        + [src_fields[c] for c in payload_cols]
+        + [
             T.StructField("text_hash", T.StringType()),
             T.StructField("n_prior_dups", T.LongType()),
         ]
@@ -94,26 +100,26 @@ def stream_dedup_first_seen(
         key: tuple, pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
         n_seen = state.get[0] if state.exists else 0
-        emit_key = None
+        first_row = None
         for pdf in pdfs:
             if n_seen == 0 and len(pdf) > 0:
-                emit_key = str(pdf[key_col].iloc[0])
+                first_row = pdf.iloc[0]
             n_seen += len(pdf)
         state.update((n_seen,))
-        if emit_key is not None:
+        if first_row is not None:
             # duplicates absorbed in the same micro-batch as the first
             # occurrence (later batches never re-emit, so their dups are
             # visible only in the state counter)
-            yield pd.DataFrame(
-                {
-                    "key": [emit_key],
-                    "text_hash": [key[0]],
-                    "n_prior_dups": [n_seen - 1],
-                }
-            )
+            row = {"key": [first_row[key_col]]}
+            for c in payload_cols:
+                row[c] = [first_row[c]]
+            row["text_hash"] = [key[0]]
+            row["n_prior_dups"] = [n_seen - 1]
+            yield pd.DataFrame(row)
 
     hashed = pages.select(
-        F.col(key_col), F.md5(F.col(text_col)).alias("text_hash")
+        F.col(key_col), *payload_cols,
+        F.md5(F.col(text_col)).alias("text_hash"),
     )
     return hashed.groupBy("text_hash").applyInPandasWithState(
         first_seen,
@@ -143,6 +149,35 @@ def stream_dedup_pipeline(
         .start()
     )
     return q
+
+
+def stream_curate_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    thresholds: dict | None = None,
+):
+    """The streaming CURATION graph: quality filter + exact dedup in ONE
+    continuous query — stateless annotate/scrub stages feed the stateful
+    first-seen operator, so a crawl feed is gated AND deduplicated
+    incrementally (across micro-batches and restarts) with a single
+    checkpoint.  Batch counterpart: pipeline.curate (minus the near-dup
+    LSH stage, which needs all-pairs candidate joins and stays batch)."""
+    pages = stream_pages(spark, input_dir)
+    ann = annotate(pages, thresholds=thresholds).filter(F.col("keep"))
+    deduped = stream_dedup_first_seen(
+        ann, key_col="url", text_col="scrubbed_text",
+        payload_cols=["lang", "scrubbed_text"],
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_quality_pipeline(

@@ -125,3 +125,33 @@ def test_stateful_first_seen_dedup_across_runs(spark, tmp_path):
     assert got2.count() == 3  # only C was new; B was absorbed by state
     keys = {r.key for r in got2.collect()}
     assert "u5" in keys and "u4" not in keys
+
+
+def test_stream_curate_filters_and_dedups_incrementally(spark, tmp_path):
+    """One continuous query: gates + scrub + stateful exact dedup.
+    Kept set matches the batch pipeline; duplicates never re-emit across
+    restarted runs."""
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.streaming import stream_curate_pipeline
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 120, n_partitions=2)
+    pages.write.parquet(src)
+    q = stream_curate_pipeline(spark, src, out, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = annotate(pages).filter(F.col("keep"))
+    n_want_distinct = want.select(F.md5("scrubbed_text")).distinct().count()
+    assert got.count() == n_want_distinct
+    assert got.select("text_hash").distinct().count() == got.count()
+    # streamed rows are genuine pipeline survivors with their payload
+    assert got.filter(F.col("scrubbed_text").isNull()).count() == 0
+
+    # second run over the SAME files: nothing new emitted
+    q2 = stream_curate_pipeline(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_want_distinct
