@@ -264,6 +264,27 @@ def q_shipping_priority(spark, sf):
     )
 
 
+def q_late_shipment_priority(spark, sf):
+    # TPC-H Q4 shape: correlated EXISTS — orders (one quarter) having at
+    # least one lineitem shipped >90 days after the order date, counted
+    # per priority.  The EXISTS compiles to a left-semi join with a
+    # non-equi residual; no correlated re-execution per row.
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 def q_events_hourly(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy(
@@ -605,6 +626,7 @@ def extra_queries():
         "olap_pricing_summary": q_pricing_summary,
         "olap_events_hourly": q_events_hourly,
         "olap_local_supplier_revenue": q_local_supplier_revenue,
+        "olap_late_shipment_priority": q_late_shipment_priority,
         "olap_shipping_priority": q_shipping_priority,
         "olap_top_customers_per_nation": q_top_customers_per_nation,
         "olap_lang_source_cube": q_lang_source_cube,
@@ -766,6 +788,18 @@ def extra_oracle_sql():
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "olap_late_shipment_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
         """,
         "olap_local_supplier_revenue": """
             SELECT n_name,
