@@ -430,6 +430,25 @@ def q_customers_with_orders(spark, sf):
     )
 
 
+def q_rich_idle_customers(spark, sf):
+    # TPC-H Q22 shape: scalar subquery (global AVG) + NOT EXISTS —
+    # above-average-balance customers who never ordered, per segment.
+    # The scalar aggregate broadcasts as a 1-row literal; the NOT EXISTS
+    # is a left-anti join.
+    cust = _t(spark, sf, "customer")
+    ords = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    avg_bal = cust.agg(F.avg("c_acctbal")).first()[0]
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(ords, on="c_custkey", how="left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def q_lang_source_pivot(spark, sf):
     # pivot/cross-tab: per-lang doc counts across a fixed source list
     # (explicit pivot values keep the schema deterministic and skip the
@@ -633,6 +652,7 @@ def extra_queries():
         "setop_customers_without_orders": q_customers_without_orders,
         "olap_lang_source_pivot": q_lang_source_pivot,
         "setop_customers_with_orders": q_customers_with_orders,
+        "olap_rich_idle_customers": q_rich_idle_customers,
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
         "olap_value_percentiles": q_value_percentiles,
@@ -853,6 +873,15 @@ def extra_oracle_sql():
         "setop_customers_with_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "olap_rich_idle_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n_custs,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
         """,
         "olap_range_join": """
             WITH iv AS (
