@@ -206,7 +206,20 @@ def q_pricing_summary(spark, sf):
             # ratio that can land exactly on a half-way decimal where the
             # engines' rounding modes diverge (see _trunc4)
             (F.floor(F.avg("l_quantity") * 10000) / 10000).alias("avg_qty"),
-            (F.floor(F.avg("l_discount") * 10000) / 10000).alias("avg_disc"),
+            # l_discount is an inexact double (0.01 steps), so AVG sums in
+            # engine-specific order -> different doubles -> FLOOR would flip
+            # at bucket boundaries.  Recover the exact ratio: round each
+            # value to integer cents (exact both engines), sum as BIGINT,
+            # divide once — both engines then floor the IDENTICAL double.
+            (
+                F.floor(
+                    F.sum(F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+                    / 100.0
+                    / F.count(F.lit(1))
+                    * 10000
+                )
+                / 10000
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -504,9 +517,14 @@ def q_media_features(spark, sf):
     return feats.select("key", "n_bytes", F.size("features").alias("dim"))
 
 
-def _exact_dup_pairs(spark, sf):
+def _dup_pairs(spark, sf):
+    # edges from a TRUNCATED text hash (3 hex chars = 4096 buckets):
+    # unlike full-md5 exact-dup edges, this collides at every scale
+    # factor (30 groups at sf0.001, 1422 at sf0.1), so the iterative
+    # closure below is non-vacuously exercised by the differential gate
+    # (round-1 ADVICE: full-hash edges matched on 0 groups at small sf)
     docs = _t(spark, sf, "documents")
-    h = docs.select("doc_id", F.md5("text").alias("h"))
+    h = docs.select("doc_id", F.substring(F.md5("text"), 1, 3).alias("h"))
     a = h.select(F.col("doc_id").alias("key_a"), F.col("h").alias("ha"))
     b = h.select(F.col("doc_id").alias("key_b"), F.col("h").alias("hb"))
     return (
@@ -516,12 +534,13 @@ def _exact_dup_pairs(spark, sf):
 
 
 def q_components_exact(spark, sf):
-    # iterative min-label propagation, differentially checked: on exact-
-    # dup edges the closure is SQL-expressible (component = min doc_id
-    # of the text-hash group), so DuckDB can verify the iterative loop
+    # iterative large-star/small-star components, differentially checked:
+    # on same-truncated-hash cliques the closure is SQL-expressible
+    # (component = min doc_id of the hash group), so DuckDB can verify
+    # the iterative loop
     from dqc_spark.components import connected_components
 
-    return connected_components(_exact_dup_pairs(spark, sf))
+    return connected_components(_dup_pairs(spark, sf))
 
 
 def q_keep_canonical(spark, sf):
@@ -529,7 +548,7 @@ def q_keep_canonical(spark, sf):
     from dqc_spark.components import keep_canonical
 
     docs = _t(spark, sf, "documents")
-    return keep_canonical(docs, _exact_dup_pairs(spark, sf), "doc_id").select(
+    return keep_canonical(docs, _dup_pairs(spark, sf), "doc_id").select(
         "doc_id"
     )
 
@@ -798,7 +817,8 @@ def extra_oracle_sql():
                    ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    FLOOR(AVG(l_quantity) * 10000) / 10000 AS avg_qty,
-                   FLOOR(AVG(l_discount) * 10000) / 10000 AS avg_disc,
+                   FLOOR(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                         / 100.0 / COUNT(*) * 10000) / 10000 AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -973,7 +993,10 @@ def extra_oracle_sql():
               FROM documents
             )
             SELECT lang, CAST(FLOOR(excl / 2000.0) AS BIGINT) AS bin_id,
-                   COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+                   COUNT(*) AS n_docs,
+                   -- DuckDB int SUM is HUGEINT (float64 in pandas);
+                   -- Spark's is int64 — cast so the dtypes agree
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM r GROUP BY 1, 2
         """,
         "text_chunks": """
@@ -997,7 +1020,8 @@ def extra_oracle_sql():
               ON d.column_name = c.col
         """,
         "dedup_components": """
-            WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+            WITH g AS (SELECT doc_id, substring(md5(text), 1, 3) AS h
+                       FROM documents),
                  m AS (SELECT h, MIN(doc_id) AS mn, COUNT(*) AS c
                        FROM g GROUP BY h)
             SELECT g.doc_id AS key, m.mn AS component
@@ -1006,7 +1030,7 @@ def extra_oracle_sql():
         "dedup_keep_canonical": """
             SELECT doc_id FROM (
               SELECT doc_id,
-                     ROW_NUMBER() OVER (PARTITION BY md5(text)
+                     ROW_NUMBER() OVER (PARTITION BY substring(md5(text), 1, 3)
                                         ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1

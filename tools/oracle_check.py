@@ -25,12 +25,16 @@ TABLES = [
 
 def value_hash(pdf: pd.DataFrame) -> str:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    # normalize dtypes: everything to string with stable float repr
+    # Stringify with DTYPE preserved: a float 0.0 must hash differently
+    # from an int 0, because the driver's gate distinguishes them (the
+    # round-1 HUGEINT->float64 oracle mismatches were masked locally by a
+    # %.6g normalization here).  repr() keeps the shortest round-trip
+    # float form, so genuine cross-engine value drift surfaces too.
     def norm(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            return repr(v)
         return str(v)
 
     rows = sorted(
