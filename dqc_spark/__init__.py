@@ -13,6 +13,7 @@ the table-level checks into per-document keep/drop gates for web-scale
 text pipelines (language ID, perplexity, heuristic rules, PII scrub).
 """
 
+from dqc_spark.cache import release_all
 from dqc_spark.checks import CheckResult, DataQualityChecker
 from dqc_spark.session import get_spark
 from dqc_spark.suite import Check, CheckSuite
@@ -23,6 +24,7 @@ __all__ = [
     "get_spark",
     "Check",
     "CheckSuite",
+    "release_all",
 ]
 
 __version__ = "0.1.0"

@@ -65,11 +65,44 @@ DUCKDB_TO_SPARK_TYPE: dict[str, str] = {
 }
 
 
+# canonical text form of a UUID (what DuckDB's TRY_CAST(... AS UUID)
+# accepts, modulo case); Spark has no UUID type so #8 special-cases it
+UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
 def spark_type_name(duckdb_type: str) -> str:
-    t = duckdb_type.strip().upper()
-    if t not in DUCKDB_TO_SPARK_TYPE:
-        raise ValueError(f"unsupported type name: {duckdb_type}")
-    return DUCKDB_TO_SPARK_TYPE[t]
+    """DuckDB type name -> Spark DDL type name.
+
+    The reference passes ANY type name verbatim into its engine's
+    TRY_CAST (/root/reference/cmd/dqc/main.go:732), so unknown names
+    must not be rejected up front: after the alias map, DuckDB's list
+    shorthand (``T[]``), and parameterized DECIMAL/NUMERIC, any
+    remaining name is handed to Spark's own DDL parser and accepted iff
+    Spark can cast to it — same "the engine decides" contract."""
+    t = duckdb_type.strip()
+    u = t.upper()
+    if u in DUCKDB_TO_SPARK_TYPE:
+        return DUCKDB_TO_SPARK_TYPE[u]
+    if u.endswith("[]"):  # DuckDB list shorthand: INTEGER[] etc.
+        return f"array<{spark_type_name(t[:-2])}>"
+    if u.startswith(("DECIMAL(", "NUMERIC(")):
+        return "decimal" + t[t.index("(") :]
+    if u == "INTERVAL":
+        # DuckDB INTERVAL covers day-time strings; closest Spark ANSI
+        # interval.  Accepted literal FORMATS differ between engines —
+        # documented divergence, pinned in tests/test_checks.py.
+        return "interval day to second"
+    try:  # verbatim passthrough: let Spark's DDL parser rule
+        T.StructType.fromDDL(f"__probe {t}")
+        return t
+    except Exception:
+        raise ValueError(
+            f"type name not recognized by the alias map or Spark's DDL "
+            f"parser: {duckdb_type!r}"
+        ) from None
 
 
 # ---------------------------------------------------------------------------
@@ -121,24 +154,96 @@ def between_pred(column: str, lo: float, hi: float) -> Column:
     return (c < F.lit(lo)) | (c > F.lit(hi))
 
 
+def to_re2_compatible(pattern: str) -> str:
+    """Validate ``pattern`` against the RE2/Java common subset and
+    normalize RE2-only spellings to their Java equivalents.
+
+    The reference promises RE2 semantics (/root/reference/README.md:33);
+    Spark ``rlike`` is Java regex.  Java silently ACCEPTS constructs RE2
+    rejects (backreferences, lookaround, possessive quantifiers), so a
+    pattern using them would pass here but error on the reference — we
+    reject them with a clear message instead of silently diverging.
+    RE2's ``(?P<name>...)`` group spelling is rewritten to Java's
+    ``(?<name>...)``.  Escapes and character classes are honored, so
+    e.g. ``\\1`` (literal backslash-1) and ``[+]`` are not false hits.
+    """
+    out: list[str] = []
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if not in_class and (nxt.isdigit() and nxt != "0" or nxt == "k"):
+                raise ValueError(
+                    f"pattern {pattern!r} uses a backreference (\\{nxt}); "
+                    "not valid RE2 — the reference engine rejects it"
+                )
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(" and pattern.startswith("(?", i):
+            for bad in ("(?=", "(?!", "(?<=", "(?<!"):
+                if pattern.startswith(bad, i):
+                    raise ValueError(
+                        f"pattern {pattern!r} uses lookaround ({bad}...); "
+                        "not valid RE2 — the reference engine rejects it"
+                    )
+            if pattern.startswith("(?P<", i):
+                out.append("(?<")  # RE2 named-group spelling -> Java
+                i += 4
+                continue
+        if ch == "+" and out and out[-1] in ("*", "+", "?", "}"):
+            raise ValueError(
+                f"pattern {pattern!r} uses a possessive quantifier "
+                f"({out[-1]}+); not valid RE2 — the reference engine "
+                "rejects it"
+            )
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def regex_pred(column: str, pattern: str) -> Column:
     """#7 check-regex: ``NOT regexp_matches(c, re) AND c IS NOT NULL``.
 
     DuckDB regexp_matches is *search* (partial match) semantics in RE2
     (checker.go:314-316, README.md:33); Spark ``rlike`` is also
-    search-not-fullmatch over Java regex.  Callers must stay inside the
-    RE2/Java common subset (no backreferences, no lookbehind-by-default
-    differences) — the engine does not translate dialects.
+    search-not-fullmatch over Java regex.  Patterns are validated into
+    the RE2/Java common subset by ``to_re2_compatible`` — Java-only
+    constructs RE2 would reject raise immediately instead of silently
+    diverging from the reference.
     """
     c = F.col(column)
-    return (~c.rlike(pattern)) & c.isNotNull()
+    return (~c.rlike(to_re2_compatible(pattern))) & c.isNotNull()
 
 
 def type_pred(column: str, duckdb_type: str) -> Column:
     """#8 check-type: ``TRY_CAST(c AS T) IS NULL AND c IS NOT NULL``
-    (checker.go:352-354); DuckDB type name mapped to Spark."""
-    t = spark_type_name(duckdb_type)
+    (checker.go:352-354); DuckDB type name mapped to Spark.
+
+    UUID is special-cased: Spark has no UUID type, so validity is the
+    canonical 8-4-4-4-12 hex form (what DuckDB's cast accepts)."""
     c = F.col(column)
+    if duckdb_type.strip().upper() == "UUID":
+        return (~c.cast("string").rlike(UUID_RE)) & c.isNotNull()
+    t = spark_type_name(duckdb_type)
+    if t.startswith(("array<", "struct<", "map<")):
+        # Spark has no string->collection cast; DuckDB parses the text
+        # form.  from_json is the Spark equivalent: NULL on malformed
+        # input, like TRY_CAST (element-level coercion failures yield
+        # null ELEMENTS, not a null value — documented divergence).
+        return F.from_json(c.cast("string"), t).isNull() & c.isNotNull()
     return F.expr(f"try_cast({column} AS {t})").isNull() & c.isNotNull()
 
 

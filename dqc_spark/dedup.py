@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqc_spark.cache import track
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -198,7 +200,7 @@ def minhash_lsh_candidates(
     )
     # persisted: consumed three times (bucket-cap counts + both sides of
     # the self-join) — otherwise the explode re-runs per consumer
-    banded = _cap_buckets(banded, ["band_id", "band_hash"], max_bucket).persist()
+    banded = track(_cap_buckets(banded, ["band_id", "band_hash"], max_bucket))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -242,9 +244,17 @@ def minhash_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
                 }
             )
 
-    return joined.mapInPandas(
-        kernel, "key_a long, key_b long, est_jaccard double"
+    # output schema built from the ACTUAL key types so string/non-bigint
+    # doc keys survive the Arrow conversion (a fixed "long" DDL here
+    # broke any caller whose keys weren't bigint)
+    out_schema = T.StructType(
+        [
+            T.StructField("key_a", joined.schema["key_a"].dataType),
+            T.StructField("key_b", joined.schema["key_b"].dataType),
+            T.StructField("est_jaccard", T.DoubleType()),
+        ]
     )
+    return joined.mapInPandas(kernel, out_schema)
 
 
 def minhash_near_dups(
@@ -263,7 +273,7 @@ def minhash_near_dups(
     consumer (measured 3-4x slower at 5k docs).  At cluster scale the
     same role is played by materializing the signature table to storage
     once and joining against it."""
-    sigs = minhash_signatures(df, key_col, text_col, num_perm).persist()
+    sigs = track(minhash_signatures(df, key_col, text_col, num_perm))
     cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
     return minhash_jaccard(cand, sigs).filter(F.col("est_jaccard") >= threshold)
 
@@ -375,7 +385,7 @@ def simhash_near_dups(
     persist the Arrow kernel re-runs for each (measured ~3x slower at
     5k docs).  At cluster scale: materialize signatures once, join after.
     """
-    sh = simhash_signatures(df, key_col, text_col).persist()
+    sh = track(simhash_signatures(df, key_col, text_col))
     chunks = sh.select(
         "key",
         "sim",

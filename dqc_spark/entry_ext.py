@@ -120,10 +120,25 @@ def q_embedding_near_dups_exact(spark, sf):
 
 
 def q_embedding_near_dups_lsh(spark, sf):
+    # rows-only, but the row count IS a recall meter: the stored
+    # embeddings are near-random (max pairwise cosine ~0.6 at sf0.1), so
+    # near-dups are PLANTED deterministically — each vector unioned with
+    # a copy perturbed by 0.15x its own cyclic shift (cosine ~0.99 to its
+    # source, <0.7 to everything else).  Each planted pair the banded
+    # LSH misses lowers the recorded row count, so recall regressions
+    # show up in the differential gate despite the no-oracle mode.
     from dqc_spark.similarity import embedding_near_dups
 
-    emb = _t(spark, sf, "embeddings")
-    return embedding_near_dups(emb, threshold=0.4, max_hamming=6)
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    d = 64
+    rolled = F.concat(F.slice("embedding", 2, d - 1), F.slice("embedding", 1, 1))
+    noisy = F.zip_with(
+        F.col("embedding"), rolled, lambda a, b: (a + F.lit(0.15) * b).cast("float")
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), noisy.alias("embedding")
+    )
+    return embedding_near_dups(emb.unionByName(copies), threshold=0.9)
 
 
 # ---------------------------------------------------------------------------

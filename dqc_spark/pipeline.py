@@ -229,10 +229,10 @@ def curate(
     # this the whole scoring pass re-executes per consumer (measured 2x
     # end-to-end at 20k docs).  Cluster-scale equivalent: write the
     # annotated table once, curate from it.
-    kept = (
-        ann.filter(F.col("keep"))
-        .withColumn("doc_key", F.xxhash64(key_col))
-        .persist()
+    from dqc_spark.cache import track
+
+    kept = track(
+        ann.filter(F.col("keep")).withColumn("doc_key", F.xxhash64(key_col))
     )
     # URL uniqueness (north-rule check, applied as a curation step): a
     # re-crawled url appears with several texts — keep ONE row per key,

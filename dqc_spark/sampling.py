@@ -66,17 +66,47 @@ def hash_sample(
 
 
 def stratified_sample(
-    df: DataFrame, stratum_col: str, key_col: str, k: int
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    pre_cap_overshoot: int | None = 20,
 ) -> DataFrame:
     """At most ``k`` rows per stratum, chosen in portable-hash order of
     ``key_col`` (deterministic pseudo-random, engine-reproducible).
 
     This is the hot-domain quota cap: strata larger than ``k`` are
     downsampled, small strata pass through whole.
+
+    Hot-stratum pre-cap: the row_number window shuffles EVERY row of a
+    stratum into one task — O(|stratum|) at the shuffle, fatal when one
+    domain holds 10^9 pages.  Because the window orders by the portable
+    hash itself, the k winners are exactly the k smallest hash values —
+    a PREFIX of the hash order — so rows can be pre-filtered to
+    ``h < 2^32 * overshoot*k / |stratum|`` (expected ``overshoot*k``
+    survivors) without changing the result whenever at least k rows
+    survive; at overshoot 20 the shortfall probability is
+    Chernoff-negligible (< e^-13k).  Strata smaller than
+    ``2*overshoot*k`` skip the filter entirely, so small-stratum output
+    is bit-identical by construction.  Cost: one extra count aggregate
+    (map-side partial, shuffles only (stratum, count) rows) + a
+    broadcast join — cheap next to an unbounded window input.  Pass
+    ``pre_cap_overshoot=None`` to disable (exact single-shuffle plan).
     """
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
+    if pre_cap_overshoot is not None:
+        keep_all_below = 2 * pre_cap_overshoot * k
+        counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__cnt"))
+        cutoff = (
+            F.lit(float(1 << 32)) * pre_cap_overshoot * k / F.col("__cnt")
+        ).cast("bigint")
+        df = (
+            df.join(F.broadcast(counts), stratum_col)
+            .filter((F.col("__cnt") <= F.lit(keep_all_below)) | (h < cutoff))
+            .drop("__cnt")
+        )
     w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.features import features_py
+from dqc_spark.features import features_batch, features_py
 from dqc_spark.textmodels import build_langid_model, build_lm, langid_score, perplexity
 
 SCORE_FIELDS = [
@@ -72,8 +72,25 @@ def make_score_udf(spark: SparkSession):
     @F.pandas_udf(_SCORE_TYPE)
     def score_udf(texts: pd.Series) -> pd.DataFrame:
         model, lm = bc_model.value, bc_lm.value
-        rows = [score_doc_py(t or "", model, lm) for t in texts]
-        return pd.DataFrame(rows, columns=[n for n, _ in SCORE_FIELDS])
+        # heuristic features: batch-vectorized kernel (exact features_py
+        # parity, pinned by test_features_batch_matches_features_py);
+        # langid/ppl stay per-document — they are the oracle-SHARED
+        # model kernels (never forked) and already numpy-vectorized
+        # within each document
+        out = features_batch(texts)
+        langs: list = []
+        confs: list = []
+        ppls: list = []
+        for t in texts:
+            t = t or ""
+            lang, conf = langid_score(t, model)
+            langs.append(lang)
+            confs.append(conf)
+            ppls.append(perplexity(t, lm))
+        out["lang_pred"] = langs
+        out["lang_conf"] = confs
+        out["ppl"] = ppls
+        return out[[n for n, _ in SCORE_FIELDS]]
 
     return score_udf
 

@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dqc_spark.cache import track
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -159,47 +161,56 @@ def lsh_topk(
     )
 
 
-def embedding_near_dups(
-    df: DataFrame,
-    threshold: float = 0.95,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 16,
-    dim: int = 64,
-    max_hamming: int = 2,
+def hyperplane_lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_planes: int = 64,
+    bands: int = 8,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
-    """All-pairs cosine near-duplicates: hyperplane-LSH candidates
-    (signature hamming <= max_hamming via 4x16-bit chunk pigeonhole
-    join for hamming<=3, else full signature equality) + exact cosine
-    re-score.  Avoids the O(n^2) cross join the brute-force would need.
+    """Banded-LSH candidate pairs (key_a < key_b, with both vecs) from a
+    ``hyperplane_signatures`` frame.
+
+    The ``n_planes``-bit signature is split into ``bands`` chunks of
+    ``n_planes/bands`` bits; pairs agreeing on at least one chunk value
+    meet in a (band_id, band_val) bucket equi-join.  Bucket population
+    is capped via ``dedup._cap_buckets`` BEFORE the self-join, so the
+    join fanout is bounded by ``max_bucket^2/2`` per bucket — i.e.
+    O(n * max_bucket) candidates total instead of the ~n^2/2^width
+    degeneration an uncapped narrow-chunk join suffers (the round-1
+    16-plane/4-bit-chunk version).  Band width is the recall/selectivity
+    dial: 8x8 bits gives >0.93 recall at cosine>=0.9 while keeping 256
+    distinct bucket values per band.
     """
-    sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
-    n_chunks = 4
-    width = n_planes // n_chunks
+    from dqc_spark.dedup import _cap_buckets
+
+    if n_planes % bands:
+        raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
+    width = n_planes // bands
     mask = (1 << width) - 1
     chunks = sigs.select(
         "key",
         "vec",
-        "sig",
         F.posexplode(
             F.array(
                 *[
                     F.shiftright(F.col("sig"), c * width).bitwiseAND(F.lit(mask))
-                    for c in range(n_chunks)
+                    for c in range(bands)
                 ]
             )
-        ).alias("chunk_id", "chunk_val"),
+        ).alias("band_id", "band_val"),
     )
+    chunks = _cap_buckets(chunks, ["band_id", "band_val"], max_bucket)
+    # persisted: feeds both sides of the self-join (and the cap counts
+    # already consumed it once) — without this the signature projection
+    # and explode re-run per consumer
+    chunks = track(chunks)
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    return (
         l.join(
             r,
-            (F.col("l.chunk_id") == F.col("r.chunk_id"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l.key") < F.col("r.key")),
-        )
-        .filter(
-            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))) <= max_hamming
         )
         .select(
             F.col("l.key").alias("key_a"),
@@ -209,6 +220,33 @@ def embedding_near_dups(
         )
         .dropDuplicates(["key_a", "key_b"])
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates: 64-plane banded-LSH candidates
+    + exact cosine re-score.  Avoids the O(n^2) cross join brute force
+    needs; the bucket cap bounds total candidates to O(n * max_bucket)
+    (see ``hyperplane_lsh_candidate_pairs``).
+
+    Approximate by design: recall at ``threshold`` is set by the band
+    geometry — with the 8x8 default, >=0.93 for cosine>=0.9 (pinned by
+    tests/test_dedup_similarity.py against the exact-pairs oracle on
+    planted near-dups).  For LOW thresholds (<~0.7) banded hyperplane
+    LSH is the wrong tool at scale — collision probability per band is
+    near-uniform, so buckets degenerate; use brute_force_topk_arrow per
+    query or an IVF-style partition instead.
+    """
+    sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
+    cand = hyperplane_lsh_candidate_pairs(sigs, n_planes, bands, max_bucket)
     return cand.select(
         "key_a", "key_b", cosine_col("vec_a", "vec_b").alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -153,6 +153,75 @@ def test_type_fail(checker, spark):
     assert not r.passed and r.error_count == 1
 
 
+def test_type_exotic_names_pass_through(checker, spark):
+    # reference hands ANY type name to the engine (main.go:732) —
+    # exotic/DuckDB-only names must be accepted, not rejected up front
+    uu = csv_df(
+        spark,
+        "val: string",
+        [
+            ("123e4567-e89b-12d3-a456-426614174000",),
+            ("not-a-uuid",),
+            (None,),
+        ],
+    )
+    r = checker.is_column_of_type(uu, "val", "UUID")
+    assert not r.passed and r.error_count == 1  # NULL passes, bad uuid fails
+
+    arr = csv_df(spark, "val: string", [("[1, 2]",), ("oops",)])
+    # DuckDB list shorthand INTEGER[] -> Spark array<int> try_cast:
+    # '[1, 2]' parses, 'oops' does not
+    r = checker.is_column_of_type(arr, "val", "INTEGER[]")
+    assert not r.passed and r.error_count == 1
+
+    dec = csv_df(spark, "val: string", [("12.345",), ("x",)])
+    r = checker.is_column_of_type(dec, "val", "DECIMAL(10,3)")
+    assert not r.passed and r.error_count == 1
+
+
+def test_type_unknown_name_raises_clearly(checker, spark):
+    from dqc_spark.checks import spark_type_name
+
+    with pytest.raises(ValueError, match="not recognized"):
+        spark_type_name("TOTALLY_MADE_UP_TYPE")
+
+
+# -- regex dialect guard -----------------------------------------------------
+@pytest.mark.parametrize(
+    "bad",
+    [r"(a)\1", r"foo(?=bar)", r"foo(?!bar)", r"(?<=a)b", r"(?<!a)b",
+     r"a*+b", r"a++", r"(ab)\k<g>"],
+)
+def test_regex_java_only_constructs_rejected(bad):
+    # Java rlike would silently ACCEPT these; RE2 (the reference's
+    # engine) rejects them — so must we, loudly
+    from dqc_spark.checks import to_re2_compatible
+
+    with pytest.raises(ValueError, match="not valid RE2"):
+        to_re2_compatible(bad)
+
+
+@pytest.mark.parametrize(
+    "ok",
+    [r"^[A-Z]{6,}$", r"\d+\.\d+", r"a|b", r"[+*?]", r"\\1", r"x\+\+y",
+     r"(?i)hello", r"colou?r"],
+)
+def test_regex_common_subset_passes_unchanged(ok):
+    from dqc_spark.checks import to_re2_compatible
+
+    assert to_re2_compatible(ok) == ok
+
+
+def test_regex_re2_named_group_translated(checker, spark):
+    # RE2 spells named groups (?P<name>...); Java wants (?<name>...)
+    from dqc_spark.checks import to_re2_compatible
+
+    assert to_re2_compatible(r"(?P<word>[a-z]+)-\d") == r"(?<word>[a-z]+)-\d"
+    df = csv_df(spark, "val: string", [("abc-1",), ("ABC-1",)])
+    r = checker.is_column_regex_match(df, "val", r"(?P<word>[a-z]+)-\d")
+    assert not r.passed and r.error_count == 1
+
+
 # -- length (checker_test.go:203-214) ---------------------------------------------
 def test_length_pass(checker, spark):
     df = csv_df(spark, "name: string", [("Alice",), ("Bob",)])

@@ -32,6 +32,10 @@ def _union_find_components(edges):
 
 
 def test_components_match_union_find_random_graph(spark):
+    import warnings
+
+    import dqc_spark.components as C
+
     rng = random.Random(42)
     nodes = list(range(200))
     edges = {(min(a, b), max(a, b))
@@ -39,23 +43,34 @@ def test_components_match_union_find_random_graph(spark):
     oracle = _union_find_components(edges)
 
     pairs = spark.createDataFrame(sorted(edges), "key_a long, key_b long")
-    got = {
-        r.key: r.component
-        for r in connected_components(pairs).collect()
-    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence must not happen
+        got = {
+            r.key: r.component
+            for r in connected_components(pairs).collect()
+        }
     # same node set, and identical min-id component labels
     assert set(got) == set(oracle)
     assert got == oracle
+    assert C.last_run_info.converged
+    # star alternation contracts paths exponentially: a 200-node random
+    # graph must settle in far fewer than diameter rounds
+    assert C.last_run_info.rounds <= 8
 
 
-def test_components_long_chain_converges(spark):
-    # worst-case diameter: a path 0-1-2-...-30 -> every node labels to 0
+def test_components_long_chain_converges_in_log_rounds(spark):
+    # worst-case diameter for label propagation: a path 0-1-...-100.
+    # min-label needs 100 rounds; large-star/small-star needs O(log^2)
+    import dqc_spark.components as C
+
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], "key_a long, key_b long"
+        [(i, i + 1) for i in range(100)], "key_a long, key_b long"
     )
-    got = connected_components(pairs, max_iter=40).collect()
+    got = connected_components(pairs, max_iter=15).collect()
     assert {r.component for r in got} == {0}
-    assert len(got) == 31
+    assert len(got) == 101
+    assert C.last_run_info.converged
+    assert C.last_run_info.rounds <= 12
 
 
 def test_keep_canonical_drops_cluster_losers(spark):

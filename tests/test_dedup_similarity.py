@@ -110,8 +110,71 @@ def test_embedding_near_dups_lsh_finds_planted(spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(60)],
         "vec_id long, embedding array<float>",
     )
-    pairs = embedding_near_dups(df, threshold=0.95, max_hamming=2).collect()
+    pairs = embedding_near_dups(df, threshold=0.95).collect()
     assert any(r["key_a"] == 7 and r["key_b"] == 20 for r in pairs)
+
+
+def test_embedding_near_dups_recall_vs_exact(spark):
+    # recall of the banded LSH against the exact all-pairs oracle on a
+    # corpus with PLANTED near-dup clusters (the stored test embeddings
+    # are near-random, so the planting happens here): 100 bases x 2
+    # noisy copies each + the bases themselves
+    from dqc_spark.similarity import embedding_near_dups
+
+    rng = np.random.Generator(np.random.Philox(key=[6, 0]))
+    base = rng.standard_normal((100, 64))
+    rows = []
+    vid = 0
+    all_vecs = []
+    for v in base:
+        for _ in range(3):  # base + 2 noisy copies
+            w = v + 0.10 * rng.standard_normal(64)
+            all_vecs.append(w)
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    m = np.stack(all_vecs)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    iu = np.triu_indices(len(m), 1)
+    exact = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][cos[iu] >= 0.9], iu[1][cos[iu] >= 0.9])
+    }
+    assert len(exact) >= 200  # planting worked
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in embedding_near_dups(df, threshold=0.9).collect()
+    }
+    # precision is 1.0 by construction (exact cosine re-score)
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} below 0.9"
+
+
+def test_lsh_candidates_bounded_under_skew(spark):
+    # a degenerate corpus (one vector repeated 400x) would emit ~80k
+    # candidate pairs per band uncapped; the bucket cap must drop the
+    # hot buckets so the join fanout stays bounded — this is the
+    # 100-TB-safety property the round-1 implementation lacked
+    from dqc_spark.similarity import (
+        hyperplane_lsh_candidate_pairs,
+        hyperplane_signatures,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    hot = rng.standard_normal(64)
+    vecs = [hot] * 400 + [rng.standard_normal(64) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    sigs = hyperplane_signatures(df, n_planes=64)
+    n_cand = hyperplane_lsh_candidate_pairs(sigs, max_bucket=50).count()
+    # every bucket containing the hot vector exceeds the cap and is
+    # dropped; remaining candidates come from the 100 random vectors
+    assert n_cand < 400 * 399 / 2 / 10, n_cand
 
 
 def test_textstats_known_answers(spark):

