@@ -276,27 +276,48 @@ deterministic synthetic docs: **keep/drop F1 = {quality['keep_f1']}**,
     ) as f:
         f.write(md)
 
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_docs_per_sec",
-                "value": round(dps_full, 1),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in results.items()},
-                "sf": _sf_label(),
-                "docs": N_DOCS,
-                "quality": quality,
-                "scaling": {
-                    "cores_low": SCALE_LOW,
-                    "cores_high": SCALE_HIGH,
-                    "docs_per_sec_low": round(dps_lo, 1),
-                    "docs_per_sec_high": round(dps_hi, 1),
-                    "efficiency": round(eff, 3),
-                },
-                "total_sec": round(total, 2),
-            }
+    payload = {
+        "metric": "pipeline_docs_per_sec",
+        "value": round(dps_full, 1),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": _sf_label(),
+        "docs": N_DOCS,
+        "quality": quality,
+        "scaling": {
+            "cores_low": SCALE_LOW,
+            "cores_high": SCALE_HIGH,
+            "docs_per_sec_low": round(dps_lo, 1),
+            "docs_per_sec_high": round(dps_hi, 1),
+            "efficiency": round(eff, 3),
+        },
+        "total_sec": round(total, 2),
+    }
+    print(json.dumps(payload))
+
+    # regression history: APPEND every run to BENCH/history.jsonl so a
+    # later round can answer "which queries regressed" mechanically
+    # (python tools/bench_diff.py prints the last-two-runs delta)
+    import subprocess
+
+    rec = dict(payload)
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        rec["git"] = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
         )
-    )
+    except Exception:
+        rec["git"] = "unknown"
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH",
+                     "history.jsonl"),
+        "a",
+    ) as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -81,12 +81,13 @@ def make_score_udf(spark: SparkSession):
         langs: list = []
         confs: list = []
         ppls: list = []
+        logcache: dict = {}  # batch-level bigram-log memo (bit-exact)
         for t in texts:
             t = t or ""
             lang, conf = langid_score(t, model)
             langs.append(lang)
             confs.append(conf)
-            ppls.append(perplexity(t, lm))
+            ppls.append(perplexity(t, lm, logcache))
         out["lang_pred"] = langs
         out["lang_conf"] = confs
         out["ppl"] = ppls

@@ -55,3 +55,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iceberg_available() -> bool:
+    """True iff an Iceberg Spark runtime jar is on this installation's
+    classpath.  This sandbox ships none (and installs are not allowed),
+    so the audit/corpus tables fall back to the Parquet append-only
+    layout; on a real cluster the jar is present and ``iceberg_conf``
+    below turns the same code paths into Iceberg commits."""
+    import glob
+
+    import pyspark
+
+    return bool(
+        glob.glob(os.path.join(os.path.dirname(pyspark.__file__),
+                               "jars", "*iceberg-spark-runtime*"))
+    )
+
+
+def iceberg_conf(warehouse: str, catalog: str = "dqc") -> dict[str, str]:
+    """spark-submit/extra_conf entries that register a Hadoop-backed
+    Iceberg catalog — the production target for the audit table and the
+    curated-corpus writes (BASELINE north rule).  Pure config: safe to
+    construct anywhere, only USE it when ``iceberg_available()``."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }

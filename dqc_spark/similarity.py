@@ -128,6 +128,64 @@ def hyperplane_signatures(
                      sig.alias("sig"))
 
 
+class LshIndex:
+    """Reusable hyperplane-LSH index for BATCH query workloads.
+
+    ``lsh_topk`` recomputes every signature per query — fine for a
+    one-off, wasteful for a query stream.  This wrapper computes the
+    signature frame once (persisted via the cache registry; at cluster
+    scale, ``save`` it to storage instead) and serves each query as a
+    codegen'd bit_count filter + exact re-score over the candidates.
+    Call ``close()`` (or ``dqc_spark.release_all()``) when done."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_planes: int = 16,
+        dim: int = 64,
+        seed: int = 11,
+    ):
+        from dqc_spark.cache import track
+
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        self._planes = rng.standard_normal((n_planes, dim))
+        self._key_col = key_col
+        self._n_planes = n_planes
+        self.sigs = track(
+            hyperplane_signatures(df, key_col, vec_col, n_planes, dim, seed)
+        )
+
+    def query_sig(self, query_vec: list[float]) -> int:
+        qv = np.asarray(query_vec)
+        qsig = 0
+        for i in range(self._n_planes):
+            if float(self._planes[i] @ qv) > 0:
+                qsig |= 1 << i
+        return qsig
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, max_hamming: int = 2
+    ) -> DataFrame:
+        qsig = self.query_sig(query_vec)
+        cand = self.sigs.filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            cand.select(
+                F.col("key").alias(self._key_col),
+                cosine_col(F.col("vec"), q).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(self._key_col))
+            .limit(k)
+        )
+
+    def close(self) -> None:
+        self.sigs.unpersist()
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -140,7 +198,10 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: restrict exact scoring to vectors whose
     hyperplane signature is within ``max_hamming`` bits of the query's —
-    the candidate filter is a bit_count over a packed long (codegen)."""
+    the candidate filter is a bit_count over a packed long (codegen).
+
+    One-off form: recomputes signatures per call.  For repeated queries
+    build an ``LshIndex`` once and call ``.topk`` per query."""
     rng = np.random.Generator(np.random.Philox(key=[11, 0]))
     planes = rng.standard_normal((n_planes, dim))
     qsig = 0

@@ -20,12 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _EXT_FORMATS = {
     ".csv": "csv",
-    ".tsv": "csv",
+    ".tsv": "tsv",
     ".parquet": "parquet",
     ".pq": "parquet",
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
+    ".orc": "orc",
 }
 
 
@@ -66,10 +67,18 @@ def load_table(
         try:
             if fmt == "csv":
                 df = spark.read.csv(source, header=True, inferSchema=True)
+            elif fmt == "tsv":
+                df = spark.read.csv(
+                    source, header=True, inferSchema=True, sep="\t"
+                )
             elif fmt == "json":
                 df = spark.read.json(source)
-            else:
+            elif fmt == "parquet":
                 df = spark.read.parquet(source)
+            else:
+                # orc and any other Spark-registered source ("and more",
+                # reference README.md:8): hand the format name to Spark
+                df = spark.read.format(fmt).load(source)
             # LIMIT-0 readability probe, parity with checker.go:37-41
             df.limit(0).collect()
             return df

@@ -170,18 +170,37 @@ def build_lm() -> dict:
     }
 
 
-def perplexity(text: str, lm: dict) -> float:
+def perplexity(text: str, lm: dict, logcache: dict | None = None) -> float:
     """Per-document bigram perplexity with add-k smoothing.  Higher =
     less natural-language-like.  Deterministic, shared with the golden
-    oracle so Spark-vs-local is a pure distribution differential."""
+    oracle so Spark-vs-local is a pure distribution differential.
+
+    ``logcache`` (optional) memoizes the per-bigram log term across
+    calls — web text repeats bigrams heavily, so a batch-level cache
+    halves the cost.  Cached and uncached paths run the IDENTICAL float
+    operations in the identical order (the cache stores the finished
+    ``math.log`` value), so results are bit-equal with or without it —
+    pinned by tests/test_pipeline.py::test_perplexity_cache_is_exact."""
     tokens = (text or "").lower().split()
     if not tokens:
         return 1e9
     uni, bi = lm["unigrams"], lm["bigrams"]
     k, vocab, total = lm["k"], lm["vocab"], lm["total"]
     logp = math.log((uni.get(tokens[0], 0) + k) / (total + k * vocab))
-    for a, b in zip(tokens, tokens[1:]):
-        num = bi.get(f"{a}\x00{b}", 0) + k
-        den = uni.get(a, 0) + k * vocab
-        logp += math.log(num / den)
+    if logcache is None:
+        for a, b in zip(tokens, tokens[1:]):
+            num = bi.get(f"{a}\x00{b}", 0) + k
+            den = uni.get(a, 0) + k * vocab
+            logp += math.log(num / den)
+    else:
+        get = logcache.get
+        for ab in zip(tokens, tokens[1:]):
+            v = get(ab)
+            if v is None:
+                a, b = ab
+                num = bi.get(f"{a}\x00{b}", 0) + k
+                den = uni.get(a, 0) + k * vocab
+                v = math.log(num / den)
+                logcache[ab] = v
+            logp += v
     return math.exp(-logp / len(tokens))

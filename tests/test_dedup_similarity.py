@@ -100,6 +100,28 @@ def test_lsh_topk_contains_self(spark):
     assert ids[0] == 3 and 11 in ids  # self + planted neighbor retrieved
 
 
+def test_lsh_index_matches_oneoff_and_reuses_signatures(spark):
+    # the batch-query index must return the same answers as the one-off
+    # lsh_topk for the same planes/seed, without recomputing signatures
+    from dqc_spark.similarity import LshIndex, lsh_topk
+
+    rng = np.random.Generator(np.random.Philox(key=[9, 0]))
+    vecs = rng.standard_normal((120, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = LshIndex(df)
+    for qi in (3, 40, 77):
+        q = [float(x) for x in vecs[qi]]
+        a = [(r.vec_id, r.cosine) for r in idx.topk(q, k=5, max_hamming=3).collect()]
+        b = [(r.vec_id, r.cosine)
+             for r in lsh_topk(df, q, k=5, max_hamming=3).collect()]
+        assert a == b
+        assert a[0][0] == qi  # self is always retrieved
+    idx.close()
+
+
 def test_embedding_near_dups_lsh_finds_planted(spark):
     from dqc_spark.similarity import embedding_near_dups
 

@@ -169,6 +169,21 @@ def test_features_batch_matches_features_py():
                 assert g == w, (i, k, t[:40] if t else t, g, w)
 
 
+def test_perplexity_cache_is_exact():
+    """perplexity(text, lm, cache) must be BIT-equal to the uncached
+    call — the cache stores finished math.log values, so summation
+    order and operands are identical."""
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.textmodels import build_lm, perplexity
+
+    lm = build_lm()
+    texts = [make_page(i)["text"] for i in range(200)] + ["", "zq zq zq"]
+    cache: dict = {}
+    for t in texts:
+        assert perplexity(t, lm) == perplexity(t, lm, cache)
+    assert len(cache) > 0
+
+
 def test_column_engine_matches_pandas_engine(spark):
     """The pure-Catalyst gate expressions and the fused-UDF kernel are
     dual implementations of the same semantics — identical keep/gate
