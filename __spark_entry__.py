@@ -278,13 +278,13 @@ DRIVER_ORDER = [
     "dedup_components",
     "dedup_keep_canonical",
     "ann_topk_arrow",
+    "ann_ivf_fullprobe",
     "pipeline_curate",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
     "dedup_minhash_near_dups",
     "dedup_simhash_near_dups",
-    "ann_lsh_topk",
     "embedding_near_dups_lsh",
     "text_token_counts",
     "text_quality_scores",
@@ -308,6 +308,7 @@ DRIVER_ORDER = [
 # round-1-green redundant twins: correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "ann_lsh_topk",               # rows-only; r01-green, LshIndex pytest-pinned
     "check_unique_pass",          # zero-row twin of check_unique_violations
     "dedup_distinct_count",       # subset of dedup_approx_distinct
     "ann_bruteforce_topk",        # same answer as ann_topk_arrow (HOF form)

@@ -158,6 +158,13 @@ def connected_components(
             stacklevel=2,
         )
 
+    # the final round's edges stay persisted (the labels below read them
+    # lazily) — hand them to the cache registry so callers can free them
+    # with release_all() once labels are materialized
+    from dqc_spark.cache import _TRACKED
+
+    _TRACKED.append(edges)
+
     # fixpoint edge set is a union of stars (child -> root); every child
     # appears exactly once, roots label themselves
     labels = edges.select(

@@ -578,6 +578,23 @@ def q_ann_topk_arrow(spark, sf):
     return brute_force_topk_arrow(emb, q, k=10, round_to=4)
 
 
+def q_ann_ivf_fullprobe(spark, sf):
+    # IVF ANN machinery (k-means train -> cluster assign -> probe ->
+    # Arrow re-score) differentially checked END-TO-END: with
+    # nprobe == n_clusters every cluster is scanned, so the result must
+    # equal exact brute force REGARDLESS of what k-means produced —
+    # any row lost or duplicated by the assign/probe plumbing breaks the
+    # hash.  The approximate low-nprobe behavior is pinned by
+    # tests/test_ivf.py recall tests instead.
+    from dqc_spark.ivf import build_ivf_index, ivf_topk, train_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    cent = train_centroids(emb, k=8, max_iter=5)
+    idx = build_ivf_index(emb, cent)
+    return ivf_topk(idx, cent, q, k=10, nprobe=len(cent), round_to=4)
+
+
 # ---------------------------------------------------------------------------
 # sampling / packing / chunking / semi-structured (training-data selection)
 # ---------------------------------------------------------------------------
@@ -703,6 +720,7 @@ def extra_queries():
         "dedup_components": q_components_exact,
         "dedup_keep_canonical": q_keep_canonical,
         "ann_topk_arrow": q_ann_topk_arrow,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "pipeline_curate": q_pipeline_curate,
     }
 
@@ -1051,6 +1069,16 @@ def extra_oracle_sql():
             ) WHERE rn = 1
         """,
         "ann_topk_arrow": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID})), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # full-probe IVF scans every cluster -> must equal brute force
+        "ann_ivf_fullprobe": f"""
             SELECT vec_id,
                    ROUND(list_cosine_similarity(
                        CAST(embedding AS DOUBLE[]),

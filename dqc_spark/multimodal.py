@@ -113,6 +113,67 @@ def extract_features(
     return df.select(key_col, media_col).mapInPandas(kernel, schema=out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    key_col: str = "url",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary -> resized binary (image resize step of a media pipeline).
+
+    Plumbing is real: bounded Arrow batches, binary-in/binary-out
+    schema, per-row target metadata — a real implementation swaps the
+    stub for PIL's ``Image.open(...).resize((w, h)).tobytes()``.  The
+    stub emits a deterministic pseudo-bitmap of EXACTLY w*h*3 bytes
+    derived from the content digest, so downstream size/partition
+    accounting (the thing Spark cares about) behaves like the real op.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    n_out = width * height * 3
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this "
+                    "container; pass decode_stub=True for the "
+                    "deterministic fake"
+                )
+            out_bytes = []
+            metas = []
+            for b in pdf[media_col]:
+                raw = bytes(b) if b is not None else b""
+                digest = hashlib.sha256(raw).digest()
+                # deterministic pseudo-bitmap of the exact target size
+                reps = n_out // len(digest) + 1
+                out_bytes.append((digest * reps)[:n_out])
+                metas.append(
+                    {
+                        "width": str(width),
+                        "height": str(height),
+                        "channels": "3",
+                        "src_bytes": str(len(raw)),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col].astype(str),
+                    "media": out_bytes,
+                    "media_meta": metas,
+                }
+            )
+
+    return df.select(key_col, media_col).mapInPandas(kernel, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, media_col: str = "media", every_n: int = 30
 ) -> DataFrame:

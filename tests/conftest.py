@@ -22,6 +22,18 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _release_cached_intermediates():
+    """Operators persist multi-consumer intermediates via the cache
+    registry; a test session that never releases them accumulates
+    cached blocks until the (1 GiB default under spark-submit) driver
+    heap OOMs.  Mirror real callers: release after every test."""
+    yield
+    from dqc_spark.cache import release_all
+
+    release_all()
+
+
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 

@@ -88,13 +88,26 @@ def test_keep_canonical_drops_cluster_losers(spark):
 def test_keep_canonical_end_to_end_minhash(spark, sf_dir):
     import os
 
+    from dqc_spark.cache import release_all
     from dqc_spark.dedup import minhash_near_dups
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    pairs = minhash_near_dups(docs, "doc_id", threshold=0.5)
-    kept = keep_canonical(docs, pairs, "doc_id")
-    n_docs, n_kept = docs.count(), kept.count()
+    # materialize the pair list ONCE: minhash + the iterative components
+    # loop both persist intermediates, and re-deriving pairs through the
+    # whole minhash lineage for every consumer (keep_canonical runs its
+    # own CC pass internally) held enough cached blocks to OOM the 1 GiB
+    # default driver heap under spark-submit
+    pairs_rows = [
+        (r.key_a, r.key_b)
+        for r in minhash_near_dups(docs, "doc_id", threshold=0.5)
+        .select("key_a", "key_b").collect()
+    ]
+    release_all()
+    pairs = spark.createDataFrame(pairs_rows, "key_a long, key_b long")
     comp = connected_components(pairs)
     n_losers = comp.filter(F.col("key") != F.col("component")).count()
+    release_all()
+    kept = keep_canonical(docs, pairs, "doc_id")
+    n_docs, n_kept = docs.count(), kept.count()
     assert n_kept == n_docs - n_losers
     assert n_losers > 0  # synthetic corpus does contain near-dups

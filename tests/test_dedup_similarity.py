@@ -252,3 +252,24 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(df, out_dim=4, decode_stub=False).collect()
+
+
+def test_multimodal_resize_plumbing(spark):
+    from dqc_spark.multimodal import resize_media
+
+    rows = [
+        ("u1", b"\x89PNG\r\n\x1a\n" + b"\x01\x02" * 100),
+        ("u2", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    out = {r["key"]: r for r in resize_media(df, 8, 6).collect()}
+    # exact target byte size (w*h*3) regardless of input, deterministic
+    assert len(out["u1"]["media"]) == 8 * 6 * 3
+    assert len(out["u2"]["media"]) == 8 * 6 * 3
+    assert out["u1"]["media_meta"]["width"] == "8"
+    assert out["u1"]["media_meta"]["src_bytes"] == "208"
+    again = {r["key"]: r for r in resize_media(df, 8, 6).collect()}
+    assert bytes(out["u1"]["media"]) == bytes(again["u1"]["media"])
+
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_media(df, 4, 4, decode_stub=False).collect()
