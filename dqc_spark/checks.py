@@ -24,6 +24,7 @@ referential checks count them).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from dataclasses import dataclass, field
 from typing import Iterable, Sequence
 
@@ -203,7 +204,14 @@ def to_re2_compatible(pattern: str) -> str:
                 out.append("(?<")  # RE2 named-group spelling -> Java
                 i += 4
                 continue
-        if ch == "+" and out and out[-1] in ("*", "+", "?", "}"):
+        if ch == "+" and out and (
+            out[-1] in ("*", "+", "?")
+            # '}' counts only when it actually closes a {m[,n]} counted
+            # quantifier — an unmatched '}' is a LITERAL in both RE2 and
+            # Java ('x}+' is valid), so don't reject it
+            or (out[-1] == "}"
+                and _re.search(r"\{\d+(,\d*)?\}$", "".join(out)))
+        ):
             raise ValueError(
                 f"pattern {pattern!r} uses a possessive quantifier "
                 f"({out[-1]}+); not valid RE2 — the reference engine "

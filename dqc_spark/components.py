@@ -173,6 +173,14 @@ def connected_components(
         edges.select(F.col("lo").alias("key"), F.col("lo").alias("component"))
         .distinct()
     )
+    if not converged:
+        # a residual (non-star) edge set can mention a node both as a
+        # child and as some other child's root -> duplicate/conflicting
+        # label rows.  Collapse to one row per key (min component =
+        # the same conservative finer-partition contract the warning
+        # documents); at the fixpoint this aggregate is a no-op and is
+        # skipped to save the extra shuffle.
+        labels = labels.groupBy("key").agg(F.min("component").alias("component"))
     return labels
 
 

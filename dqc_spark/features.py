@@ -87,17 +87,18 @@ def features_batch(texts) -> pd.DataFrame:
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     nonempty = lens > 0
+    # reduceat offsets: starts of NON-EMPTY documents only — these are
+    # strictly increasing and < len(codes), and each segment spans to
+    # the next non-empty start (empty docs contribute zero chars, so
+    # boundaries stay exact).  Including empty-doc starts and clamping
+    # with minimum() truncated the preceding document's last character
+    # whenever a batch ENDED with empty/None texts.
+    ne_starts = starts[nonempty]
 
     def seg_sum(mask: np.ndarray) -> np.ndarray:
-        # per-document sums over the concatenated codepoint buffer;
-        # empty documents produce duplicate reduceat offsets, so their
-        # (wrong) sums are masked to 0
         out = np.zeros(n, dtype=np.int64)
-        if len(codes) and nonempty.any():
-            r = np.add.reduceat(
-                mask.astype(np.int64), np.minimum(starts, len(codes) - 1)
-            )
-            out[nonempty] = r[nonempty]
+        if len(ne_starts):
+            out[nonempty] = np.add.reduceat(mask.astype(np.int64), ne_starts)
         return out
 
     alpha = seg_sum(tab_alpha[codes])
@@ -112,8 +113,7 @@ def features_batch(texts) -> pd.DataFrame:
         prev[0] = False
         prev[1:] = m[:-1]
     wstart = m & ~prev
-    if len(codes) and nonempty.any():
-        ne_starts = starts[nonempty]
+    if len(ne_starts):
         wstart[ne_starts] = m[ne_starts]
     nw = seg_sum(wstart)
 

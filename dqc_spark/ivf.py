@@ -57,9 +57,13 @@ def train_centroids(
         from dqc_spark.sampling import hash_sample
 
         src = hash_sample(df, key_col, sample_pct)
-    # normalize JVM-side so k-means L2 geometry matches cosine ordering
+    # normalize JVM-side so k-means L2 geometry matches cosine ordering;
+    # zero vectors (padding rows, failed embeds) keep norm 1 instead of
+    # producing 0/0 = NaN features that poison the k-means fit — same
+    # guard the assignment kernel in build_ivf_index applies
     v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    raw_norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
     normed = src.select(
         array_to_vector(
             F.transform(v, lambda x: x / norm)

@@ -98,14 +98,32 @@ def stratified_sample(
     ).cast("bigint")
     if pre_cap_overshoot is not None:
         keep_all_below = 2 * pre_cap_overshoot * k
-        counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__cnt"))
+        counts = (
+            df.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .withColumnRenamed(stratum_col, "__stratum")
+        )
         cutoff = (
             F.lit(float(1 << 32)) * pre_cap_overshoot * k / F.col("__cnt")
         ).cast("bigint")
+        # null-safe join: a NULL stratum is a legitimate window partition
+        # (the exact plan samples it), so it must survive the pre-cap —
+        # a plain equi-join would silently drop every NULL-stratum row.
+        # Likewise NULL keys: they sort FIRST in the window's hash order
+        # (asc nulls-first), i.e. they are always among the k winners of
+        # their stratum, so the h<cutoff prefix filter must keep them.
         df = (
-            df.join(F.broadcast(counts), stratum_col)
-            .filter((F.col("__cnt") <= F.lit(keep_all_below)) | (h < cutoff))
-            .drop("__cnt")
+            df.join(
+                F.broadcast(counts),
+                F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+                "left",
+            )
+            .filter(
+                (F.col("__cnt") <= F.lit(keep_all_below))
+                | h.isNull()
+                | (h < cutoff)
+            )
+            .drop("__cnt", "__stratum")
         )
     w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (

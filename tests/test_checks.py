@@ -204,7 +204,10 @@ def test_regex_java_only_constructs_rejected(bad):
 @pytest.mark.parametrize(
     "ok",
     [r"^[A-Z]{6,}$", r"\d+\.\d+", r"a|b", r"[+*?]", r"\\1", r"x\+\+y",
-     r"(?i)hello", r"colou?r"],
+     r"(?i)hello", r"colou?r",
+     # unmatched '}' is a LITERAL in both RE2 and Java — 'x}+' must not
+     # trip the possessive-quantifier rejection
+     r"x}+", r"a{b}+"],
 )
 def test_regex_common_subset_passes_unchanged(ok):
     from dqc_spark.checks import to_re2_compatible

@@ -73,7 +73,22 @@ def test_components_long_chain_converges_in_log_rounds(spark):
     assert C.last_run_info.rounds <= 12
 
 
-def test_keep_canonical_drops_cluster_losers(spark):
+def test_non_converged_labels_are_one_row_per_key(spark):
+    # with max_iter too small the residual edge set can mention a node
+    # as both child and root; the returned labels must still be a
+    # function (one row per key), warning included
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "key_a long, key_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = connected_components(pairs, max_iter=1).collect()
+    keys = [r.key for r in got]
+    assert len(keys) == len(set(keys)) == 61
+    # labels form a finer partition: component <= key everywhere
+    assert all(r.component <= r.key for r in got)
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
     )

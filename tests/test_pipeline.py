@@ -157,6 +157,10 @@ def test_features_batch_matches_features_py():
         ".." * 500,
         "tab\tsep\tvals",
     ]
+    # batches ENDING in empty/None rows regressed once: the reduceat
+    # offsets for trailing empty docs truncated the last non-empty
+    # document's final character — keep these orderings pinned
+    texts += ["hello world", "", None, ""]
     got = features_batch(texts)
     for i, t in enumerate(texts):
         want = features_py(t or "")

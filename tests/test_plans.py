@@ -112,12 +112,13 @@ def test_stratified_sample_precap_bounds_window_input(docs):
 
     p = plan_str(stratified_sample(docs, "source", "doc_id", 5))
     assert "BroadcastHashJoin" in p
-    assert "__cnt" in p  # the count/cutoff filter made it into the plan
-    assert p.index("BroadcastHashJoin") > p.index("Window") or True
-    # window input is the filtered side: Filter appears between scan
-    # and the Window's Exchange
+    # physical plans print root-first, children indented BELOW — so
+    # "upstream of the Window" means a LARGER string index.  Both the
+    # cutoff filter (__cnt) and the broadcast count join must sit in
+    # the Window's input subtree, not above it.
     win_ix = p.index("Window")
-    assert "Filter" in p[win_ix:] or "Filter" in p[:win_ix]
+    assert p.index("__cnt") > win_ix
+    assert p.index("BroadcastHashJoin") > win_ix
 
 
 def test_stratified_sample_precap_is_exact_on_hot_stratum(spark):
@@ -141,6 +142,33 @@ def test_stratified_sample_precap_is_exact_on_hot_stratum(spark):
     }
     assert capped == exact
     assert len({d for d, _ in capped}) == 9  # 5 hot + all 4 cold
+
+
+def test_stratified_sample_precap_keeps_null_stratum_and_null_keys(spark):
+    # NULL stratum is a legitimate window partition and NULL keys sort
+    # first in the hash order; the pre-cap join/filter must not drop
+    # either (a plain inner equi-join silently did)
+    from dqc_spark.sampling import stratified_sample
+
+    rows = (
+        [(i, "hot") for i in range(2500)]
+        + [(20_000 + i, None) for i in range(6)]   # NULL stratum
+        + [(None, "hot")]                           # NULL key in hot stratum
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    exact = {
+        (r.doc_id, r.source, r.sample_rank)
+        for r in stratified_sample(
+            df, "source", "doc_id", 5, pre_cap_overshoot=None
+        ).collect()
+    }
+    capped = {
+        (r.doc_id, r.source, r.sample_rank)
+        for r in stratified_sample(df, "source", "doc_id", 5).collect()
+    }
+    assert capped == exact
+    assert sum(1 for _, s, _ in capped if s is None) == 5  # null stratum kept
+    assert any(d is None for d, _, _ in capped)  # null key ranks first, kept
 
 
 def test_hash_sample_is_pure_narrow_filter(docs):

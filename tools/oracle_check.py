@@ -70,6 +70,14 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        finally:
+            # free operator-persisted intermediates (minhash/simhash
+            # signatures, LSH band frames, components edges, curate
+            # annotations) between queries — ~60 queries in one session
+            # otherwise accumulate cached blocks without bound
+            from dqc_spark.cache import release_all
+
+            release_all()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, no oracle)")
             continue
