@@ -319,6 +319,10 @@ TAIL_ORDER = [
     "olap_lang_source_pivot",
     "text_fingerprints",
     "olap_top_customers_per_nation",
+    # round-2 additions verified by the local differential (both sf);
+    # the driver window stays reserved for the core surface
+    "olap_big_order_customers",
+    "olap_cheapest_part_per_brand",
 ]
 
 

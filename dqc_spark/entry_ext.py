@@ -498,6 +498,53 @@ def q_customers_without_orders(spark, sf):
     return cust.exceptAll(ords.intersect(cust)).distinct()
 
 
+def q_big_order_customers(spark, sf):
+    # TPC-H Q18 shape: IN-subquery with HAVING — customers whose orders
+    # total more than 180 units of lineitem quantity.  The IN compiles
+    # to a left-semi join against the HAVING-filtered aggregate; the
+    # agg is map-side partial on l_orderkey before its single shuffle.
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 180)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            F.round("tot_qty", 2).alias("tot_qty"),
+        )
+    )
+
+
+def q_cheapest_part_per_brand(spark, sf):
+    # TPC-H Q2 shape (adapted to the available tables): correlated
+    # scalar subquery — parts priced at their brand's minimum retail
+    # price.  Spark decorrelates this to a broadcast join against the
+    # per-brand MIN aggregate; no per-row re-execution.
+    p = _t(spark, sf, "part")
+    mins = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p["p_brand"] == mins["b"])
+            & (p["p_retailprice"] == mins["min_price"]),
+        )
+        .select(
+            "p_partkey", "p_brand",
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+    )
+
+
 def q_top_customers_per_nation(spark, sf):
     cust = _t(spark, sf, "customer")
     w = W.partitionBy("c_nationkey").orderBy(
@@ -699,6 +746,8 @@ def extra_queries():
         "olap_late_shipment_priority": q_late_shipment_priority,
         "olap_shipping_priority": q_shipping_priority,
         "olap_top_customers_per_nation": q_top_customers_per_nation,
+        "olap_big_order_customers": q_big_order_customers,
+        "olap_cheapest_part_per_brand": q_cheapest_part_per_brand,
         "olap_lang_source_cube": q_lang_source_cube,
         "setop_customers_without_orders": q_customers_without_orders,
         "olap_lang_source_pivot": q_lang_source_pivot,
@@ -905,6 +954,21 @@ def extra_oracle_sql():
                                         ORDER BY c_acctbal DESC, c_custkey) AS rk
               FROM customer
             ) WHERE rk <= 3
+        """,
+        "olap_big_order_customers": """
+            SELECT c_custkey, o_orderkey, o_orderdate,
+                   ROUND(tot_qty, 2) AS tot_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS tot_qty
+                  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 180) b
+              ON o_orderkey = b.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "olap_cheapest_part_per_brand": """
+            SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS retailprice
+            FROM part p
+            WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                                   WHERE p2.p_brand = p.p_brand)
         """,
         "olap_lang_source_cube": """
             SELECT lang, source, COUNT(*) AS n,
