@@ -129,3 +129,40 @@ def test_pack_token_budget_matches_python_model(spark, items):
         want[i] = prior // budget
         run[s] = prior + t
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=60),  # full unicode incl astral/combining
+            st.text(
+                alphabet=" \t\n.#abcdef你好\U0001d49ć",
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_features_batch_equals_features_py_property(texts):
+    # the vectorized batch kernel must be EXACTLY features_py on any
+    # batch, including pathological orderings (trailing None/empty) and
+    # arbitrary unicode — this is the dual-implementation invariant the
+    # scoring UDF rides on
+    import math
+
+    from dqc_spark.features import FEATURE_NAMES, features_batch, features_py
+
+    got = features_batch(texts)
+    for i, t in enumerate(texts):
+        want = features_py(t or "")
+        for k in FEATURE_NAMES:
+            g, w = got[k].iloc[i], want[k]
+            if w is None:
+                assert g is None
+            else:
+                assert g == w and not (
+                    isinstance(g, float) and math.isnan(g)
+                ), (repr(t), k, g, w)
