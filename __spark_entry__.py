@@ -323,6 +323,8 @@ TAIL_ORDER = [
     # the driver window stays reserved for the core surface
     "olap_big_order_customers",
     "olap_cheapest_part_per_brand",
+    "olap_moving_avg",
+    "olap_value_percentiles_approx",
 ]
 
 

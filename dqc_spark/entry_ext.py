@@ -379,6 +379,76 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_moving_avg(spark, sf):
+    # RANGE-frame window (interval preceding): per event_type, the
+    # trailing-6-hour moving average of value at each event time.
+    # Distinct machinery from the ROWS frames used elsewhere (packing,
+    # sessionization): the frame is value-based on the ORDER BY column,
+    # so ties and gaps resolve by timestamp arithmetic, not row counts.
+    ev = _t(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ: route through TIMESTAMP (session tz is UTC)
+    # to get the same epoch seconds DuckDB's epoch(ts) produces
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 3600, 0)
+    )
+    # exact-ratio trick (see avg_disc): values are stored 2-decimal, so
+    # sum integer cents — frame sums become BIGINT and both engines
+    # divide the IDENTICAL double.  A float SUM OVER the frame summed in
+    # engine-specific order flipped ROUND at ~0.2% of rows.
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            # FLOOR-trunc, not ROUND: cent-sum / count ratios land
+            # EXACTLY on x.xxxx5 half-way points where the engines'
+            # rounding modes diverge (the _trunc4 rule — both engines
+            # floor the identical double)
+            (
+                F.floor(
+                    F.sum(cents).over(w) / 100.0 / F.count(F.lit(1)).over(w)
+                    * 10000
+                )
+                / 10000
+            ).alias("avg_6h"),
+            F.count(F.lit(1)).over(w).alias("n_6h"),
+        )
+    )
+
+
+def q_value_percentiles_approx(spark, sf):
+    # the SCALE path for #13-style quantile checks: percentile_approx
+    # keeps the aggregation on the codegen fast path (exact percentile
+    # forces ObjectHashAggregate).  The sketch value is engine-specific,
+    # so the differential checks the CONTRACT: exact quantiles
+    # (oracle-matched) plus booleans asserting the sketch landed within
+    # the configured accuracy's rank tolerance — the oracle hardcodes
+    # TRUE, so a drifting sketch hash-mismatches.
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank-accuracy contract: with accuracy=1000 the approx p50 sits
+    # within the central 5%..95% value band on any non-degenerate
+    # distribution (far looser than the true 1/1000 rank bound)
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        (
+            (F.col("p50_approx") >= F.col("p05"))
+            & (F.col("p50_approx") <= F.col("p95"))
+        ).alias("approx_within_band"),
+        "n",
+    )
+
+
 def q_value_percentiles(spark, sf):
     # grouped exact interpolated percentiles, emitted UNROUNDED:
     # verified bit-identical to DuckDB quantile_cont on this data at
@@ -756,6 +826,8 @@ def extra_queries():
         "olap_sessionization": q_sessionization,
         "olap_asof_join": q_asof_join,
         "olap_value_percentiles": q_value_percentiles,
+        "olap_moving_avg": q_moving_avg,
+        "olap_value_percentiles_approx": q_value_percentiles_approx,
         "olap_range_join": q_range_join,
         "olap_rollup_daily": q_rollup_daily,
         "olap_events_windowed": q_events_windowed,
@@ -1025,6 +1097,26 @@ def extra_oracle_sql():
             SELECT event_type,
                    quantile_cont(value, 0.5) AS p50,
                    quantile_cont(value, 0.95) AS p95,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "olap_moving_avg": """
+            SELECT event_id, event_type, ts,
+                   FLOOR(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w
+                         / 100.0 / COUNT(*) OVER w * 10000) / 10000 AS avg_6h,
+                   COUNT(*) OVER w AS n_6h
+            FROM events
+            -- FLOOR(epoch): Spark's timestamp->long cast truncates to
+            -- whole seconds, DuckDB's epoch() keeps fractions — frame
+            -- membership at the 6h boundary must use the same integer
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)
+        """,
+        "olap_value_percentiles_approx": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50_exact,
+                   TRUE AS approx_within_band,
                    COUNT(*) AS n
             FROM events GROUP BY 1
         """,

@@ -155,3 +155,69 @@ def test_stream_curate_filters_and_dedups_incrementally(spark, tmp_path):
     q2 = stream_curate_pipeline(spark, src, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_want_distinct
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data semantics pinned explicitly: an event whose timestamp
+    is older than (max seen event time - watermark) when its micro-batch
+    arrives must be DROPPED from the windowed aggregate in append mode.
+    Two file-source micro-batches: batch 1 advances the watermark far
+    past the late event's window; batch 2 delivers the late event."""
+    import datetime as dt
+    import os
+
+    from dqc_spark.streaming import windowed_event_counts
+
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp, props string"
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def rows(ids_times):
+        return spark.createDataFrame(
+            [(i, 1, "click", 1.0, t, "{}") for i, t in ids_times], schema
+        )
+
+    # batch 1: events at t0 and t0+10h -> watermark (10 min) advances to
+    # ~t0+9h50m, far past t0's 1-hour window
+    rows([(1, base), (2, base + dt.timedelta(hours=10))]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: a LATE event back at t0+5min — its window is finalized
+    late_file = rows([(3, base + dt.timedelta(minutes=5))]).coalesce(1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # ONE checkpoint + file sink across both runs (the memory sink
+    # cannot recover from a checkpoint): the watermark advanced by run 1
+    # is restored by run 2, which is what makes event 3 late
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+
+    def run():
+        q = (
+            agg.select(F.col("window.start").alias("ws"), "event_type", "n")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {(r.ws, r.n) for r in spark.read.parquet(out).collect()}
+    assert (base, 1) in first  # t0 window finalized with event 1 only
+
+    late_file.write.mode("append").parquet(src)
+    run()
+    second = {(r.ws, r.n) for r in spark.read.parquet(out).collect()}
+    # the late event's window was already finalized: it must be DROPPED —
+    # the restarted run appends nothing for the t0 window (a (t0, 2) row
+    # or a duplicate (t0, 1) would mean the watermark state leaked)
+    assert second == first, second - first
