@@ -178,33 +178,59 @@ def headline_queries(spark) -> dict[str, float]:
     ).count()
 
     suite = headline_suite()
-    out["checks_fused_10"] = _best_of(lambda: suite.run(li))
-    out["unique_salted"] = _best_of(
-        lambda: salted_duplicate_count(li, "l_orderkey")
-    )
-    out["pricing_summary"] = _best_of(
-        lambda: q_pricing_summary(spark, SF_DIR).collect()
-    )
-    out["ann_topk"] = _best_of(
-        lambda: q_ann_bruteforce_topk(spark, SF_DIR).collect()
-    )
     # limit() collapses to ONE partition — repartition so the operator is
     # measured executing in parallel, as it would on any real input
     pages = (
         spark.read.parquet(PAGES_CACHE).limit(5000).repartition(CPUS).persist()
     )
     pages.count()
-    out["minhash_dedup_5k"] = _best_of(
-        lambda: minhash_near_dups(pages.withColumn(
-            "doc_id", F.xxhash64("url", "text")), "doc_id", threshold=0.7
-        ).count()
-    )
+    thunks = {
+        "checks_fused_10": lambda: suite.run(li),
+        "unique_salted": lambda: salted_duplicate_count(li, "l_orderkey"),
+        "pricing_summary": lambda: q_pricing_summary(spark, SF_DIR).collect(),
+        "ann_topk": lambda: q_ann_bruteforce_topk(spark, SF_DIR).collect(),
+        "minhash_dedup_5k": lambda: minhash_near_dups(
+            pages.withColumn("doc_id", F.xxhash64("url", "text")),
+            "doc_id", threshold=0.7,
+        ).count(),
+    }
+    for name, fn in thunks.items():
+        out[name] = _best_of(fn)
+    # co-tenant-burst guard (same rationale as the pipeline-phase
+    # re-visits): a best-of-K more than 2x the best EVER recorded for
+    # the same query is contention, not a regression — re-visit once so
+    # a tainted number can't become the BASELINE.md comparison point
+    # (observed: minhash_dedup_5k best-of-5 at 2.5s vs 0.7s historic)
+    hist = _history_best()
+    for name, fn in thunks.items():
+        if name in hist and out[name] > 2 * hist[name]:
+            out[name] = min(out[name], _best_of(fn))
     pages.unpersist()
     # minhash persists its signature/band frames internally (needed for
     # its 3 consumers); drop them between bench phases so the pipeline
     # timings don't compete with orphaned caches
     spark.catalog.clearCache()
     return out
+
+
+def _history_best() -> dict[str, float]:
+    """Per-query minimum over all recorded bench runs (BENCH/history.jsonl);
+    empty when no history exists yet."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "history.jsonl")
+    best: dict[str, float] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                for k, v in rec.get("queries", {}).items():
+                    if isinstance(v, (int, float)):
+                        best[k] = min(best.get(k, float("inf")), float(v))
+    except FileNotFoundError:
+        pass
+    return best
 
 
 def main() -> None:
@@ -234,7 +260,11 @@ def main() -> None:
         return hi, lo
 
     t_hi, t_lo = _scaling_visit()
-    if (t_lo / t_hi) / (SCALE_HIGH / SCALE_LOW) < 0.8:
+    eff1 = (t_lo / t_hi) / (SCALE_HIGH / SCALE_LOW)
+    # two-sided: < 0.8 means the high-core phase got hit, but > 1.15
+    # (superlinear) means the LOW-core phase did — both are contention
+    # signatures, not scaling evidence
+    if eff1 < 0.8 or eff1 > 1.15:
         hi2, lo2 = _scaling_visit()
         t_hi, t_lo = min(t_hi, hi2), min(t_lo, lo2)
 

@@ -158,8 +158,9 @@ def _trunc4(c):
     # half-way point where Spark (HALF_UP on the decimal repr) and
     # DuckDB (rounds the binary double, which sits just below) disagree
     # — observed on quality_score at sf0.1.  floor() of the identical
-    # double is engine-agnostic.
-    return F.floor(F.col(c) * 10000) / 10000
+    # double is engine-agnostic.  Accepts a column name or a Column.
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * 10000) / 10000
 
 
 def q_quality_scores(spark, sf):
@@ -220,20 +221,16 @@ def q_pricing_summary(spark, sf):
             # floor-truncation, not ROUND: avg = sum/count is an integer
             # ratio that can land exactly on a half-way decimal where the
             # engines' rounding modes diverge (see _trunc4)
-            (F.floor(F.avg("l_quantity") * 10000) / 10000).alias("avg_qty"),
+            _trunc4(F.avg("l_quantity")).alias("avg_qty"),
             # l_discount is an inexact double (0.01 steps), so AVG sums in
             # engine-specific order -> different doubles -> FLOOR would flip
             # at bucket boundaries.  Recover the exact ratio: round each
             # value to integer cents (exact both engines), sum as BIGINT,
             # divide once — both engines then floor the IDENTICAL double.
-            (
-                F.floor(
-                    F.sum(F.round(F.col("l_discount") * 100, 0).cast("bigint"))
-                    / 100.0
-                    / F.count(F.lit(1))
-                    * 10000
-                )
-                / 10000
+            _trunc4(
+                F.sum(F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+                / 100.0
+                / F.count(F.lit(1))
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -407,12 +404,8 @@ def q_moving_avg(spark, sf):
             # EXACTLY on x.xxxx5 half-way points where the engines'
             # rounding modes diverge (the _trunc4 rule — both engines
             # floor the identical double)
-            (
-                F.floor(
-                    F.sum(cents).over(w) / 100.0 / F.count(F.lit(1)).over(w)
-                    * 10000
-                )
-                / 10000
+            _trunc4(
+                F.sum(cents).over(w) / 100.0 / F.count(F.lit(1)).over(w)
             ).alias("avg_6h"),
             F.count(F.lit(1)).over(w).alias("n_6h"),
         )
@@ -513,7 +506,7 @@ def q_lang_source_cube(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.floor(F.avg("n_chars") * 10000) / 10000).alias("avg_chars"),
+        _trunc4(F.avg("n_chars")).alias("avg_chars"),
     )
 
 
@@ -588,7 +581,11 @@ def q_big_order_customers(spark, sf):
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
-            F.round("tot_qty", 2).alias("tot_qty"),
+            # l_quantity is integer-valued, so the SUM is exact in both
+            # engines regardless of order — emit unrounded (raw-column
+            # rule: identical bits match directly, rounding only risks
+            # divergence)
+            "tot_qty",
         )
     )
 
@@ -610,7 +607,8 @@ def q_cheapest_part_per_brand(spark, sf):
         )
         .select(
             "p_partkey", "p_brand",
-            F.round("p_retailprice", 2).alias("retailprice"),
+            # raw stored column: emit unrounded (see rounding rules)
+            F.col("p_retailprice").alias("retailprice"),
         )
     )
 
@@ -764,9 +762,8 @@ def q_events_json_kv(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        (
-            F.floor(F.avg(F.get_json_object("props", "$.k").cast("double"))
-                    * 10000) / 10000
+        _trunc4(
+            F.avg(F.get_json_object("props", "$.k").cast("double"))
         ).alias("avg_k"),
     )
 
@@ -1028,8 +1025,7 @@ def extra_oracle_sql():
             ) WHERE rk <= 3
         """,
         "olap_big_order_customers": """
-            SELECT c_custkey, o_orderkey, o_orderdate,
-                   ROUND(tot_qty, 2) AS tot_qty
+            SELECT c_custkey, o_orderkey, o_orderdate, tot_qty
             FROM orders
             JOIN (SELECT l_orderkey, SUM(l_quantity) AS tot_qty
                   FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 180) b
@@ -1037,7 +1033,7 @@ def extra_oracle_sql():
             JOIN customer ON o_custkey = c_custkey
         """,
         "olap_cheapest_part_per_brand": """
-            SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS retailprice
+            SELECT p_partkey, p_brand, p_retailprice AS retailprice
             FROM part p
             WHERE p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
                                    WHERE p2.p_brand = p.p_brand)

@@ -129,14 +129,34 @@ def test_isspace_equals_regex_ws():
     assert diff == [], [hex(i) for i in diff[:10]]
 
 
+def assert_features_match(texts):
+    """Single-sourced pin of the dual-implementation contract: every
+    feature of ``features_batch(texts)`` must equal (==, not approx)
+    ``features_py`` per row, with None (never NaN) for the undefined
+    cases.  Shared by the example-based test here and the hypothesis
+    property test (tests/test_property.py)."""
+    import math
+
+    from dqc_spark.features import FEATURE_NAMES, features_batch, features_py
+
+    got = features_batch(texts)
+    for i, t in enumerate(texts):
+        want = features_py(t or "")
+        for k in FEATURE_NAMES:
+            g, w = got[k].iloc[i], want[k]
+            if w is None:
+                assert g is None, (i, k, g)  # None, not NaN: Arrow null
+            else:
+                assert g == w and not (
+                    isinstance(g, float) and math.isnan(g)
+                ), (i, k, repr(t)[:40], g, w)
+
+
 def test_features_batch_matches_features_py():
     """The batch-vectorized kernel is pinned EXACTLY (==, not approx) to
     the per-document golden oracle, including the nasty edges: empty,
     None, whitespace-only, CJK, astral plane, combining marks, ellipsis
     runs, hash runs, duplicate lines/bigrams."""
-    import math
-
-    from dqc_spark.features import FEATURE_NAMES, features_batch, features_py
     from dqc_spark.pagesgen import make_page
 
     texts = [make_page(i)["text"] for i in range(300)]
@@ -161,16 +181,7 @@ def test_features_batch_matches_features_py():
     # offsets for trailing empty docs truncated the last non-empty
     # document's final character — keep these orderings pinned
     texts += ["hello world", "", None, ""]
-    got = features_batch(texts)
-    for i, t in enumerate(texts):
-        want = features_py(t or "")
-        for k in FEATURE_NAMES:
-            g = got[k].iloc[i]
-            w = want[k]
-            if w is None:
-                assert g is None, (i, k, g)  # None, not NaN: Arrow null
-            else:
-                assert g == w, (i, k, t[:40] if t else t, g, w)
+    assert_features_match(texts)
 
 
 def test_perplexity_cache_is_exact():

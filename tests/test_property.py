@@ -150,19 +150,8 @@ def test_features_batch_equals_features_py_property(texts):
     # the vectorized batch kernel must be EXACTLY features_py on any
     # batch, including pathological orderings (trailing None/empty) and
     # arbitrary unicode — this is the dual-implementation invariant the
-    # scoring UDF rides on
-    import math
+    # scoring UDF rides on; the comparison logic is single-sourced in
+    # tests/test_pipeline.py so the two pins can't drift apart
+    from tests.test_pipeline import assert_features_match
 
-    from dqc_spark.features import FEATURE_NAMES, features_batch, features_py
-
-    got = features_batch(texts)
-    for i, t in enumerate(texts):
-        want = features_py(t or "")
-        for k in FEATURE_NAMES:
-            g, w = got[k].iloc[i], want[k]
-            if w is None:
-                assert g is None
-            else:
-                assert g == w and not (
-                    isinstance(g, float) and math.isnan(g)
-                ), (repr(t), k, g, w)
+    assert_features_match(texts)
