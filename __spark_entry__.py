@@ -325,6 +325,7 @@ TAIL_ORDER = [
     "olap_cheapest_part_per_brand",
     "olap_moving_avg",
     "olap_value_percentiles_approx",
+    "dedup_ngram_jaccard",
 ]
 
 

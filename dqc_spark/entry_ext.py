@@ -75,6 +75,26 @@ def q_simhash_near_dups(spark, sf):
     return simhash_near_dups(docs, "doc_id", "text", max_hamming=1)
 
 
+def q_ngram_jaccard(spark, sf):
+    # exact word-5-gram Jaccard re-score (the verification stage behind
+    # MinHash), differentially checked on a deterministic pair mix:
+    # truncated-hash collision pairs (mostly dissimilar, jaccard ~0) +
+    # adjacent-id pairs (shared vocabulary, fractional) — shingling,
+    # array_intersect/union and the ratio all run JVM-side.
+    from dqc_spark.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    adj = docs.select(F.col("doc_id").alias("key_a")).filter(
+        F.col("key_a") < 50
+    ).join(
+        docs.select(F.col("doc_id").alias("key_b")),
+        F.col("key_b") == F.col("key_a") + 1,
+    )
+    pairs = _dup_pairs(spark, sf).unionByName(adj).distinct()
+    j = ngram_jaccard_pairs(docs, pairs, "doc_id")
+    return j.select("key_a", "key_b", _trunc4("jaccard").alias("jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -837,6 +857,7 @@ def extra_queries():
         "check_column_exists": q_column_exists,
         "dedup_components": q_components_exact,
         "dedup_keep_canonical": q_keep_canonical,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
         "ann_topk_arrow": q_ann_topk_arrow,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "pipeline_curate": q_pipeline_curate,
@@ -1203,6 +1224,36 @@ def extra_oracle_sql():
             FROM (VALUES ('text'), ('lang'), ('nope_col')) c(col)
             LEFT JOIN (DESCRIBE SELECT * FROM documents) d
               ON d.column_name = c.col
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_distinct([array_to_string(toks[i:i+4], ' ')
+                                      for i in generate_series(1, len(toks)-4)])
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS key_a, b.doc_id AS key_b
+              FROM (SELECT doc_id, substring(md5(text),1,3) h FROM documents) a
+              JOIN (SELECT doc_id, substring(md5(text),1,3) h FROM documents) b
+                ON a.h = b.h AND a.doc_id < b.doc_id
+              UNION
+              SELECT d1.doc_id, d2.doc_id
+              FROM documents d1 JOIN documents d2
+                ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id < 50
+            )
+            SELECT key_a, key_b,
+                   FLOOR(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh)))
+                         * 10000) / 10000 AS jaccard
+            FROM pairs
+            JOIN sh x ON x.doc_id = key_a
+            JOIN sh y ON y.doc_id = key_b
         """,
         "dedup_components": """
             WITH g AS (SELECT doc_id, substring(md5(text), 1, 3) AS h
