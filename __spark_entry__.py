@@ -326,6 +326,7 @@ TAIL_ORDER = [
     "olap_moving_avg",
     "olap_value_percentiles_approx",
     "dedup_ngram_jaccard",
+    "text_cdc_chunks",
 ]
 
 

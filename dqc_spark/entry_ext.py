@@ -95,6 +95,17 @@ def q_ngram_jaccard(spark, sf):
     return j.select("key_a", "key_b", _trunc4("jaccard").alias("jaccard"))
 
 
+def q_cdc_chunks(spark, sf):
+    # rows-only (the rolling-hash boundary rule is not SQL-expressible):
+    # content-defined chunking for chunk-level dedup — boundaries are
+    # pinned against a sequential reference and an insert-resistance
+    # property in tests/test_sampling.py
+    from dqc_spark.sampling import cdc_chunks
+
+    docs = _t(spark, sf, "documents")
+    return cdc_chunks(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -858,6 +869,7 @@ def extra_queries():
         "dedup_components": q_components_exact,
         "dedup_keep_canonical": q_keep_canonical,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "text_cdc_chunks": q_cdc_chunks,
         "ann_topk_arrow": q_ann_topk_arrow,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "pipeline_curate": q_pipeline_curate,

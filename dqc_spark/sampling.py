@@ -32,6 +32,7 @@ reproduce it — sampling decisions survive an engine migration.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -42,6 +43,9 @@ __all__ = [
     "stratified_sample",
     "pack_token_budget",
     "chunk_text",
+    "rolling_window_hashes",
+    "cdc_chunk_spans",
+    "cdc_chunks",
 ]
 
 
@@ -195,3 +199,141 @@ def chunk_text(
         chunk.alias("chunk"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (rolling hash)
+# ---------------------------------------------------------------------------
+
+_CDC_B = np.uint64(0x100000001B3)  # odd FNV-ish multiplier (invertible mod 2^64)
+_CDC_W = 16  # rolling window, chars
+
+
+def _uint64_inverse(b: "np.uint64") -> "np.uint64":
+    """Modular inverse of an odd b mod 2^64 (Newton iteration)."""
+    x = b
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            x = x * (np.uint64(2) - b * x)
+    return x
+
+
+_CDC_BINV = _uint64_inverse(_CDC_B)
+
+
+def rolling_window_hashes(text: str) -> "np.ndarray":
+    """Rabin-style rolling hash of every ``_CDC_W``-char window, fully
+    vectorized: with prefix sums A_i = sum c_j * B^-j (mod 2^64, B odd
+    so B^-1 exists), the window hash ending at i is
+    ``(A_i - A_{i-w}) * B^i`` — three cumulative ops and one multiply,
+    no per-window Python.  uint64 wraparound IS the modulus."""
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(c)
+    if n < _CDC_W:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ipows = np.empty(n, dtype=np.uint64)
+        ipows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _CDC_BINV, dtype=np.uint64), out=ipows[1:])
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _CDC_B, dtype=np.uint64), out=pows[1:])
+        acc = np.cumsum(c * ipows, dtype=np.uint64)
+        shifted = np.empty_like(acc)
+        shifted[_CDC_W:] = acc[:-_CDC_W]
+        shifted[:_CDC_W] = 0
+        h = (acc - shifted) * pows
+    return h[_CDC_W - 1:]
+
+
+def cdc_chunk_spans(
+    text: str, mask_bits: int = 6, min_len: int = 32, max_len: int = 256
+) -> list[tuple[int, int]]:
+    """Content-defined chunk spans [(start, end), ...) over one document.
+
+    A cut happens AFTER position i when the rolling hash of the window
+    ending at i has its low ``mask_bits`` bits zero (expected chunk size
+    ~2^mask_bits chars) and the current chunk is at least ``min_len``;
+    ``max_len`` forces a cut regardless.  Because boundaries depend only
+    on the local window content, an insertion re-chunks ONLY its
+    neighborhood — downstream chunks keep their hashes (the property
+    that makes chunk-level dedup robust to edits, unlike fixed-width
+    chunking where one insert shifts every later chunk).
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    h = rolling_window_hashes(text)
+    mask = np.uint64((1 << mask_bits) - 1)
+    # candidate cut positions: cut AFTER char (i + _CDC_W - 1)
+    cand = (np.nonzero((h & mask) == 0)[0] + _CDC_W - 1).astype(np.int64)
+    spans: list[tuple[int, int]] = []
+    start = 0
+    while start < n:
+        lo = start + min_len
+        hard = start + max_len
+        ix = np.searchsorted(cand, lo - 1)
+        cut = hard
+        if ix < len(cand) and cand[ix] + 1 < hard:
+            cut = int(cand[ix]) + 1
+        cut = min(cut, n)
+        spans.append((start, cut))
+        start = cut
+    return spans
+
+
+def cdc_chunks(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    mask_bits: int = 6,
+    min_len: int = 32,
+    max_len: int = 256,
+) -> DataFrame:
+    """Distributed content-defined chunking: (key, chunk_ix, chunk_start,
+    chunk_len, chunk_md5) per chunk, via a mapInPandas kernel (the
+    rolling hash vectorizes per document; only the sparse boundary walk
+    is Python).  Chunk md5s feed exact dedup at the CHUNK level — the
+    storage/dedup granularity for boilerplate-heavy web text."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("chunk_ix", T.IntegerType()),
+            T.StructField("chunk_start", T.IntegerType()),
+            T.StructField("chunk_len", T.IntegerType()),
+            T.StructField("chunk_md5", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            keys, ixs, starts, lens, md5s = [], [], [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                t = text or ""
+                for ix, (s, e) in enumerate(
+                    cdc_chunk_spans(t, mask_bits, min_len, max_len)
+                ):
+                    keys.append(key)
+                    ixs.append(ix)
+                    starts.append(s)
+                    lens.append(e - s)
+                    md5s.append(hashlib.md5(t[s:e].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "chunk_ix": pd.array(ixs, dtype="int32"),
+                    "chunk_start": pd.array(starts, dtype="int32"),
+                    "chunk_len": pd.array(lens, dtype="int32"),
+                    "chunk_md5": md5s,
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)

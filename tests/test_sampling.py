@@ -141,3 +141,102 @@ def test_chunk_text_codepoint_semantics_unicode(spark):
         assert r.chunk == texts[r.key][r.chunk_ix * 5:(r.chunk_ix + 1) * 5]
     n_expect = sum((len(t) + 4) // 5 for t in texts)
     assert len(got) == n_expect
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _cdc_ref_spans(text, mask_bits=6, min_len=32, max_len=256):
+    """Sequential reference: per-window polynomial rolling hash computed
+    the slow way, then the same greedy boundary walk."""
+    import numpy as np
+
+    B = np.uint64(0x100000001B3)
+    W = 16
+    n = len(text)
+    cands = []
+    mask = (1 << mask_bits) - 1
+    with np.errstate(over="ignore"):
+        for i in range(W - 1, n):
+            h = np.uint64(0)
+            for j in range(i - W + 1, i + 1):
+                h += np.uint64(ord(text[j])) * (B ** np.uint64(i - j))
+            if int(h) & mask == 0:
+                cands.append(i)
+    spans, start = [], 0
+    while start < n:
+        nxt = [c + 1 for c in cands if c + 1 >= start + min_len
+               and c + 1 < start + max_len]
+        cut = min(nxt[0] if nxt else start + max_len, n)
+        spans.append((start, cut))
+        start = cut
+    return spans
+
+
+def test_cdc_spans_match_sequential_reference():
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.sampling import cdc_chunk_spans
+
+    for i in (0, 3, 17):
+        t = make_page(i)["text"]
+        assert cdc_chunk_spans(t) == _cdc_ref_spans(t), i
+    assert cdc_chunk_spans("") == []
+    assert cdc_chunk_spans("short") == [(0, 5)]
+
+
+def test_cdc_chunks_reconstruct_and_bound():
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.sampling import cdc_chunk_spans
+
+    t = make_page(5)["text"]
+    spans = cdc_chunk_spans(t, mask_bits=5, min_len=16, max_len=128)
+    assert "".join(t[s:e] for s, e in spans) == t
+    assert all(e - s <= 128 for s, e in spans)
+    assert all(e - s >= 16 for s, e in spans[:-1])  # last chunk may be short
+
+
+def test_cdc_boundaries_resist_insertion():
+    """The property fixed-width chunking lacks: inserting text near the
+    START re-chunks only the local neighborhood — chunks after the edit
+    keep their identity, so chunk-level dedup still matches them."""
+    import hashlib
+
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.sampling import cdc_chunk_spans
+
+    t = make_page(9)["text"]
+    edited = t[:40] + " INSERTED SPAN " + t[40:]
+
+    def chunk_hashes(text):
+        return {
+            hashlib.md5(text[s:e].encode()).hexdigest()
+            for s, e in cdc_chunk_spans(text)
+        }
+
+    a, b = chunk_hashes(t), chunk_hashes(edited)
+    shared = len(a & b) / max(len(a), 1)
+    assert shared >= 0.7, f"only {shared:.0%} of chunks survived the edit"
+
+    # fixed-width chunking loses (nearly) everything after the edit
+    fixed_a = {t[i:i + 200] for i in range(0, len(t), 200)}
+    fixed_b = {edited[i:i + 200] for i in range(0, len(edited), 200)}
+    assert len(fixed_a & fixed_b) <= 1
+
+
+def test_cdc_chunks_spark_matches_local(spark):
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.sampling import cdc_chunk_spans, cdc_chunks
+
+    rows = [(i, make_page(i)["text"]) for i in range(20)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.key, r.chunk_ix, r.chunk_start, r.chunk_len)
+        for r in cdc_chunks(df, "doc_id", "text").collect()
+    }
+    want = set()
+    for i, t in rows:
+        for ix, (s, e) in enumerate(cdc_chunk_spans(t or "")):
+            want.add((i, ix, s, e - s))
+    assert got == want
