@@ -1245,7 +1245,8 @@ def extra_oracle_sql():
                                       for i in generate_series(1, len(toks)-4)])
                      ELSE [array_to_string(toks, ' ')] END AS sh
               FROM (SELECT doc_id,
-                           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           list_filter(regexp_split_to_array(
+                               lower(COALESCE(text, '')), '\s+'),
                                        x -> x <> '') AS toks
                     FROM documents)
             ),

@@ -262,6 +262,10 @@ def cdc_chunk_spans(
     that makes chunk-level dedup robust to edits, unlike fixed-width
     chunking where one insert shifts every later chunk).
     """
+    if min_len < 1:
+        # min_len=0 would re-find the candidate that produced the
+        # previous cut (cut == start) and never advance
+        raise ValueError("min_len must be >= 1")
     n = len(text)
     if n == 0:
         return []

@@ -232,11 +232,24 @@ def test_cdc_chunks_spark_matches_local(spark):
     rows = [(i, make_page(i)["text"]) for i in range(20)] + [(99, None)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        (r.key, r.chunk_ix, r.chunk_start, r.chunk_len)
+        (r.key, r.chunk_ix, r.chunk_start, r.chunk_len, r.chunk_md5)
         for r in cdc_chunks(df, "doc_id", "text").collect()
     }
+    import hashlib
+
     want = set()
     for i, t in rows:
-        for ix, (s, e) in enumerate(cdc_chunk_spans(t or "")):
-            want.add((i, ix, s, e - s))
+        t = t or ""
+        for ix, (s, e) in enumerate(cdc_chunk_spans(t)):
+            want.add((i, ix, s, e - s,
+                      hashlib.md5(t[s:e].encode("utf-8")).hexdigest()))
     assert got == want
+
+
+def test_cdc_min_len_zero_rejected():
+    import pytest as _pytest
+
+    from dqc_spark.sampling import cdc_chunk_spans
+
+    with _pytest.raises(ValueError, match="min_len"):
+        cdc_chunk_spans("abc " * 100, min_len=0)
