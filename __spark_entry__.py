@@ -280,6 +280,13 @@ DRIVER_ORDER = [
     "ann_topk_arrow",
     "ann_ivf_fullprobe",
     "pipeline_curate",
+    # round-2 curation operators: no driver row yet, so they take
+    # window slots from round-1-green twins demoted to the tail
+    "text_decontaminate",
+    "snapshot_new_docs",
+    "text_normalize_nfc",
+    "order_training_positions",
+    "text_compression_ratio",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
@@ -289,10 +296,7 @@ DRIVER_ORDER = [
     "text_token_counts",
     "text_quality_scores",
     "text_langid_heuristic",
-    "text_top_ngrams",
     "olap_pricing_summary",
-    "olap_local_supplier_revenue",
-    "olap_late_shipment_priority",
     "olap_shipping_priority",
     "olap_lang_source_cube",
     "olap_rich_idle_customers",
@@ -300,8 +304,6 @@ DRIVER_ORDER = [
     "olap_asof_join",
     "olap_value_percentiles",
     "olap_range_join",
-    "olap_rollup_daily",
-    "olap_events_windowed",
     "media_features",
 ]
 
@@ -327,6 +329,14 @@ TAIL_ORDER = [
     "olap_value_percentiles_approx",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",
+    # demoted round-1-green entries (window slots ceded to the round-2
+    # curation operators above; shapes still covered by close twins in
+    # the window and re-verified by the local differential every round)
+    "text_top_ngrams",          # corpus-agg twin of text_token_counts
+    "olap_local_supplier_revenue",  # Q5 join-pipeline ~ shipping_priority
+    "olap_late_shipment_priority",  # Q4 EXISTS ~ rich_idle NOT EXISTS
+    "olap_rollup_daily",        # ROLLUP twin of olap_lang_source_cube
+    "olap_events_windowed",     # tumbling-window twin of sessionization
 ]
 
 

@@ -822,6 +822,78 @@ def q_pipeline_curate(spark, sf):
     return cur.select("doc_key", "lang", "domain", "n_tokens", "bin_id")
 
 
+# ---------------------------------------------------------------------------
+# round-2 curation operators: decontamination, incremental snapshots,
+# NFC normalization, deterministic training order, compression signal
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf):
+    # benchmark n-gram decontamination: docs with doc_id % 13 == 0 play
+    # the eval set; every other doc is scored for 3-gram overlap.  The
+    # benchmark gram set is broadcast — the corpus never shuffles text.
+    from dqc_spark.decontam import contamination_scores
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    s = contamination_scores(corpus, bench, n=3)
+    # int-ratio double: both engines compute the identical value ->
+    # FLOOR-truncation per the repo rounding rule
+    return s.select(
+        "doc_id", "n_grams", "n_hit", _trunc4("contam_frac").alias("contam_frac")
+    )
+
+
+def q_snapshot_new_docs(spark, sf):
+    # incremental crawl dedup: docs with doc_id % 3 == 0 are the prior
+    # corpus; the rest are the new snapshot.  Anti-join on md5 digests —
+    # exact-duplicate texts spanning the split make this non-vacuous.
+    from dqc_spark.snapshot import new_docs
+
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    snap = docs.filter(F.col("doc_id") % 3 != 0)
+    return new_docs(snap, prior).select("doc_id")
+
+
+# decomposed e + combining acute, BEL control, NBSP, ragged spacing —
+# planted because the synthetic corpus is pure ASCII; the SAME literal
+# is built in the oracle with chr() so both engines normalize the
+# identical dirty string
+_DIRTY_SUFFIX = '  cafee\u0301\x07 fin\xa0 '
+
+
+def q_normalize_nfc(spark, sf):
+    from dqc_spark.normalize import normalized_col
+
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(F.col("text"), F.lit(_DIRTY_SUFFIX))
+    norm = normalized_col(dirty)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def q_training_order(spark, sf):
+    # deterministic global shuffle: 0-based position in md5(text) order,
+    # computed without a single-partition window (ordering.py plan)
+    from dqc_spark.ordering import training_order
+
+    docs = _t(spark, sf, "documents")
+    return training_order(docs, num_partitions=8).select("doc_id", "position")
+
+
+def q_compression_ratio(spark, sf):
+    # rows-only: zlib is not SQL-expressible; values pinned by pytest
+    from dqc_spark.textstats import compression_ratios
+
+    docs = _t(spark, sf, "documents")
+    return compression_ratios(docs, "doc_id")
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -873,6 +945,11 @@ def extra_queries():
         "ann_topk_arrow": q_ann_topk_arrow,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "pipeline_curate": q_pipeline_curate,
+        "text_decontaminate": q_decontaminate,
+        "snapshot_new_docs": q_snapshot_new_docs,
+        "text_normalize_nfc": q_normalize_nfc,
+        "order_training_positions": q_training_order,
+        "text_compression_ratio": q_compression_ratio,
     }
 
 
@@ -1302,5 +1379,78 @@ def extra_oracle_sql():
                         WHERE vec_id = {_QUERY_VEC_ID})), 4) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # 3-gram slice [i:i+2] is 1-based INCLUSIVE in DuckDB -> 3 tokens;
+        # explode-with-placeholder keeps gram-less docs (n_grams=0) in the
+        # result, mirroring Spark's explode_outer
+        "text_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' ')))
+                     ELSE [] END AS g
+              FROM toks
+            ), bg AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 13 = 0
+            ), ex AS (
+              SELECT doc_id, len(g) AS n_grams,
+                     unnest(CASE WHEN len(g) = 0
+                                 THEN [CAST(NULL AS VARCHAR)] ELSE g END) AS gram
+              FROM grams WHERE doc_id % 13 <> 0
+            )
+            SELECT ex.doc_id,
+                   CAST(MAX(ex.n_grams) AS INTEGER) AS n_grams,
+                   CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit,
+                   FLOOR(CASE WHEN MAX(ex.n_grams) > 0
+                              THEN SUM(CASE WHEN bg.gram IS NOT NULL
+                                            THEN 1 ELSE 0 END)::DOUBLE
+                                   / MAX(ex.n_grams)
+                              ELSE 0.0 END * 10000) / 10000 AS contam_frac
+            FROM ex LEFT JOIN bg ON ex.gram = bg.gram
+            GROUP BY ex.doc_id
+        """,
+        "snapshot_new_docs": """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 3 <> 0
+              AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                                    WHERE doc_id % 3 = 0)
+        """,
+        # same dirty suffix as _DIRTY_SUFFIX, spelled with chr() so the
+        # SQL source stays printable: 0x301 combining acute, 7 BEL,
+        # 160 NBSP
+        "text_normalize_nfc": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || '  cafee' || chr(769) || chr(7) || ' fin'
+                          || chr(160) || ' ' AS t
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                         nfc_normalize(t),
+                         '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+                         '[ \t\r\n\xa0]+', ' ', 'g'), ' ') AS n
+              FROM dirty
+            )
+            SELECT doc_id, md5(n) AS norm_md5,
+                   CAST(length(n) AS INTEGER) AS n_chars_norm
+            FROM norm
+        """,
+        # NULLS FIRST pins DuckDB to Spark's asc_nulls_first default
+        # (no NULL texts in the testdata, but the contract should not
+        # depend on that)
+        "order_training_positions": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY md5(text) NULLS FIRST,
+                                           doc_id) - 1 AS BIGINT) AS position
+            FROM documents
         """,
     }

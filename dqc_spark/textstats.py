@@ -187,3 +187,59 @@ def top_ngrams(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("ngram")
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+# ---------------------------------------------------------------------------
+
+
+def compression_ratios(
+    df: DataFrame, key_col: str, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """(key, n_bytes, n_compressed, compression_ratio) — zlib ratio per
+    document.  Highly repetitive/boilerplate text compresses far below
+    natural prose (~0.35-0.45 for English), so a very low ratio is a
+    strong junk signal and a very high one flags random/binary noise;
+    both tails are standard web-pipeline drop rules (complementing the
+    dup_line/dup_bigram gates, which only see exact repeats).
+
+    zlib is per-document CPU with zero data movement — a mapInPandas
+    kernel over Arrow batches (stdlib zlib releases the GIL during
+    compress, so executor threads overlap).  Not SQL-expressible:
+    pytest-pinned, rows-only at the driver gate.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [
+                (t or "").encode("utf-8") for t in pdf[text_col]
+            ]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": [
+                        (c / b) if b else 0.0 for c, b in zip(nc, nb)
+                    ],
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)

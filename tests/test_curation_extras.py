@@ -1,0 +1,270 @@
+"""Round-2 curation operators: decontamination, incremental snapshot
+dedup (+bloom), NFC normalization, deterministic global ordering,
+compression-ratio signal."""
+
+import hashlib
+import random
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def _py_grams(text: str, n: int) -> set:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def contam_docs(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, bench_text),  # verbatim benchmark copy -> fully contaminated
+        (1, "completely unrelated words about spark shuffles and joins today"),
+        (2, "prefix words then the quick brown fox jumps over something else"),
+        (3, "tiny doc"),  # < n words -> zero grams
+        (4, None),  # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    return docs, bench, bench_text
+
+
+def test_contamination_scores_match_python(spark, contam_docs):
+    from dqc_spark.decontam import contamination_scores
+
+    docs, bench, bench_text = contam_docs
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contam_frac"])
+        for r in contamination_scores(docs, bench, n=3).collect()
+    }
+    bg = _py_grams(bench_text, 3)
+    for doc_id, text in [(0, bench_text),
+                         (1, "completely unrelated words about spark shuffles and joins today"),
+                         (2, "prefix words then the quick brown fox jumps over something else"),
+                         (3, "tiny doc"), (4, None)]:
+        g = _py_grams(text or "", 3)
+        hit = len(g & bg)
+        exp_frac = hit / len(g) if g else 0.0
+        assert got[doc_id] == (len(g), hit, pytest.approx(exp_frac)), doc_id
+    assert got[0][2] == 1.0  # verbatim copy
+    assert got[1][1] == 0
+
+
+def test_decontaminate_drops_contaminated(spark, contam_docs):
+    from dqc_spark.decontam import decontaminate
+
+    docs, bench, _ = contam_docs
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3, max_frac=0.5).collect()
+    )
+    # doc 0 (frac 1.0) dropped; docs 1-4 survive (3/4 have frac < 0.5)
+    assert kept == [1, 2, 3, 4]
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, contam_docs):
+    from dqc_spark.decontam import contamination_scores
+
+    docs, bench, _ = contam_docs
+    plan = contamination_scores(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the probe
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    rng = random.Random(7)
+    prior_texts = [f"prior document number {i} body {rng.random():.6f}" for i in range(200)]
+    # snapshot: 100 genuinely new + 50 exact re-crawls of prior content
+    new_texts = [f"fresh document {i} body {rng.random():.6f}" for i in range(100)]
+    snap_rows = [(i, t) for i, t in enumerate(new_texts + prior_texts[:50])]
+    prior = spark.createDataFrame(
+        list(enumerate(prior_texts)), "doc_id long, text string"
+    )
+    snap = spark.createDataFrame(snap_rows, "doc_id long, text string")
+    return snap, prior, set(new_texts)
+
+
+def test_new_docs_exact(spark, snapshots):
+    from dqc_spark.snapshot import new_docs
+
+    snap, prior, truly_new = snapshots
+    got = new_docs(snap, prior).collect()
+    assert {r["text"] for r in got} == truly_new
+    assert len(got) == 100
+
+
+def test_bloom_no_false_negatives(spark, snapshots):
+    from dqc_spark.snapshot import BloomFilter, build_bloom, content_digests
+
+    snap, prior, _ = snapshots
+    bloom = build_bloom(content_digests(prior, "text"), "digest", n_bits=1 << 16, k=5)
+    # every prior digest must probe positive (bloom guarantee)
+    for r in content_digests(prior, "text").collect():
+        assert bloom.might_contain(r["digest"])
+    # local add/probe roundtrip agrees with the distributed build
+    local = BloomFilter(1 << 16, 5)
+    for r in content_digests(prior, "text").collect():
+        local.add(r["digest"])
+    assert (local.bits == bloom.bits).all()
+
+
+def test_new_docs_bloom_matches_exact(spark, snapshots):
+    from dqc_spark.snapshot import new_docs, new_docs_bloom
+
+    snap, prior, _ = snapshots
+    exact = {(r["doc_id"], r["text"]) for r in new_docs(snap, prior).collect()}
+    bloomed = {
+        (r["doc_id"], r["text"])
+        for r in new_docs_bloom(snap, prior, n_bits=1 << 16, k=5).collect()
+    }
+    assert bloomed == exact
+
+
+def test_bloom_fp_rate_bounded(spark, snapshots):
+    from dqc_spark.snapshot import bloom_partition, build_bloom, content_digests
+
+    snap, prior, truly_new = snapshots
+    bloom = build_bloom(content_digests(prior, "text"), "digest", n_bits=1 << 16, k=5)
+    tagged = bloom_partition(snap, bloom, "text").collect()
+    fp = sum(1 for r in tagged if r["maybe_seen"] and r["text"] in truly_new)
+    # 1<<16 bits for 200 items -> FP rate ~0; allow a loose 5% bound
+    assert fp / 100 <= 0.05
+    # all 50 re-crawls are (correctly) flagged maybe_seen
+    assert sum(1 for r in tagged if r["maybe_seen"]) >= 50
+
+
+# ---------------------------------------------------------------------------
+# NFC normalization
+# ---------------------------------------------------------------------------
+
+
+NORM_CASES = [
+    ("café du monde", "café du monde"),  # decomposed -> composed
+    ("a\x00b\x07c", "abc"),  # control chars stripped
+    ("x\xa0\xa0y", "x y"),  # NBSP runs collapse
+    ("  spaced\t\tout\n\nlines  ", "spaced out lines"),
+    ("", ""),
+    (None, None),
+    ("already clean", "already clean"),
+]
+
+
+def test_normalize_py_pins():
+    from dqc_spark.normalize import normalize_text_py
+
+    for raw, want in NORM_CASES:
+        assert normalize_text_py(raw) == want, repr(raw)
+        if want is not None:  # idempotent
+            assert normalize_text_py(want) == want
+
+
+def test_normalize_udf_matches_py(spark):
+    from dqc_spark.normalize import normalize_text_py, normalized_col
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(NORM_CASES)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["norm"]
+        for r in df.select("i", normalized_col(F.col("text")).alias("norm")).collect()
+    }
+    for i, (raw, want) in enumerate(NORM_CASES):
+        assert got[i] == want == normalize_text_py(raw), repr(raw)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global ordering
+# ---------------------------------------------------------------------------
+
+
+def test_training_order_matches_oracle_and_partition_count(spark):
+    from dqc_spark.ordering import training_order
+
+    rows = [(i, f"document body {i * 37 % 101}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def oracle():
+        keyed = sorted(
+            (hashlib.md5(t.encode()).hexdigest(), i) for i, t in rows
+        )
+        return {doc_id: pos for pos, (_, doc_id) in enumerate(keyed)}
+
+    want = oracle()
+    for nparts in (3, 8):  # positions must not depend on partitioning
+        got = {
+            r["doc_id"]: r["position"]
+            for r in training_order(df, num_partitions=nparts).collect()
+        }
+        assert got == want, nparts
+
+
+def test_global_order_index_positions_contiguous(spark):
+    from dqc_spark.ordering import global_order_index
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "k long, grp long"
+    )
+    out = global_order_index(df, ["grp"], "k", num_partitions=4).collect()
+    assert sorted(r["position"] for r in out) == list(range(100))
+    # order respects (grp, k)
+    by_pos = sorted(out, key=lambda r: r["position"])
+    assert [(r["grp"], r["k"]) for r in by_pos] == sorted(
+        (r["grp"], r["k"]) for r in out
+    )
+
+
+def test_global_order_plan_has_no_global_sort(spark):
+    """The win over row_number()-without-partition: no single-partition
+    Exchange.  Assert the executed plan keeps a rangepartitioning
+    exchange and never plans Exchange SinglePartition for the data path
+    (the offsets side is metadata and allowed)."""
+    from dqc_spark.ordering import training_order
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out = training_order(df, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # the only SinglePartition exchange allowed is under the broadcast
+    # (offsets metadata); the main branch must not have one
+    main = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in main
+
+
+# ---------------------------------------------------------------------------
+# compression ratio
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratios(spark):
+    from dqc_spark.textstats import compression_ratios
+
+    boiler = "spam spam spam " * 200
+    rng = random.Random(3)
+    prose = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(7))
+        for _ in range(400)
+    )
+    df = spark.createDataFrame(
+        [(1, boiler), (2, prose), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    got = {r["key"]: r for r in compression_ratios(df, "doc_id").collect()}
+    assert got[1]["n_bytes"] == len(boiler.encode())
+    assert got[1]["n_compressed"] == len(zlib.compress(boiler.encode(), 6))
+    # boilerplate compresses dramatically better than random prose
+    assert got[1]["compression_ratio"] < 0.05 < got[2]["compression_ratio"]
+    assert got[3]["compression_ratio"] == 0.0 and got[3]["n_bytes"] == 0
+    assert got[4]["n_bytes"] == 0  # NULL -> empty
