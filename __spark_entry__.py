@@ -287,6 +287,7 @@ DRIVER_ORDER = [
     "text_normalize_nfc",
     "order_training_positions",
     "text_compression_ratio",
+    "text_line_dedup",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
@@ -302,7 +303,6 @@ DRIVER_ORDER = [
     "olap_rich_idle_customers",
     "olap_sessionization",
     "olap_asof_join",
-    "olap_value_percentiles",
     "olap_range_join",
     "media_features",
 ]
@@ -337,6 +337,7 @@ TAIL_ORDER = [
     "olap_late_shipment_priority",  # Q4 EXISTS ~ rich_idle NOT EXISTS
     "olap_rollup_daily",        # ROLLUP twin of olap_lang_source_cube
     "olap_events_windowed",     # tumbling-window twin of sessionization
+    "olap_value_percentiles",   # exact twin of the approx contract row
 ]
 
 

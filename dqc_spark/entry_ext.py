@@ -886,6 +886,35 @@ def q_training_order(spark, sf):
     return training_order(docs, num_partitions=8).select("doc_id", "position")
 
 
+# planted corpus boilerplate for the line-dedup entry (the synthetic
+# docs have no newlines, so lined documents are derived: this banner +
+# the doc's words re-wrapped 8 per line — same construction in the
+# oracle, so both engines dedup the identical lined corpus)
+_BANNER = "COOKIE CONSENT BANNER please accept tracking"
+
+
+def q_line_dedup(spark, sf):
+    from dqc_spark.gates import words_col
+    from dqc_spark.linededup import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    w = words_col(F.col("text"))
+    n_segs = F.greatest(F.ceil(F.size(w) / F.lit(8)), F.lit(1)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    lined = F.concat(F.lit(_BANNER + "\n"), F.concat_ws("\n", segs))
+    src = docs.select("doc_id", lined.alias("text"))
+    out = dedup_lines(src, "doc_id", min_dup_len=10)
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_lines",
+        "n_lines_kept",
+    )
+
+
 def q_compression_ratio(spark, sf):
     # rows-only: zlib is not SQL-expressible; values pinned by pytest
     from dqc_spark.textstats import compression_ratios
@@ -950,6 +979,7 @@ def extra_queries():
         "text_normalize_nfc": q_normalize_nfc,
         "order_training_positions": q_training_order,
         "text_compression_ratio": q_compression_ratio,
+        "text_line_dedup": q_line_dedup,
     }
 
 
@@ -1443,6 +1473,54 @@ def extra_oracle_sql():
             SELECT doc_id, md5(n) AS norm_md5,
                    CAST(length(n) AS INTEGER) AS n_chars_norm
             FROM norm
+        """,
+        # lined corpus derived identically to q_line_dedup (banner +
+        # 8-word wrap); 'first occurrence' = ROW_NUMBER over
+        # (doc_id, line_no), the SQL spelling of the skew-safe
+        # min(struct) winner election
+        "text_line_dedup": rf"""
+            WITH src AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), lined AS (
+              SELECT doc_id,
+                     '{_BANNER}' || chr(10) || array_to_string(
+                       list_transform(
+                         generate_series(0,
+                           GREATEST(CAST(ceil(len(w) / 8.0) AS INT), 1) - 1),
+                         i -> array_to_string(w[i*8+1:i*8+8], ' ')),
+                       chr(10)) AS text
+              FROM src
+            ), ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined
+            ), lines AS (
+              SELECT doc_id, i - 1 AS line_no, arr[i] AS line
+              FROM ls, LATERAL (SELECT unnest(generate_series(1, len(arr)))
+                                AS i) t
+            ), ranked AS (
+              SELECT doc_id, line_no, line,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM lines WHERE length(line) >= 10
+            ), kept AS (
+              SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, line_no, line FROM lines WHERE length(line) < 10
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_no) AS txt,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   md5(COALESCE(r.txt, '')) AS dedup_md5,
+                   t.n_lines,
+                   COALESCE(r.n_kept, 0) AS n_lines_kept
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
         """,
         # NULLS FIRST pins DuckDB to Spark's asc_nulls_first default
         # (no NULL texts in the testdata, but the contract should not
