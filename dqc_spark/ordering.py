@@ -7,21 +7,32 @@ index per document (shard assignment, resumable offsets).
 
 The naive Spark spelling — ``row_number() OVER (ORDER BY ...)`` with no
 partition — collapses to a SINGLE partition and is the classic
-100-TB-killer.  The scalable plan used here:
+100-TB-killer.  The next trap (measured here, not hypothetical): hanging
+the window, the per-partition counts, and the offsets off one
+``repartitionByRange(df)`` plans THREE separate scans + range exchanges
+of the FULL table — column pruning specializes each branch's exchange,
+so AQE's ReusedExchange never fires (verified: 3x `Scan parquet`, 0
+`ReusedExchange` on the executed plan).
 
-  1. ``repartitionByRange`` on the order key: range-partitions the data
-     so partition i holds keys strictly below partition i+1 (sampled
-     boundaries; correctness never depends on where the cuts land).
-  2. per-partition ``row_number`` over a window PARTITIONED BY the
-     range-partition id — every partition numbers itself independently.
-  3. per-partition counts (a few hundred longs) come back to the
-     driver, cumulative offsets go back out as a broadcast map-side
+The plan used here instead:
+
+  1. Project the order key + a UNIQUE tiebreak column — a narrow frame
+     (hash + key, ~24 B/row; the parquet scan is column-pruned, document
+     text is never read by the heavy stages).
+  2. ``repartitionByRange`` + per-partition ``row_number`` on that
+     narrow frame, persisted (its cached blocks feed both the counts
+     job and the position projection — `cache.track`-registered so
+     callers can release).
+  3. Per-partition counts to the driver: num_partitions longs —
+     metadata, not data.  Cumulative offsets come back as a broadcast
      join; position = offset[pid] + local_rank - 1.
+  4. Hash-join (tiebreak, position) back to the caller's frame.  If the
+     caller only selects keys + positions, Catalyst prunes the wide
+     columns and the text never moves at all.
 
-Three stages, no single-partition shuffle, and the expensive exchange
-carries only (key, tiebreak) — not document text.  The order key
-includes a unique tiebreak column so the total order (and therefore
-every position) is fully deterministic regardless of sampling.
+Net wide-data cost: ONE column-pruned scan for the keys and one hash
+join against a narrow positions table — vs three full scans + three
+range shuffles for the naive multi-branch plan.
 """
 
 from __future__ import annotations
@@ -29,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+from dqc_spark.cache import track
 
 
 def content_order_key(text_col: str = "text") -> "F.Column":
@@ -45,45 +58,44 @@ def global_order_index(
     position_col: str = "position",
 ) -> DataFrame:
     """Add a 0-based ``position`` column: the row's rank in the total
-    order (``order_cols``, ``tiebreak_col``).  Scalable — see module
-    docstring for the 3-stage plan."""
+    order (``order_cols``, ``tiebreak_col``).  ``tiebreak_col`` must be
+    unique per row — it both completes the total order (positions are
+    deterministic regardless of range-boundary sampling) and keys the
+    join that carries positions back.  Scalable: see module docstring.
+    """
     sort_cols = [F.col(c) for c in order_cols] + [F.col(tiebreak_col)]
+
+    keyed = df.select(*[F.col(c) for c in order_cols], F.col(tiebreak_col))
     if num_partitions is None:
-        ranged = df.repartitionByRange(*sort_cols)
+        ranged = keyed.repartitionByRange(*sort_cols)
     else:
-        ranged = df.repartitionByRange(num_partitions, *sort_cols)
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+        ranged = keyed.repartitionByRange(num_partitions, *sort_cols)
+    ranged = track(ranged.withColumn("__pid", F.spark_partition_id()))
 
-    # Per-partition local ranks: window is partitioned (by __pid), so no
-    # single-partition stage; rows are already range-clustered so the
-    # sort is partition-local.
+    # metadata job: one long per partition; runs against the cached
+    # narrow frame, so the range shuffle happens exactly once
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+
     w = W.partitionBy("__pid").orderBy(*sort_cols)
-    local = ranged.withColumn("__rank", F.row_number().over(w))
-
-    # Partition sizes -> cumulative offsets, all inside ONE query: the
-    # counts branch and the main branch hang off the same range
-    # exchange, so AQE's ReusedExchange computes the expensive shuffle
-    # once (a driver-side collect here would force a second job that
-    # re-runs it).  The offset window is single-partition BY DESIGN —
-    # it sees num_partitions rows of (int, long) metadata, not data.
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    # Cumulative offsets via a triangular self-join instead of an
-    # unpartitioned window: the counts frame holds num_partitions rows
-    # of metadata, so the P^2/2 join is trivial, and it avoids
-    # WindowExec's single-partition plan (and its log warning) entirely.
-    lower = counts.select(
-        F.col("__pid").alias("__lpid"), F.col("__n").alias("__ln")
+    positions = (
+        ranged.withColumn("__rank", F.row_number().over(w))
+        .join(off_df, on="__pid", how="inner")
+        .select(
+            F.col(tiebreak_col),
+            (F.col("__off") + F.col("__rank") - 1).alias(position_col),
+        )
     )
-    offsets = (
-        counts.join(lower, F.col("__lpid") < F.col("__pid"), "left")
-        .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__ln"), F.lit(0)).alias("__off"))
-    )
-    return (
-        local.join(F.broadcast(offsets), on="__pid", how="inner")
-        .withColumn(position_col, F.col("__off") + F.col("__rank") - 1)
-        .drop("__pid", "__rank", "__off")
-    )
+    return df.join(positions, on=tiebreak_col, how="inner")
 
 
 def training_order(

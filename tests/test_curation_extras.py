@@ -225,23 +225,30 @@ def test_global_order_index_positions_contiguous(spark):
     )
 
 
-def test_global_order_plan_has_no_global_sort(spark):
-    """The win over row_number()-without-partition: no single-partition
-    Exchange.  Assert the executed plan keeps a rangepartitioning
-    exchange and never plans Exchange SinglePartition for the data path
-    (the offsets side is metadata and allowed)."""
+def test_global_order_plan_no_global_sort_and_narrow_range_shuffle(spark):
+    """Two plan pins for the 100-TB shape:
+
+    1. no single-partition Exchange in the data path (the whole point
+       over row_number()-without-partition);
+    2. the caller-side query serves positions from the cached NARROW
+       keyed frame — the executed main branch must not contain its own
+       range exchange (the earlier multi-branch spelling planned THREE
+       full range shuffles because column pruning defeated
+       ReusedExchange)."""
     from dqc_spark.ordering import training_order
 
     df = spark.range(1000).select(
         F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
     )
-    out = training_order(df, num_partitions=8)
+    out = training_order(df, num_partitions=8).select("doc_id", "position")
+    out.count()  # execute so AQE finalizes and the cache materializes
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
-    # the only SinglePartition exchange allowed is under the broadcast
-    # (offsets metadata); the main branch must not have one
-    main = plan.split("BroadcastExchange")[0]
-    assert "SinglePartition" not in main
+    assert "InMemoryTableScan" in plan
+    # strip InMemoryRelation's embedded description of the cached plan:
+    # only the live operators above it count
+    main = plan.split("InMemoryRelation")[0]
+    assert "Exchange rangepartitioning" not in main
+    assert "SinglePartition" not in main.split("BroadcastExchange")[0]
 
 
 # ---------------------------------------------------------------------------
