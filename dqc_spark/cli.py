@@ -129,6 +129,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-budget", type=int, default=0,
                    help="tokens per context-window bin (0 = no packing)")
 
+    p = sub.add_parser("normalize",
+                       help="NFC + control-strip + whitespace canonicalization")
+    p.add_argument("--input", required=True, help="docs parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-column", default="text")
+
+    p = sub.add_parser("dedup-lines",
+                       help="corpus-level line dedup (CCNet-style)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--min-dup-len", type=int, default=10)
+
+    p = sub.add_parser("decontaminate",
+                       help="drop docs overlapping a benchmark's n-grams")
+    p.add_argument("--input", required=True)
+    p.add_argument("--benchmark", required=True, help="eval-set parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--ngram", type=int, default=13,
+                   help="overlap n-gram size (13 is the common eval guard)")
+    p.add_argument("--max-frac", type=float, default=0.5)
+
+    p = sub.add_parser("snapshot-new",
+                       help="keep only docs unseen in a prior snapshot")
+    p.add_argument("--input", required=True, help="new snapshot parquet")
+    p.add_argument("--prior", required=True, help="prior corpus parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--bloom-bits", type=int, default=0,
+                   help="enable the bloom prefilter with this many bits "
+                        "(0 = exact anti-join only)")
+
     return ap
 
 
@@ -244,6 +279,57 @@ def main(argv=None) -> int:
         n_in = pages.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")
+        return 0
+    if c == "normalize":
+        from pyspark.sql import functions as F
+
+        from dqc_spark.normalize import normalized_col
+
+        docs = spark.read.parquet(args.input)
+        out = docs.withColumn(
+            args.text_column, normalized_col(F.col(args.text_column))
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"normalized {args.input} -> {args.output}")
+        return 0
+    if c == "dedup-lines":
+        from dqc_spark.linededup import dedup_lines
+
+        docs = spark.read.parquet(args.input)
+        out = dedup_lines(docs, args.key_column, args.text_column,
+                          min_dup_len=args.min_dup_len)
+        out.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output)
+        from pyspark.sql import functions as F
+
+        row = kept.agg(F.sum("n_lines").alias("a"),
+                       F.sum("n_lines_kept").alias("b")).first()
+        print(f"line-dedup: kept {row['b']}/{row['a']} lines -> {args.output}")
+        return 0
+    if c == "decontaminate":
+        from dqc_spark.decontam import decontaminate
+
+        docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark)
+        out = decontaminate(docs, bench, args.key_column, args.text_column,
+                            n=args.ngram, max_frac=args.max_frac)
+        out.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
+        print(f"decontaminate: {n_in} -> {n_out} docs at {args.output}")
+        return 0
+    if c == "snapshot-new":
+        from dqc_spark.snapshot import new_docs, new_docs_bloom
+
+        snap = spark.read.parquet(args.input)
+        prior = spark.read.parquet(args.prior)
+        if args.bloom_bits:
+            out = new_docs_bloom(snap, prior, args.text_column,
+                                 n_bits=args.bloom_bits)
+        else:
+            out = new_docs(snap, prior, args.text_column)
+        out.write.mode("overwrite").parquet(args.output)
+        n_in, n_out = snap.count(), spark.read.parquet(args.output).count()
+        print(f"snapshot-new: {n_in} -> {n_out} new docs at {args.output}")
         return 0
     raise SystemExit(f"unknown command {c}")
 

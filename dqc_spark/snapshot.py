@@ -145,11 +145,15 @@ def bloom_partition(
 ) -> DataFrame:
     """Tag snapshot rows: ``maybe_seen`` false => certainly new (skip
     the exact join), true => candidate for the exact anti-join.  The
-    bitmap rides to executors as a broadcast via the closure (numpy
-    array; Spark pickles it once per executor, not per row)."""
-    nb, kk, bits = bloom.n_bits, bloom.k, bloom.bits
+    bitmap ships as a REAL Spark broadcast, not a closure capture — a
+    closure is re-pickled into every task, which at production bloom
+    sizes (2^30 bits = 128 MiB) multiplies the transfer by the task
+    count; a broadcast moves it once per executor."""
+    nb, kk = bloom.n_bits, bloom.k
+    bc_bits = snapshot.sparkSession.sparkContext.broadcast(bloom.bits)
 
     def kernel(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bits = bc_bits.value
         for s in it:
             out = []
             for v in s:

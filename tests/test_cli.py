@@ -1,0 +1,106 @@
+"""CLI dispatch: reference-parity check verbs + the curation verbs.
+
+Calls ``cli.main(argv)`` in-process (same SparkSession via get_spark's
+session reuse) and asserts exit codes, printed outcomes, and written
+outputs.  Mirrors the reference's cobra surface (main.go:39-61)."""
+
+import os
+
+import pytest
+
+from dqc_spark import cli
+from tests.conftest import fixture_path
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    return str(tmp_path / "quality_checks.db")
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    return rc, capsys.readouterr().out
+
+
+def test_check_unique_pass_and_fail(capsys, spark, db_path):
+    rc, out = _run(capsys, ["--db-path", db_path, "check-unique",
+                            "--data", fixture_path("unique_data.csv"),
+                            "--column", "id"])
+    assert rc == 0 and "[PASS]" in out
+    rc, out = _run(capsys, ["--db-path", db_path, "check-unique",
+                            "--data", fixture_path("duplicate_data.csv"),
+                            "--column", "id"])
+    assert rc == 1 and "[FAIL]" in out
+
+
+def test_check_enum_and_logs_roundtrip(capsys, spark, db_path):
+    rc, _ = _run(capsys, ["--db-path", db_path, "check-enum",
+                          "--data", fixture_path("invalid_enum.csv"),
+                          "--column", "status", "--values", "active,inactive"])
+    assert rc == 1
+    rc, out = _run(capsys, ["--db-path", db_path, "show-logs"])
+    assert rc == 0 and "enum" in out and "FAIL" in out
+    rc, _ = _run(capsys, ["--db-path", db_path, "clean-logs"])
+    assert rc == 0
+    rc, out = _run(capsys, ["--db-path", db_path, "show-logs"])
+    assert "enum" not in out
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli_docs")
+    p = str(base / "docs.parquet")
+    rows = [
+        (0, "shared boilerplate line\nthe quick brown fox jumps today"),
+        (1, "shared boilerplate line\ncompletely different content here"),
+        (2, "the quick brown fox jumps today\nunique tail line content"),
+        (3, "cafeé accent line only"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    return p
+
+
+def test_cli_normalize(capsys, spark, db_path, docs_parquet, tmp_path):
+    out_p = str(tmp_path / "norm.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "normalize",
+                            "--input", docs_parquet, "--output", out_p])
+    assert rc == 0 and os.path.exists(out_p)
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out_p).collect()}
+    assert texts[3] == "cafe\u00e9 accent line only"  # NFC-composed, NBSP collapsed
+
+
+def test_cli_dedup_lines(capsys, spark, db_path, docs_parquet, tmp_path):
+    out_p = str(tmp_path / "lded.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "dedup-lines",
+                            "--input", docs_parquet, "--output", out_p])
+    assert rc == 0 and "line-dedup: kept" in out
+    kept = {r["doc_id"]: r["n_lines_kept"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert kept[0] == 2 and kept[1] == 1  # doc 1 loses the shared banner
+
+
+def test_cli_decontaminate(capsys, spark, db_path, docs_parquet, tmp_path):
+    out_p = str(tmp_path / "decon.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "decontaminate",
+                            "--input", docs_parquet,
+                            "--benchmark", docs_parquet,
+                            "--output", out_p, "--ngram", "3",
+                            "--max-frac", "0.99"])
+    # benchmark == corpus -> every doc with >=1 gram is fully contaminated
+    assert rc == 0
+    assert spark.read.parquet(out_p).count() < 4
+
+
+def test_cli_snapshot_new_exact_and_bloom(capsys, spark, db_path,
+                                          docs_parquet, tmp_path):
+    out_a = str(tmp_path / "new_a.parquet")
+    out_b = str(tmp_path / "new_b.parquet")
+    rc, _ = _run(capsys, ["--db-path", db_path, "snapshot-new",
+                          "--input", docs_parquet, "--prior", docs_parquet,
+                          "--output", out_a])
+    assert rc == 0 and spark.read.parquet(out_a).count() == 0
+    rc, _ = _run(capsys, ["--db-path", db_path, "snapshot-new",
+                          "--input", docs_parquet, "--prior", docs_parquet,
+                          "--output", out_b, "--bloom-bits", str(1 << 16)])
+    assert rc == 0 and spark.read.parquet(out_b).count() == 0
