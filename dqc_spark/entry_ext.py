@@ -1447,11 +1447,17 @@ def extra_oracle_sql():
             FROM ex LEFT JOIN bg ON ex.gram = bg.gram
             GROUP BY ex.doc_id
         """,
+        # NOT EXISTS with plain '=', not NOT IN: a NULL prior-side
+        # digest turns NOT IN three-valued (0 rows) while Spark's
+        # left_anti still matches.  Plain equality (NOT null-safe) is
+        # the faithful spelling of left_anti: a NULL-text snapshot row
+        # never equals anything, so both engines KEEP it as new.
         "snapshot_new_docs": """
-            SELECT doc_id FROM documents
-            WHERE doc_id % 3 <> 0
-              AND md5(text) NOT IN (SELECT md5(text) FROM documents
-                                    WHERE doc_id % 3 = 0)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 3 <> 0
+              AND NOT EXISTS (SELECT 1 FROM documents p
+                              WHERE p.doc_id % 3 = 0
+                                AND md5(p.text) = md5(d.text))
         """,
         # same dirty suffix as _DIRTY_SUFFIX, spelled with chr() so the
         # SQL source stays printable: 0x301 combining acute, 7 BEL,
@@ -1464,9 +1470,12 @@ def extra_oracle_sql():
               FROM documents
             ), norm AS (
               SELECT doc_id,
-                     trim(regexp_replace(regexp_replace(
-                         nfc_normalize(t),
-                         '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+                     -- control-strip BEFORE nfc (same order as
+                     -- normalize.py: a control between base char and
+                     -- combining mark blocks composition)
+                     trim(regexp_replace(
+                         nfc_normalize(regexp_replace(t,
+                           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g')),
                          '[ \t\r\n\xa0]+', ' ', 'g'), ' ') AS n
               FROM dirty
             )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dqc_spark.cache import track
+
 
 def explode_lines(
     df: DataFrame, key_col: str, text_col: str = "text", sep: str = "\n"
@@ -56,6 +58,7 @@ def dedup_lines(
     text_col: str = "text",
     sep: str = "\n",
     min_dup_len: int = 10,
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Rebuild each document with corpus-duplicate lines removed:
     (key, text_dedup, n_lines, n_lines_kept).
@@ -64,8 +67,26 @@ def dedup_lines(
     its (key, line_no) is the corpus-first occurrence of that exact
     line.  'First' = smallest (key, line_no) — deterministic, not
     partition-order-dependent.
+
+    ``sep`` is a Java REGEX for splitting; ``join_sep`` is the LITERAL
+    string the surviving lines are rejoined with.  When ``join_sep`` is
+    None it defaults to ``sep`` only if ``sep`` is literal-safe (no
+    regex metacharacters) — paragraph-mode callers (``sep=r'\\n{2,}'``)
+    must pass an explicit literal (e.g. ``'\\n\\n'``) or the rebuild
+    would glue paragraphs with the regex source text.
     """
+    if join_sep is None:
+        if any(ch in sep for ch in r"\^$.|?*+()[]{}") and sep != "\n":
+            raise ValueError(
+                f"sep {sep!r} is a regex; pass join_sep= with the literal "
+                "separator to rebuild documents with"
+            )
+        join_sep = sep
     lines = explode_lines(df, key_col, text_col, sep)
+    # persisted: the exploded frame feeds THREE consumers (winner
+    # election + exempt branch + per-doc totals) — without a persist the
+    # split/posexplode of the full corpus re-runs per consumer
+    lines = track(lines)
     dedupable = lines.filter(F.length("line") >= min_dup_len).withColumn(
         "__h", F.md5("line")
     )
@@ -90,7 +111,7 @@ def dedup_lines(
         .agg(
             F.count(F.lit(1)).alias("n_lines_kept"),
             F.concat_ws(
-                sep,
+                join_sep,
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                     lambda s: s["line"],

@@ -37,19 +37,24 @@ _WS = re.compile(r"[ \t\r\n\xa0]+")
 
 
 def normalize_text_py(text: str | None) -> str | None:
-    """Single-document oracle path: NFC, strip controls, collapse
-    whitespace runs to one space, trim."""
+    """Single-document oracle path: strip controls, THEN NFC, collapse
+    whitespace runs to one space, trim.  Control-strip must precede NFC:
+    a control char between a base char and its combining mark blocks
+    composition, so NFC-first left decomposed (non-NFC, non-idempotent)
+    output once the control was removed — caught by the round-2 review
+    and pinned by test_normalize_idempotent_and_nfc."""
     if text is None:
         return None
-    t = unicodedata.normalize("NFC", text)
-    t = _CTRL.sub("", t)
+    t = _CTRL.sub("", text)
+    t = unicodedata.normalize("NFC", t)
     return _WS.sub(" ", t).strip(" ")
 
 
 def normalize_series(s: pd.Series) -> pd.Series:
-    """Vectorized batch kernel — same three passes as the oracle."""
-    out = s.str.normalize("NFC")
-    out = out.str.replace(_CTRL, "", regex=True)
+    """Vectorized batch kernel — same passes, same ORDER as the oracle
+    (controls stripped before NFC; see normalize_text_py)."""
+    out = s.str.replace(_CTRL, "", regex=True)
+    out = out.str.normalize("NFC")
     return out.str.replace(_WS, " ", regex=True).str.strip(" ")
 
 

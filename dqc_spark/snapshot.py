@@ -163,15 +163,15 @@ def bloom_partition(
                 # probe with the HEX DIGEST of the text — the bloom was
                 # built over content_digests() output (Spark md5 = lower
                 # hex, same as hexdigest), so both sides hash the same
-                # value; probing raw text would silently false-negative
+                # value; probing raw text would silently false-negative.
+                # Positions come from the SAME helper the build side
+                # uses — a drifting inline copy of the bit derivation
+                # would turn bloom "no" answers into silent false drops.
                 dg = hashlib.md5(str(v).encode("utf-8")).hexdigest()
-                d = hashlib.md5(dg.encode("utf-8")).digest()
-                h1 = int.from_bytes(d[0:8], "little")
-                h2 = int.from_bytes(d[8:16], "little") | 1
                 out.append(
                     all(
-                        bits[((h1 + i * h2) % nb) >> 3] & (1 << (((h1 + i * h2) % nb) & 7))
-                        for i in range(kk)
+                        bits[p >> 3] & (1 << (p & 7))
+                        for p in _probe_positions(dg, nb, kk)
                     )
                 )
             yield pd.Series(out, dtype=bool)
@@ -184,15 +184,33 @@ def new_docs_bloom(
     snapshot: DataFrame,
     prior: DataFrame,
     text_col: str = "text",
-    n_bits: int = 1 << 23,
+    n_bits: int | None = None,
     k: int = 7,
+    fp_rate: float = 0.01,
 ) -> DataFrame:
     """Bloom-accelerated ``new_docs``: same answer, but only the
     bloom-maybe rows reach the exact anti-join.  Exactness: bloom has
     no false negatives, so every truly-seen row is in the maybe set and
-    gets exactly re-checked; definitely-new rows bypass the join."""
-    bloom = build_bloom(content_digests(prior, text_col), "digest", n_bits, k)
-    tagged = bloom_partition(snapshot, bloom, text_col)
+    gets exactly re-checked; definitely-new rows bypass the join.
+
+    ``n_bits=None`` sizes the bitmap from the prior's row count (a
+    parquet-metadata-cheap upper bound on distinct digests) at
+    ``fp_rate`` — a fixed default bitmap silently saturates on a large
+    prior, making every row 'maybe seen' and the prefilter pure
+    overhead."""
+    from dqc_spark.cache import track
+
+    if n_bits is None:
+        bloom = BloomFilter.sized_for(max(1, prior.count()), fp_rate)
+        bloom = build_bloom(
+            content_digests(prior, text_col), "digest", bloom.n_bits, bloom.k
+        )
+    else:
+        bloom = build_bloom(content_digests(prior, text_col), "digest", n_bits, k)
+    # persisted: the tagged frame is a pandas-UDF stage with TWO
+    # downstream consumers (certain-new filter + maybe filter) — without
+    # a persist Spark re-runs the whole per-row probe per consumer
+    tagged = track(bloom_partition(snapshot, bloom, text_col))
     certain_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     rechecked = new_docs(maybes, prior, text_col)

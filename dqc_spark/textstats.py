@@ -215,9 +215,11 @@ def compression_ratios(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # key column keeps the CALLER's name (like every sibling operator)
+    # so the result joins straight back onto the corpus frame
     out_schema = T.StructType(
         [
-            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField(key_col, df.schema[key_col].dataType),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("n_compressed", T.LongType()),
             T.StructField("compression_ratio", T.DoubleType()),
@@ -233,7 +235,7 @@ def compression_ratios(
             nc = [len(zlib.compress(b, level)) for b in raw]
             yield pd.DataFrame(
                 {
-                    "key": pdf[key_col],
+                    key_col: pdf[key_col],
                     "n_bytes": nb,
                     "n_compressed": nc,
                     "compression_ratio": [

@@ -87,9 +87,11 @@ def test_cli_decontaminate(capsys, spark, db_path, docs_parquet, tmp_path):
                             "--benchmark", docs_parquet,
                             "--output", out_p, "--ngram", "3",
                             "--max-frac", "0.99"])
-    # benchmark == corpus -> every doc with >=1 gram is fully contaminated
+    # benchmark == corpus -> every doc has >= 3 words, so every doc is
+    # fully contaminated (frac 1.0 >= 0.99) and must be dropped; an
+    # exact 0 pins the argparse->decontaminate threshold plumbing
     assert rc == 0
-    assert spark.read.parquet(out_p).count() < 4
+    assert spark.read.parquet(out_p).count() == 0
 
 
 def test_cli_snapshot_new_exact_and_bloom(capsys, spark, db_path,

@@ -120,6 +120,20 @@ def test_bloom_no_false_negatives(spark, snapshots):
     assert (local.bits == bloom.bits).all()
 
 
+def test_bloom_sized_for_and_autosize(spark, snapshots):
+    from dqc_spark.snapshot import BloomFilter, new_docs, new_docs_bloom
+
+    # classic sizing: ~9.6 bits/item at 1% FP, k ~= 7
+    b = BloomFilter.sized_for(10_000, 0.01)
+    assert 9 * 10_000 <= b.n_bits <= 11 * 10_000
+    assert 6 <= b.k <= 8
+    # auto-sized end-to-end path gives the exact answer
+    snap, prior, _ = snapshots
+    exact = {r["doc_id"] for r in new_docs(snap, prior).collect()}
+    auto = {r["doc_id"] for r in new_docs_bloom(snap, prior).collect()}
+    assert auto == exact
+
+
 def test_new_docs_bloom_matches_exact(spark, snapshots):
     from dqc_spark.snapshot import new_docs, new_docs_bloom
 
@@ -152,6 +166,10 @@ def test_bloom_fp_rate_bounded(spark, snapshots):
 
 NORM_CASES = [
     ("café du monde", "café du monde"),  # decomposed -> composed
+    # control char BETWEEN base char and combining mark: stripping it
+    # must happen BEFORE NFC or the mark never composes (found by the
+    # round-2 review; ordering regression pin)
+    ("cafe\x07\u0301 x", "caf\u00e9 x"),
     ("a\x00b\x07c", "abc"),  # control chars stripped
     ("x\xa0\xa0y", "x y"),  # NBSP runs collapse
     ("  spaced\t\tout\n\nlines  ", "spaced out lines"),
@@ -268,7 +286,7 @@ def test_compression_ratios(spark):
     df = spark.createDataFrame(
         [(1, boiler), (2, prose), (3, ""), (4, None)], "doc_id long, text string"
     )
-    got = {r["key"]: r for r in compression_ratios(df, "doc_id").collect()}
+    got = {r["doc_id"]: r for r in compression_ratios(df, "doc_id").collect()}
     assert got[1]["n_bytes"] == len(boiler.encode())
     assert got[1]["n_compressed"] == len(zlib.compress(boiler.encode(), 6))
     # boilerplate compresses dramatically better than random prose
