@@ -288,11 +288,11 @@ DRIVER_ORDER = [
     "order_training_positions",
     "text_compression_ratio",
     "text_line_dedup",
+    "mix_temperature_sample",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
     "dedup_minhash_near_dups",
-    "dedup_simhash_near_dups",
     "embedding_near_dups_lsh",
     "text_token_counts",
     "text_quality_scores",
@@ -338,6 +338,8 @@ TAIL_ORDER = [
     "olap_rollup_daily",        # ROLLUP twin of olap_lang_source_cube
     "olap_events_windowed",     # tumbling-window twin of sessionization
     "olap_value_percentiles",   # exact twin of the approx contract row
+    "dedup_simhash_near_dups",  # rows-only; minhash row represents the
+                                # near-dup family, pytest pins hamming
 ]
 
 

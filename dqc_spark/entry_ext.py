@@ -915,6 +915,27 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_mix_temperature(spark, sf):
+    # temperature-0.5 source mixing: rare sources kept whole, hot
+    # sources hash-subsampled to the flattened mix.  The testdata's
+    # `source` column is perfectly uniform (mixing would be a no-op),
+    # so a 70/20/10-skewed source is derived from doc_id — the same
+    # CASE in the oracle, making the kept-set a non-trivial
+    # deterministic function of (doc_id, counts), reproduced
+    # row-for-row.
+    from dqc_spark.mixing import temperature_sample
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 10
+    skewed = docs.select(
+        "doc_id",
+        F.when(m < 7, "hot").when(m < 9, "mid").otherwise("rare").alias("source"),
+    )
+    return temperature_sample(skewed, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def q_compression_ratio(spark, sf):
     # rows-only: zlib is not SQL-expressible; values pinned by pytest
     from dqc_spark.textstats import compression_ratios
@@ -980,6 +1001,7 @@ def extra_queries():
         "order_training_positions": q_training_order,
         "text_compression_ratio": q_compression_ratio,
         "text_line_dedup": q_line_dedup,
+        "mix_temperature_sample": q_mix_temperature,
     }
 
 
@@ -1446,6 +1468,39 @@ def extra_oracle_sql():
                               ELSE 0.0 END * 10000) / 10000 AS contam_frac
             FROM ex LEFT JOIN bg ON ex.gram = bg.gram
             GROUP BY ex.doc_id
+        """,
+        # temperature mix: same rate math (sqrt-share renormalized, min
+        # budget, capped at 1), same md5-bucket filter, threshold
+        # ROUND-quantized on both sides (the weight sum's summation
+        # order differs between engines -> ulp drift; rounding absorbs)
+        "mix_temperature_sample": """
+            WITH skewed AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 7 THEN 'hot'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'rare' END AS source
+              FROM documents
+            ), counts AS (
+              SELECT source, COUNT(*) AS n_docs FROM skewed GROUP BY source
+            ), tot AS (SELECT SUM(n_docs) AS t FROM counts),
+            w AS (
+              SELECT source, n_docs,
+                     POW(n_docs::DOUBLE / tot.t, 0.5) AS wgt
+              FROM counts, tot
+            ), ws AS (SELECT SUM(wgt) AS s FROM w),
+            tgt AS (
+              SELECT source, n_docs, wgt / ws.s AS target_share FROM w, ws
+            ), bdg AS (SELECT MIN(n_docs / target_share) AS b FROM tgt),
+            rates AS (
+              SELECT source,
+                     CAST(ROUND(LEAST(1.0, target_share * bdg.b / n_docs)
+                                * 10000, 0) AS BIGINT) AS thr
+              FROM tgt, bdg
+            )
+            SELECT d.doc_id, d.source
+            FROM skewed d JOIN rates r USING (source)
+            WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < r.thr
         """,
         # NOT EXISTS with plain '=', not NOT IN: a NULL prior-side
         # digest turns NOT IN three-valued (0 rows) while Spark's
