@@ -128,6 +128,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max docs per domain (0 = unlimited)")
     p.add_argument("--pack-budget", type=int, default=0,
                    help="tokens per context-window bin (0 = no packing)")
+    p.add_argument("--prior", default=None,
+                   help="prior-corpus parquet: drop already-ingested content")
+    p.add_argument("--normalize", action="store_true",
+                   help="NFC/control/whitespace canonicalization first")
+    p.add_argument("--line-dedup-min-len", type=int, default=0,
+                   help="corpus line dedup for lines >= N chars (0 = off)")
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet: decontaminate against its n-grams")
+    p.add_argument("--mix-alpha", type=float, default=-1.0,
+                   help="temperature mix exponent by domain (<0 = off)")
 
     p = sub.add_parser("normalize",
                        help="NFC + control-strip + whitespace canonicalization")
@@ -274,6 +284,12 @@ def main(argv=None) -> int:
                                 if args.near_dup_threshold >= 0 else None),
             domain_quota=args.domain_quota or None,
             pack_budget=args.pack_budget or None,
+            prior=(spark.read.parquet(args.prior) if args.prior else None),
+            normalize_text=args.normalize,
+            line_dedup_min_len=args.line_dedup_min_len or None,
+            benchmark=(spark.read.parquet(args.benchmark)
+                       if args.benchmark else None),
+            mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -47,6 +47,7 @@ def contamination_scores(
     key_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Per-document contamination: (key, n_grams, n_hit, contam_frac).
 
@@ -63,7 +64,10 @@ def contamination_scores(
         # explode_outer keeps gram-less (short) docs in the result
         F.explode_outer("__grams").alias("gram"),
     )
-    bg = F.broadcast(benchmark_grams(bench, text_col, n).withColumn("__hit", F.lit(1)))
+    bg = F.broadcast(
+        benchmark_grams(bench, bench_text_col or text_col, n)
+        .withColumn("__hit", F.lit(1))
+    )
     scored = (
         grams.join(bg, on="gram", how="left")
         .groupBy(key_col)
@@ -89,13 +93,16 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     max_frac: float = 0.5,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Drop documents whose benchmark n-gram overlap is >= ``max_frac``.
 
-    Returns ``docs`` rows (all columns) that survive — a left-semi join
-    against the surviving keys, so the text column is only scanned, never
-    shuffled."""
-    keep = contamination_scores(docs, bench, key_col, text_col, n).filter(
-        F.col("contam_frac") < max_frac
-    )
+    ``bench_text_col`` names the benchmark frame's text column when it
+    differs from the corpus's (e.g. scoring ``scrubbed_text`` against a
+    raw-``text`` eval set).  Returns ``docs`` rows (all columns) that
+    survive — a left-semi join against the surviving keys, so the text
+    column is only scanned, never shuffled."""
+    keep = contamination_scores(
+        docs, bench, key_col, text_col, n, bench_text_col
+    ).filter(F.col("contam_frac") < max_frac)
     return docs.join(keep.select(key_col), on=key_col, how="left_semi")

@@ -195,21 +195,42 @@ def curate(
     pack_budget: int | None = None,
     key_col: str = "url",
     text_col: str = "text",
+    prior: DataFrame | None = None,
+    normalize_text: bool = False,
+    line_dedup_min_len: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    decontam_max_frac: float = 0.8,
+    mix_alpha: float | None = None,
 ) -> DataFrame:
-    """Full corpus curation: quality filter -> dedup -> quota -> pack.
+    """Full corpus curation: (snapshot filter) -> (normalize) ->
+    (line dedup) -> quality filter -> dedup -> (decontaminate) ->
+    quota -> (mix) -> pack.
 
     The composition a training-data run actually executes, each stage an
-    operator tested on its own:
+    operator tested on its own (parenthesized stages default OFF):
 
+      0. ``prior`` — incremental snapshot filter: drop pages whose text
+         was already ingested (snapshot.py digest anti-join); runs
+         FIRST because it is the cheapest row reduction
+      0b. ``normalize_text`` — NFC/control/whitespace canonicalization
+         (normalize.py) so every later hash sees canonical bytes
+      0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
+         (linededup.py), BEFORE gating: de-boilerplated text is what
+         the quality gates should score
       1. ``annotate`` + keep-filter (gates/langid/ppl/scrub; 0 shuffles)
       2. exact dedup — min-key canonical per identical ``scrubbed_text``
          (one digest groupBy; dedup.py)
       3. near-dup dedup — MinHash-LSH pairs -> connected components ->
          canonical survivor per cluster (components.py); skipped when
          ``near_dup_threshold`` is None
+      3b. ``benchmark`` — eval-set decontamination on the scrubbed text
+         (decontam.py broadcast gram probe)
       4. per-domain quota — portable-hash stratified cap of
          ``domain_quota`` docs per registrable host (sampling.py);
          the hot-domain bound, skipped when None
+      4b. ``mix_alpha`` — temperature-weighted source mixing by domain
+         (mixing.py); flattens what the hard quota left skewed
       5. token-budget packing — ``bin_id`` per (lang, budget) context
          window over the surviving docs (sampling.py); skipped when None
 
@@ -221,6 +242,27 @@ def curate(
     from dqc_spark.components import keep_canonical
     from dqc_spark.dedup import dedup_exact, minhash_near_dups
     from dqc_spark.sampling import pack_token_budget, stratified_sample
+
+    if prior is not None:
+        from dqc_spark.snapshot import new_docs
+
+        pages = new_docs(pages, prior, text_col)
+    if normalize_text:
+        from dqc_spark.normalize import normalized_col
+
+        pages = pages.withColumn(text_col, normalized_col(F.col(text_col)))
+    if line_dedup_min_len is not None:
+        from dqc_spark.linededup import dedup_lines
+
+        with_key = pages.withColumn("__ldk", F.xxhash64(key_col, text_col))
+        lded = dedup_lines(
+            with_key, "__ldk", text_col, min_dup_len=line_dedup_min_len
+        )
+        pages = (
+            with_key.join(lded.select("__ldk", "text_dedup"), on="__ldk")
+            .withColumn(text_col, F.col("text_dedup"))
+            .drop("text_dedup", "__ldk")
+        )
 
     ann = annotate(pages, text_col=text_col, thresholds=thresholds)
     # persist the annotated survivors: the frame embeds the fused Arrow
@@ -251,11 +293,23 @@ def curate(
             kept, "doc_key", "scrubbed_text", threshold=near_dup_threshold
         )
         kept = keep_canonical(kept, pairs, "doc_key")
+    if benchmark is not None:
+        from dqc_spark.decontam import decontaminate
+
+        kept = decontaminate(
+            kept, benchmark, "doc_key", "scrubbed_text",
+            n=decontam_ngram, max_frac=decontam_max_frac,
+            bench_text_col=text_col,
+        )
     kept = kept.withColumn(
         "domain", F.regexp_extract(key_col, r"^[a-z]+://([^/]+)", 1)
     )
     if domain_quota is not None:
         kept = stratified_sample(kept, "domain", "doc_key", domain_quota)
+    if mix_alpha is not None:
+        from dqc_spark.mixing import temperature_sample
+
+        kept = temperature_sample(kept, "domain", "doc_key", mix_alpha)
     if pack_budget is not None:
         kept = pack_token_budget(
             kept, "lang", "doc_key", F.col("n_words"), pack_budget
