@@ -41,9 +41,18 @@ def source_mix_rates(
     The output budget is chosen as the largest total under which no
     source needs upsampling: budget = min_s(n_s / target_s).  Every
     rate is then n_target / n_s <= 1, with equality for the binding
-    (most-underrepresented) source.
+    (most-underrepresented) source.  A NULL source is a source (its
+    rate row carries NULL; ``temperature_sample`` matches it
+    null-safely).
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from dqc_spark.cache import track
+
+    # persisted: total / weight-sum / budget each aggregate this frame
+    # again — uncached, every one of those tiny scalars would re-execute
+    # the caller's ENTIRE upstream plan (curate: scoring + dedup joins)
+    counts = track(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     total = counts.agg(F.sum("n_docs").alias("t")).select("t")
     c = counts.crossJoin(F.broadcast(total))
     c = c.withColumn("raw_share", F.col("n_docs") / F.col("t"))
@@ -82,7 +91,14 @@ def temperature_sample(
     rates = source_mix_rates(df, source_col, alpha).select(
         source_col, "keep_rate"
     )
-    tagged = df.join(F.broadcast(rates), on=source_col, how="inner")
+    # null-safe equality: a NULL source grouped into its own rate row
+    # must match back — a plain inner join would silently drop every
+    # NULL-source document while its count still skewed the budget
+    tagged = df.join(
+        F.broadcast(rates.withColumnRenamed(source_col, "__mix_src")),
+        on=df[source_col].eqNullSafe(F.col("__mix_src")),
+        how="inner",
+    ).drop("__mix_src")
     # threshold is ROUND-quantized to an integer bucket count: keep_rate
     # contains a cross-engine-order float sum (the alpha-weight total),
     # so engines can differ in the last ulp — rounding absorbs that;

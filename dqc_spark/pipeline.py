@@ -252,9 +252,22 @@ def curate(
 
         pages = pages.withColumn(text_col, normalized_col(F.col(text_col)))
     if line_dedup_min_len is not None:
+        from dqc_spark.cache import track as _track
         from dqc_spark.linededup import dedup_lines
 
-        with_key = pages.withColumn("__ldk", F.xxhash64(key_col, text_col))
+        # dropDuplicates on the content key FIRST: two byte-identical
+        # rows (exact re-crawls) would otherwise share one __ldk, make
+        # dedup_lines's collect_list rebuild every line twice, and the
+        # join-back would fan the doubled text out — silently corrupted
+        # output (review finding).  Exact row duplicates die later in
+        # exact-dedup anyway; removing them here is pure reduction.
+        # persisted: the keyed frame embeds the (optional) normalize
+        # pandas UDF + prior anti-join and feeds BOTH dedup_lines and
+        # the join-back left side.
+        with_key = _track(
+            pages.withColumn("__ldk", F.xxhash64(key_col, text_col))
+            .dropDuplicates(["__ldk"])
+        )
         lded = dedup_lines(
             with_key, "__ldk", text_col, min_dup_len=line_dedup_min_len
         )
@@ -295,9 +308,25 @@ def curate(
         kept = keep_canonical(kept, pairs, "doc_key")
     if benchmark is not None:
         from dqc_spark.decontam import decontaminate
+        from dqc_spark.scrub import scrubbed_col
 
+        # the corpus side is scrubbed (and possibly normalized) text, so
+        # the benchmark must pass through the SAME kernels before gram
+        # extraction — raw eval grams spanning a scrubbed PII token or a
+        # different unicode normal form would never match, letting
+        # contaminated docs evade the filter (review finding)
+        bench_prepped = benchmark
+        if normalize_text:
+            from dqc_spark.normalize import normalized_col
+
+            bench_prepped = bench_prepped.withColumn(
+                text_col, normalized_col(F.col(text_col))
+            )
+        bench_prepped = bench_prepped.withColumn(
+            text_col, scrubbed_col(F.col(text_col))
+        )
         kept = decontaminate(
-            kept, benchmark, "doc_key", "scrubbed_text",
+            kept, bench_prepped, "doc_key", "scrubbed_text",
             n=decontam_ngram, max_frac=decontam_max_frac,
             bench_text_col=text_col,
         )

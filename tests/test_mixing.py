@@ -65,6 +65,22 @@ def test_temperature_sample_realizes_flatter_mix(spark, skewed_docs):
     assert abs(kept["src_hot"] - exp_hot) / exp_hot < 0.15
 
 
+def test_temperature_sample_keeps_null_source_rows(spark):
+    rows = [(i, "hot", "t") for i in range(90)] + [
+        (100 + i, None, "t") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_sample(df, alpha=0.5)
+    # NULL is its own (rare, binding) source: kept whole, never dropped
+    n_null = out.filter(F.col("source").isNull()).count()
+    assert n_null == 10
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in source_mix_rates(df, alpha=0.5).collect()
+    }
+    assert rates[None] == pytest.approx(1.0)
+
+
 def test_temperature_sample_deterministic_and_no_duplicates(spark, skewed_docs):
     a = sorted(r["doc_id"] for r in temperature_sample(skewed_docs).collect())
     b = sorted(

@@ -293,11 +293,15 @@ def test_curate_full_composition(spark):
     n_base = baseline.count()
     # every added stage only removes rows
     assert 0 < n_cur <= n_base
-    # prior-snapshot filter: no surviving url from the prior subset with
-    # unchanged text (content was already ingested)
-    prior_texts = {r["text"] for r in prior.collect()}
-    # line dedup + normalize rewrote text, so check via the benchmark
-    # instead: no surviving scrubbed_text fully contains a benchmark doc
+    # prior-snapshot stage == manual pre-filter (composition applies it)
+    from dqc_spark.snapshot import new_docs
+
+    manual = curate(new_docs(pages, prior), near_dup_threshold=None)
+    auto = curate(pages, prior=prior, near_dup_threshold=None)
+    assert auto.count() == manual.count() < curate(
+        pages, near_dup_threshold=None
+    ).count()
+    # no surviving scrubbed_text fully contains a benchmark doc
     bench_texts = [r["text"] for r in benchmark.collect()]
     surv = [r["scrubbed_text"] for r in cur.collect()]
     leaked = sum(1 for s in surv for b in bench_texts if b and b in s)
