@@ -289,6 +289,7 @@ DRIVER_ORDER = [
     "text_compression_ratio",
     "text_line_dedup",
     "mix_temperature_sample",
+    "olap_session_window_native",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
@@ -301,7 +302,6 @@ DRIVER_ORDER = [
     "olap_shipping_priority",
     "olap_lang_source_cube",
     "olap_rich_idle_customers",
-    "olap_sessionization",
     "olap_asof_join",
     "olap_range_join",
     "media_features",
@@ -340,6 +340,8 @@ TAIL_ORDER = [
     "olap_value_percentiles",   # exact twin of the approx contract row
     "dedup_simhash_near_dups",  # rows-only; minhash row represents the
                                 # near-dup family, pytest pins hamming
+    "olap_sessionization",      # lag+cumsum twin of the native
+                                # session_window entry in the window
 ]
 
 

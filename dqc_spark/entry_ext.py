@@ -915,6 +915,27 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_session_window_native(spark, sf):
+    # Spark's NATIVE session_window (gap-merged event-time windows, the
+    # batch twin of the streaming state operator) pinned against the
+    # classic gap-and-islands SQL.  Merge rule: an event extends a
+    # session iff it lands STRICTLY before prev_ts + gap, so a new
+    # session starts when the inter-event gap is >= the threshold —
+    # the oracle must use >=, not > (the lag+cumsum form uses >).
+    ev = _t(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    g = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return g.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("s_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("s_end"),
+        "n_events",
+    )
+
+
 def q_mix_temperature(spark, sf):
     # temperature-0.5 source mixing: rare sources kept whole, hot
     # sources hash-subsampled to the flattened mix.  The testdata's
@@ -1002,6 +1023,7 @@ def extra_queries():
         "text_compression_ratio": q_compression_ratio,
         "text_line_dedup": q_line_dedup,
         "mix_temperature_sample": q_mix_temperature,
+        "olap_session_window_native": q_session_window_native,
     }
 
 
@@ -1309,6 +1331,28 @@ def extra_oracle_sql():
                    COUNT(*) AS n_events,
                    ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 4) AS duration_s
             FROM t GROUP BY 1, 2
+        """,
+        # gap-and-islands with >= (session_window's strict-before merge):
+        # session end = last event + gap, matching the native operator
+        "olap_session_window_native": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), t AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id,
+                   MIN(ts) AS s_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS s_end,
+                   COUNT(*) AS n_events
+            FROM t GROUP BY user_id, sid
         """,
         "olap_events_windowed": """
             SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
