@@ -290,6 +290,7 @@ DRIVER_ORDER = [
     "text_line_dedup",
     "mix_temperature_sample",
     "olap_session_window_native",
+    "profile_documents",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_approx_distinct",
@@ -301,7 +302,6 @@ DRIVER_ORDER = [
     "olap_pricing_summary",
     "olap_shipping_priority",
     "olap_lang_source_cube",
-    "olap_rich_idle_customers",
     "olap_asof_join",
     "olap_range_join",
     "media_features",
@@ -342,6 +342,8 @@ TAIL_ORDER = [
                                 # near-dup family, pytest pins hamming
     "olap_sessionization",      # lag+cumsum twin of the native
                                 # session_window entry in the window
+    "olap_rich_idle_customers", # Q22 NOT-EXISTS shape; its scalar-
+                                # subquery twins already sit in the tail
 ]
 
 

@@ -915,6 +915,14 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_profile_documents(spark, sf):
+    # deequ-style one-scan column profiler over documents (exact
+    # distincts at this scale; approx=True is the 100 TB path)
+    from dqc_spark.profile import profile_table
+
+    return profile_table(_t(spark, sf, "documents"))
+
+
 def q_session_window_native(spark, sf):
     # Spark's NATIVE session_window (gap-merged event-time windows, the
     # batch twin of the streaming state operator) pinned against the
@@ -1024,6 +1032,7 @@ def extra_queries():
         "text_line_dedup": q_line_dedup,
         "mix_temperature_sample": q_mix_temperature,
         "olap_session_window_native": q_session_window_native,
+        "profile_documents": q_profile_documents,
     }
 
 
@@ -1331,6 +1340,31 @@ def extra_oracle_sql():
                    COUNT(*) AS n_events,
                    ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 4) AS duration_s
             FROM t GROUP BY 1, 2
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+                   CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+                   CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+                   CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
         """,
         # gap-and-islands with >= (session_window's strict-before merge):
         # session end = last event + gap, matching the native operator

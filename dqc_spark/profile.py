@@ -1,0 +1,52 @@
+"""Column profiling: per-column null / distinct / min / max in ONE scan.
+
+The deequ-style companion to the check suite — before writing checks
+against a new table you profile it.  The reference has no profiler
+(each check re-derives its own aggregate); here every column's four
+statistics fold into a single ``df.agg`` pass, then one ``stack``
+unpivots the 1-row result into (column, stats) rows — no second scan,
+no per-column job.
+
+Scale notes:
+
+  * ``approx=False`` uses exact ``count_distinct``; multiple exact
+    distincts in one agg plan through Spark's Expand operator (input
+    multiplied by ``len(columns)+1``) — fine for profiling runs, but at
+    100 TB set ``approx=True`` (HLL++ sketches, single pass, no Expand).
+  * min/max aggregate on the NATIVE column type and cast to string
+    afterwards, so numeric columns profile numerically ("9" < "10").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """(column, n_nulls, n_distinct, min_str, max_str) — one row per
+    profiled column, computed in a single pass over ``df``."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{c}"),
+            distinct.alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) "
+        "as (column, n_nulls, n_distinct, min_str, max_str)"
+    )

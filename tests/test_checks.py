@@ -385,3 +385,24 @@ def test_logs_are_written(spark):
     assert row["check_type"] == "is_column_unique"
     assert row["result"] is True
     assert row["params"]["column"] == "id"
+
+
+def test_profile_table_single_pass(spark):
+    from dqc_spark.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 10.0), (3, "a", None), (None, "b", 9.0)],
+        "k long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_nulls"] == 1 and prof["k"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    # min/max aggregate on the NATIVE type (9.0 < 10.0, not "10" < "9")
+    assert prof["v"]["min_str"] == "2.5" and prof["v"]["max_str"] == "10.0"
+    assert prof["k"]["min_str"] == "1" and prof["k"]["max_str"] == "3"
+    # one scan: all per-column aggregates fold into a single source read
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    # approx path returns the same shape
+    papprox = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert set(papprox) == set(prof)
