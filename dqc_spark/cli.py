@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-alpha", type=float, default=-1.0,
                    help="temperature mix exponent by domain (<0 = off)")
 
+    p = sub.add_parser("profile",
+                       help="per-column null/distinct/min/max, one scan")
+    p.add_argument("--data", required=True)
+    p.add_argument("--approx", action="store_true",
+                   help="HLL distinct counts (the at-scale path)")
+
     p = sub.add_parser("normalize",
                        help="NFC + control-strip + whitespace canonicalization")
     p.add_argument("--input", required=True, help="docs parquet path")
@@ -295,6 +301,16 @@ def main(argv=None) -> int:
         n_in = pages.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")
+        return 0
+    if c == "profile":
+        from dqc_spark.profile import profile_table
+        from dqc_spark.sources import load_table
+
+        df = load_table(spark, args.data)
+        for r in profile_table(df, approx=args.approx).collect():
+            print(f"{r['column']:<20} nulls={r['n_nulls']:<8} "
+                  f"distinct={r['n_distinct']:<10} "
+                  f"min={r['min_str']!r} max={r['max_str']!r}")
         return 0
     if c == "normalize":
         from pyspark.sql import functions as F

@@ -106,3 +106,9 @@ def test_cli_snapshot_new_exact_and_bloom(capsys, spark, db_path,
                           "--input", docs_parquet, "--prior", docs_parquet,
                           "--output", out_b, "--bloom-bits", str(1 << 16)])
     assert rc == 0 and spark.read.parquet(out_b).count() == 0
+
+
+def test_cli_profile(capsys, spark, db_path):
+    rc, out = _run(capsys, ["--db-path", db_path, "profile",
+                            "--data", fixture_path("has_nulls.csv")])
+    assert rc == 0 and "nulls=" in out and "distinct=" in out
