@@ -291,9 +291,9 @@ DRIVER_ORDER = [
     "mix_temperature_sample",
     "olap_session_window_native",
     "profile_documents",
+    "profile_histogram_nchars",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
-    "dedup_approx_distinct",
     "dedup_minhash_near_dups",
     "embedding_near_dups_lsh",
     "text_token_counts",
@@ -344,6 +344,8 @@ TAIL_ORDER = [
                                 # session_window entry in the window
     "olap_rich_idle_customers", # Q22 NOT-EXISTS shape; its scalar-
                                 # subquery twins already sit in the tail
+    "dedup_approx_distinct",    # HLL rsd contract; exact-distinct twin
+                                # already in the tail, pytest re-pins
 ]
 
 

@@ -923,6 +923,19 @@ def q_profile_documents(spark, sf):
     return profile_table(_t(spark, sf, "documents"))
 
 
+def q_histogram_nchars(spark, sf):
+    # 20-bucket equi-width histogram of documents.n_chars — the
+    # profiler's distribution companion.  Exact integer bounds mean
+    # every per-row bucket double is identical cross-engine (no
+    # aggregation-order drift), so the histogram is fully oracled.
+    from dqc_spark.profile import numeric_histogram
+
+    h = numeric_histogram(_t(spark, sf, "documents"), "n_chars", buckets=20)
+    return h.select(
+        "bucket", _trunc4("lo").alias("lo"), _trunc4("hi").alias("hi"), "n"
+    )
+
+
 def q_session_window_native(spark, sf):
     # Spark's NATIVE session_window (gap-merged event-time windows, the
     # batch twin of the streaming state operator) pinned against the
@@ -1033,6 +1046,7 @@ def extra_queries():
         "mix_temperature_sample": q_mix_temperature,
         "olap_session_window_native": q_session_window_native,
         "profile_documents": q_profile_documents,
+        "profile_histogram_nchars": q_histogram_nchars,
     }
 
 
@@ -1365,6 +1379,30 @@ def extra_oracle_sql():
                    COUNT(DISTINCT n_chars),
                    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
+        """,
+        # identical bucket arithmetic: (x-lo)*20/(hi-lo) floored, width
+        # = (hi-lo)/20 — all from exact integer bounds
+        "profile_histogram_nchars": """
+            WITH b AS (
+              SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+                     CAST(MAX(n_chars) AS DOUBLE) AS hi
+              FROM documents
+            ), h AS (
+              SELECT CAST(LEAST(19, FLOOR((n_chars - b.lo) * 20
+                                          / (b.hi - b.lo))) AS INTEGER)
+                       AS bucket,
+                     COUNT(*) AS n
+              FROM documents, b
+              WHERE n_chars IS NOT NULL
+              GROUP BY 1
+            )
+            SELECT h.bucket,
+                   FLOOR((b.lo + h.bucket * ((b.hi - b.lo) / 20))
+                         * 10000) / 10000 AS lo,
+                   FLOOR((b.lo + (h.bucket + 1) * ((b.hi - b.lo) / 20))
+                         * 10000) / 10000 AS hi,
+                   h.n
+            FROM h, b
         """,
         # gap-and-islands with >= (session_window's strict-before merge):
         # session end = last event + gap, matching the native operator

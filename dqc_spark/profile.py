@@ -50,3 +50,44 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) "
         "as (column, n_nulls, n_distinct, min_str, max_str)"
     )
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, buckets: int = 20
+) -> DataFrame:
+    """Equi-width histogram: (bucket, lo, hi, n) over ``col``.
+
+    Two passes by design: an exact min/max aggregate (a scalar job —
+    metadata-cheap, often satisfied by parquet footer stats), then one
+    bucketed groupBy.  The bucket expression floors the SAME double in
+    any engine (per-row arithmetic on exact inputs — no
+    aggregation-order drift), so the histogram is differentially
+    testable.  All values equal -> one bucket holding everything.
+    """
+    lohi = df.agg(
+        F.min(F.col(col)).alias("__lo"), F.max(F.col(col)).alias("__hi")
+    ).first()
+    lo, hi = lohi["__lo"], lohi["__hi"]
+    if lo is None or hi is None or lo == hi:
+        return df.filter(F.col(col).isNotNull()).agg(
+            F.lit(0).alias("bucket"),
+            F.lit(lo).cast("double").alias("lo"),
+            F.lit(hi).cast("double").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    width = (hi - lo) / buckets
+    b = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col(col) - F.lit(lo)) * buckets / F.lit(hi - lo)),
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

@@ -406,3 +406,21 @@ def test_profile_table_single_pass(spark):
     # approx path returns the same shape
     papprox = {r["column"]: r for r in profile_table(df, approx=True).collect()}
     assert set(papprox) == set(prof)
+
+
+def test_numeric_histogram(spark):
+    from dqc_spark.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 5, 5, 9, 10]] + [(None,)],
+        "v double",
+    )
+    h = {r["bucket"]: r for r in numeric_histogram(df, "v", buckets=5).collect()}
+    # width 2: [0,2) [2,4) [4,6) [6,8) [8,10]; max lands in the last bucket
+    assert {b: r["n"] for b, r in h.items()} == {0: 2, 1: 2, 2: 4, 4: 2}
+    assert h[0]["lo"] == 0.0 and h[0]["hi"] == 2.0
+    assert sum(r["n"] for r in h.values()) == 10  # NULL excluded
+    # degenerate: constant column -> single bucket
+    one = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    rows = numeric_histogram(one, "v").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2 and rows[0]["bucket"] == 0
