@@ -292,13 +292,13 @@ DRIVER_ORDER = [
     "olap_session_window_native",
     "profile_documents",
     "profile_histogram_nchars",
+    "eval_pr_curve",
     # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_minhash_near_dups",
     "embedding_near_dups_lsh",
     "text_token_counts",
     "text_quality_scores",
-    "text_langid_heuristic",
     "olap_pricing_summary",
     "olap_shipping_priority",
     "olap_lang_source_cube",
@@ -346,6 +346,8 @@ TAIL_ORDER = [
                                 # subquery twins already sit in the tail
     "dedup_approx_distinct",    # HLL rsd contract; exact-distinct twin
                                 # already in the tail, pytest re-pins
+    "text_langid_heuristic",    # Column-expr langid; the UDF-model
+                                # langid is pinned by pipeline F1 1.0
 ]
 
 

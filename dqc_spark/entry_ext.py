@@ -936,6 +936,32 @@ def q_histogram_nchars(spark, sf):
     )
 
 
+def q_pr_curve(spark, sf):
+    # threshold calibration: PR curve of "keep docs scoring >= t" where
+    # score = n_chars/1000 (clipped) and label = (lang == 'en').  Both
+    # engines bucket identical doubles from exact ints, and every
+    # precision/recall is an integer-count ratio -> fully oracled.
+    from dqc_spark.evalmetrics import pr_curve
+
+    docs = _t(spark, sf, "documents")
+    c = pr_curve(
+        docs,
+        F.col("n_chars") / F.lit(1000.0),
+        F.when(F.col("lang") == "en", 1).otherwise(0),
+        buckets=20,
+    )
+    return c.select(
+        "bucket",
+        _trunc4("threshold").alias("threshold"),
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        _trunc4("precision").alias("prec"),
+        _trunc4("recall").alias("rec"),
+    )
+
+
 def q_session_window_native(spark, sf):
     # Spark's NATIVE session_window (gap-merged event-time windows, the
     # batch twin of the streaming state operator) pinned against the
@@ -1047,6 +1073,7 @@ def extra_queries():
         "olap_session_window_native": q_session_window_native,
         "profile_documents": q_profile_documents,
         "profile_histogram_nchars": q_histogram_nchars,
+        "eval_pr_curve": q_pr_curve,
     }
 
 
@@ -1379,6 +1406,36 @@ def extra_oracle_sql():
                    COUNT(DISTINCT n_chars),
                    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
+        """,
+        # per-bucket counts, triangular cumulative, int-ratio PR; SUM of
+        # BIGINT is HUGEINT in DuckDB -> CAST back (round-1 lesson)
+        "eval_pr_curve": """
+            WITH s AS (
+              SELECT CAST(LEAST(19, GREATEST(0,
+                       FLOOR((n_chars / 1000.0) * 20 / 1.0))) AS INTEGER)
+                       AS bucket,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), per AS (
+              SELECT bucket, COUNT(*) AS n,
+                     CAST(SUM(y) AS BIGINT) AS n_pos
+              FROM s GROUP BY 1
+            ), cum AS (
+              SELECT p.bucket, p.n, p.n_pos,
+                     CAST(SUM(u.n) AS BIGINT) AS cum_n,
+                     CAST(SUM(u.n_pos) AS BIGINT) AS cum_pos
+              FROM per p JOIN per u ON u.bucket >= p.bucket
+              GROUP BY 1, 2, 3
+            ), tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp FROM per)
+            SELECT c.bucket,
+                   FLOOR((c.bucket * (1.0 / 20)) * 10000) / 10000
+                     AS threshold,
+                   c.n, c.n_pos, c.cum_n, c.cum_pos,
+                   FLOOR(CAST(c.cum_pos AS DOUBLE) / c.cum_n * 10000)
+                     / 10000 AS prec,
+                   FLOOR(CAST(c.cum_pos AS DOUBLE) / tot.tp * 10000)
+                     / 10000 AS rec
+            FROM cum c, tot
         """,
         # identical bucket arithmetic: (x-lo)*20/(hi-lo) floored, width
         # = (hi-lo)/20 — all from exact integer bounds

@@ -1,0 +1,55 @@
+"""Bucketized PR curve vs a pure-Python reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.evalmetrics import pr_curve
+
+
+def _py_pr(rows, buckets, lo=0.0, hi=1.0):
+    per = {}
+    for s, y in rows:
+        b = min(buckets - 1, max(0, int((s - lo) * buckets / (hi - lo))))
+        n, p = per.get(b, (0, 0))
+        per[b] = (n + 1, p + y)
+    total_pos = sum(p for _, p in per.values())
+    out = {}
+    for b in per:
+        cn = sum(n for bb, (n, _) in per.items() if bb >= b)
+        cp = sum(p for bb, (_, p) in per.items() if bb >= b)
+        out[b] = (per[b][0], per[b][1], cn, cp, cp / cn, cp / total_pos)
+    return out
+
+
+def test_pr_curve_matches_python(spark):
+    rows = [
+        (0.95, 1), (0.9, 1), (0.85, 0), (0.7, 1), (0.65, 1), (0.6, 0),
+        (0.4, 0), (0.35, 1), (0.2, 0), (0.05, 0), (1.2, 1), (-0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["bucket"]: (r["n"], r["n_pos"], r["cum_n"], r["cum_pos"],
+                      r["precision"], r["recall"])
+        for r in pr_curve(df, "score", "label", buckets=10).collect()
+    }
+    # out-of-range scores clip into the edge buckets
+    want = _py_pr([(min(max(s, 0.0), 0.999), y) for s, y in rows], 10)
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][:4] == want[b][:4], b
+        assert got[b][4] == pytest.approx(want[b][4])
+        assert got[b][5] == pytest.approx(want[b][5])
+    # monotonicity: recall never decreases as the threshold lowers
+    by_thr = sorted(got.items(), key=lambda kv: -kv[0])
+    recalls = [v[5] for _, v in by_thr]
+    assert recalls == sorted(recalls)
+    # the lowest bucket's cutoff keeps everything: recall 1.0
+    assert recalls[-1] == pytest.approx(1.0)
+
+
+def test_pr_curve_plan_no_window(spark):
+    df = spark.range(1000).select(
+        (F.col("id") / 1000).alias("score"), (F.col("id") % 2).alias("label")
+    )
+    plan = pr_curve(df, "score", "label")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # cumulative via triangular join, not a window
