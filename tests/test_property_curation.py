@@ -6,6 +6,7 @@ one DataFrame so a property costs one Spark job, not one per row."""
 import hashlib
 import unicodedata
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -131,3 +132,68 @@ def test_bloom_never_false_negative(spark, texts):
     for d in digests:
         bloom.add(d)
     assert all(bloom.might_contain(d) for d in digests)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+)
+def test_mix_rates_match_python_model(spark, dist, alpha):
+    from dqc_spark.mixing import source_mix_rates
+
+    rows, i = [], 0
+    counts = dict(dist)
+    for src, n in dist:
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r["keep_rate"]
+        for r in source_mix_rates(df, alpha=alpha).collect()
+    }
+    total = sum(counts.values())
+    w = {s: (n / total) ** alpha for s, n in counts.items()}
+    ws = sum(w.values())
+    tgt = {s: x / ws for s, x in w.items()}
+    budget = min(counts[s] / tgt[s] for s in counts)
+    for s, n in counts.items():
+        want = min(1.0, tgt[s] * budget / n)
+        assert got[s] == pytest.approx(want, rel=1e-9), (s, alpha)
+    # the binding source is kept whole; nothing upsamples
+    assert max(got.values()) == pytest.approx(1.0)
+    assert all(v <= 1.0 + 1e-12 for v in got.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+             min_size=2, max_size=8),
+)
+def test_contamination_matches_python_model(spark, texts):
+    from dqc_spark.decontam import contamination_scores
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(999, texts[0])], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in contamination_scores(docs, bench, n=2).collect()
+    }
+
+    def grams(t):
+        toks = [x for x in t.lower().split() if x]
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)} \
+            if len(toks) >= 2 else set()
+
+    bg = grams(texts[0])
+    for i, t in enumerate(texts):
+        g = grams(t)
+        assert got[i] == (len(g), len(g & bg)), (i, t)
