@@ -965,16 +965,15 @@ def q_pr_curve(spark, sf):
 def q_session_window_native(spark, sf):
     # Spark's NATIVE session_window (gap-merged event-time windows, the
     # batch twin of the streaming state operator) pinned against the
-    # classic gap-and-islands SQL.  Merge rule: an event extends a
-    # session iff it lands STRICTLY before prev_ts + gap, so a new
-    # session starts when the inter-event gap is >= the threshold —
-    # the oracle must use >=, not > (the lag+cumsum form uses >).
-    ev = _t(spark, sf, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    g = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+    # classic gap-and-islands SQL — through the SAME library helper the
+    # streaming path uses.  Merge rule, verified empirically: two
+    # events exactly gap apart MERGE (Spark extends the session when
+    # next_ts <= prev_ts + gap), so the oracle's new-session condition
+    # is diff > gap — the same rule as sessions.sessionize.
+    from dqc_spark.sessions import streaming_session_counts
+
+    ev = _t(spark, sf, "events")
+    g = streaming_session_counts(ev, gap="30 minutes")
     return g.select(
         "user_id",
         F.col("session_window.start").cast("timestamp_ntz").alias("s_start"),
@@ -1461,13 +1460,14 @@ def extra_oracle_sql():
                    h.n
             FROM h, b
         """,
-        # gap-and-islands with >= (session_window's strict-before merge):
-        # session end = last event + gap, matching the native operator
+        # gap-and-islands with > (events exactly gap apart MERGE in
+        # Spark's session_window — empirically verified); session end =
+        # last event + gap, matching the native operator
         "olap_session_window_native": """
             WITH s AS (
               SELECT user_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
                           THEN 1 ELSE 0 END AS ns
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -56,7 +56,11 @@ def pr_curve(
     # the triangular join + the total-positives scalar); uncached, each
     # would re-aggregate the full corpus
     per = track(
-        df.select(b.alias("bucket"), y.cast("int").alias("__y"))
+        # NULL scores are EXCLUDED (an unscorable doc is not a lowest-
+        # scoring doc): F.greatest ignores NULL operands, so without the
+        # filter a NULL score would silently land in bucket 0
+        df.filter(s.isNotNull())
+        .select(b.alias("bucket"), y.cast("int").alias("__y"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -86,5 +90,9 @@ def pr_curve(
         "cum_n",
         "cum_pos",
         (F.col("cum_pos") / F.col("cum_n")).alias("precision"),
-        (F.col("cum_pos") / F.col("__tp")).alias("recall"),
+        # zero positives in the corpus -> recall 0.0 everywhere, not a
+        # NULL column (Spark's non-ANSI x/0) that breaks threshold code
+        F.when(F.col("__tp") > 0, F.col("cum_pos") / F.col("__tp"))
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
     )

@@ -32,19 +32,26 @@ def profile_table(
     profiled column, computed in a single pass over ``df``."""
     cols = columns or df.columns
     aggs = []
-    for c in cols:
+    # positional agg aliases: CSV headers routinely contain spaces /
+    # hyphens / quotes, which would break (or inject into) a generated
+    # selectExpr that embeds raw column names — the stack expression
+    # only ever sees __c{i} identifiers and an escaped name literal
+    for i, c in enumerate(cols):
         distinct = (
             F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
         )
         aggs += [
-            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{c}"),
-            distinct.alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{i}"),
+            distinct.alias(f"__nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        "'{}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) "
@@ -68,7 +75,13 @@ def numeric_histogram(
         F.min(F.col(col)).alias("__lo"), F.max(F.col(col)).alias("__hi")
     ).first()
     lo, hi = lohi["__lo"], lohi["__hi"]
-    if lo is None or hi is None or lo == hi:
+    if lo is None or hi is None:
+        # empty / all-NULL column: an EMPTY frame, not a phantom
+        # (bucket=0, NULL, NULL, 0) row consumers would trip over
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, n long"
+        )
+    if lo == hi:
         return df.filter(F.col(col).isNotNull()).agg(
             F.lit(0).alias("bucket"),
             F.lit(lo).cast("double").alias("lo"),

@@ -424,3 +424,14 @@ def test_numeric_histogram(spark):
     one = spark.createDataFrame([(7.0,), (7.0,)], "v double")
     rows = numeric_histogram(one, "v").collect()
     assert len(rows) == 1 and rows[0]["n"] == 2 and rows[0]["bucket"] == 0
+
+
+def test_profile_weird_column_names_and_empty_histogram(spark):
+    from dqc_spark.profile import numeric_histogram, profile_table
+
+    df = spark.createDataFrame([(1, "x")], ["my col", "it's"])
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["my col"]["n_distinct"] == 1 and prof["it's"]["min_str"] == "x"
+    # all-NULL column -> EMPTY histogram, no phantom row
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert numeric_histogram(nulls, "v").count() == 0

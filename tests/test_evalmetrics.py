@@ -53,3 +53,17 @@ def test_pr_curve_plan_no_window(spark):
     )
     plan = pr_curve(df, "score", "label")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # cumulative via triangular join, not a window
+
+
+def test_pr_curve_null_scores_excluded_and_zero_positives(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.1, 0)], "score double, label int"
+    )
+    rows = pr_curve(df, "score", "label", buckets=10).collect()
+    # the NULL-score positive is excluded entirely (not bucket 0)
+    assert sum(r["n"] for r in rows) == 2
+    assert {r["bucket"] for r in rows} == {1, 9}
+    # zero positive labels -> recall 0.0, never NULL
+    z = spark.createDataFrame([(0.5, 0), (0.7, 0)], "score double, label int")
+    zr = pr_curve(z, "score", "label", buckets=10).collect()
+    assert all(r["recall"] == 0.0 for r in zr)
