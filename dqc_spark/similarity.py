@@ -106,6 +106,11 @@ def brute_force_topk_arrow(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 
 
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    return rng.standard_normal((n_planes, dim))
+
+
 def hyperplane_signatures(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -115,17 +120,47 @@ def hyperplane_signatures(
     seed: int = 11,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign bits of <v, h_i> packed into a long.
-    Hyperplanes are deterministic (seeded) literals compiled into the
-    plan — no Python at execution time."""
-    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-    planes = rng.standard_normal((n_planes, dim))
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col(vec_col), h) > 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
-    return df.select(F.col(key_col).alias("key"), F.col(vec_col).alias("vec"),
-                     sig.alias("sig"))
+
+    ONE Arrow kernel per batch: stack vectors into an (n, d) matrix, a
+    single BLAS matmul against the (d, n_planes) plane matrix, pack the
+    sign bits with a weighted sum.  The round-1/2 form built the same
+    bits as Catalyst zip_with/aggregate lambdas — interpreted per
+    element (n_planes x dim multiply-adds per row, 4096 at the 64x64
+    default) and the measured 100x-per-core slow path of
+    ``embedding_near_dups`` and every ``LshIndex`` build.  Hyperplanes
+    are deterministic (seeded Philox) and broadcast inside the closure.
+    """
+    import pandas as pd
+
+    planes_t = np.ascontiguousarray(_hyperplanes(n_planes, dim, seed).T)
+    # bit i weight 2^i; at n_planes=64 the top bit wraps into the int64
+    # sign bit — same packed value F.shiftleft produced, and band
+    # extraction masks after shifting so the sign never leaks
+    weights = np.left_shift(
+        np.ones(n_planes, dtype=np.uint64), np.arange(n_planes, dtype=np.uint64)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            bits = (m @ planes_t) > 0
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"key": pdf[key_col], "vec": pdf[vec_col], "sig": sig}
+            )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("vec", df.schema[vec_col].dataType),
+            T.StructField("sig", T.LongType()),
+        ]
+    )
+    return df.select(key_col, vec_col).mapInPandas(kernel, out_schema)
 
 
 class LshIndex:
@@ -306,7 +341,10 @@ def embedding_near_dups(
     near-uniform, so buckets degenerate; use brute_force_topk_arrow per
     query or an IVF-style partition instead.
     """
-    sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
+    # signatures come out of a Python (Arrow) stage and feed the cap
+    # counts, the cap join, and both sides of the band self-join — must
+    # be persisted or the Python stage recomputes per consumer
+    sigs = track(hyperplane_signatures(df, key_col, vec_col, n_planes, dim))
     cand = hyperplane_lsh_candidate_pairs(sigs, n_planes, bands, max_bucket)
     return cand.select(
         "key_a", "key_b", cosine_col("vec_a", "vec_b").alias("cosine")
