@@ -45,13 +45,19 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> DataFrame:
-    """Keep one representative per identical text: min(key) wins —
-    deterministic, and a window-free two-phase agg (no global sort)."""
+    """Keep one representative per identical text: the lexicographically
+    smallest key TUPLE wins — min over a struct, so the winner is always
+    an actual row's key combination.  (Per-column ``F.min(k)`` minima
+    taken independently fabricate phantom winners for multi-column keys:
+    a group with keys (1,5),(2,3) would elect (1,3), which matches no
+    row, and the semi-join would drop BOTH copies.)  Still a window-free
+    two-phase agg — min(struct) is partial-aggregatable, no global sort."""
     h = F.md5(F.col(text_col)).alias("__h")
     winners = (
-        df.select(h, *key_cols)
+        df.select(h, F.struct(*key_cols).alias("__k"))
         .groupBy("__h")
-        .agg(*[F.min(k).alias(k) for k in key_cols])
+        .agg(F.min("__k").alias("__k"))
+        .select("__k.*")
     )
     return df.join(winners, on=key_cols, how="left_semi")
 
@@ -119,12 +125,16 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """(key, signature:array<long>) via a mapInPandas kernel — the
-    (a*x+b) mod p permutations vectorize over the shingle array."""
+    (a*x+b) mod p permutations vectorize over the shingle array.
+
+    The output schema preserves the ACTUAL key dtype (string url keys
+    work unhashed), matching ``minhash_jaccard``; the round-1/2 form
+    hardcoded LongType and crashed on non-integer keys."""
     a, b = _minhash_params(num_perm)
 
     out_schema = T.StructType(
         [
-            T.StructField("key", T.LongType()),
+            T.StructField("key", df.schema[key_col].dataType),
             T.StructField("signature", T.ArrayType(T.LongType())),
         ]
     )
@@ -132,8 +142,8 @@ def minhash_signatures(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok_cache: dict = {}
         for pdf in batches:
-            keys, sigs = [], []
-            for key, text in zip(pdf[key_col], pdf[text_col]):
+            sigs = []
+            for text in pdf[text_col]:
                 h = _shingle_hashes(text or "", shingle_k, tok_cache)
                 if len(h) == 0:
                     sig = np.zeros(num_perm, dtype=np.uint64)
@@ -141,9 +151,8 @@ def minhash_signatures(
                     # (num_perm, n_shingles) via broadcasting, min over axis 1
                     vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
                     sig = vals.min(axis=1)
-                keys.append(int(key))
                 sigs.append([int(x) & 0x7FFFFFFFFFFFFFFF for x in sig])
-            yield pd.DataFrame({"key": keys, "signature": sigs})
+            yield pd.DataFrame({"key": pdf[key_col].to_numpy(), "signature": sigs})
 
     return df.select(F.col(key_col), F.col(text_col)).mapInPandas(
         kernel, schema=out_schema
@@ -351,9 +360,14 @@ def simhash_py(text: str, cache: dict | None = None) -> int:
 def simhash_signatures(
     df: DataFrame, key_col: str, text_col: str = "text"
 ) -> DataFrame:
-    """(key, sim:long) via a mapInPandas numpy kernel (Arrow batches)."""
+    """(key, sim:long) via a mapInPandas numpy kernel (Arrow batches).
+    Output schema preserves the actual key dtype (same generalization as
+    ``minhash_signatures`` — string url keys work unhashed)."""
     out_schema = T.StructType(
-        [T.StructField("key", T.LongType()), T.StructField("sim", T.LongType())]
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("sim", T.LongType()),
+        ]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,7 +375,7 @@ def simhash_signatures(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "key": pdf[key_col].astype("int64"),
+                    "key": pdf[key_col].to_numpy(),
                     "sim": [simhash_py(t, cache) for t in pdf[text_col]],
                 }
             )

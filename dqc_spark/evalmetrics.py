@@ -59,8 +59,13 @@ def pr_curve(
         # NULL scores are EXCLUDED (an unscorable doc is not a lowest-
         # scoring doc): F.greatest ignores NULL operands, so without the
         # filter a NULL score would silently land in bucket 0
+        # NULL labels count as negatives (coalesce to 0): an all-NULL
+        # bucket would otherwise make F.sum return NULL for n_pos and
+        # propagate NULL through cum_pos/precision/recall for every
+        # threshold at or below it
         df.filter(s.isNotNull())
-        .select(b.alias("bucket"), y.cast("int").alias("__y"))
+        .select(b.alias("bucket"),
+                F.coalesce(y.cast("int"), F.lit(0)).alias("__y"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

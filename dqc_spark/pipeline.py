@@ -264,8 +264,19 @@ def curate(
         # persisted: the keyed frame embeds the (optional) normalize
         # pandas UDF + prior anti-join and feeds BOTH dedup_lines and
         # the join-back left side.
+        # 128-bit content key: at the 1e9-1e12-doc scale this module
+        # targets, 64-bit birthday collisions (~n^2/2^65) are expected,
+        # and a collision here silently drops a distinct document.  md5
+        # of (key \x00 text) makes that probability negligible; the key
+        # is only ever shuffled alongside the full text, so the extra
+        # 24 bytes are noise.
         with_key = _track(
-            pages.withColumn("__ldk", F.xxhash64(key_col, text_col))
+            pages.withColumn(
+                "__ldk",
+                F.md5(F.concat_ws(
+                    "\u0000", F.col(key_col).cast("string"), F.col(text_col)
+                )),
+            )
             .dropDuplicates(["__ldk"])
         )
         lded = dedup_lines(

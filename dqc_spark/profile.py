@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str) -> F.Column:
+    """Resolve a column by its LITERAL name: backtick-quoted (with
+    embedded backticks doubled) so '.' in a CSV header is not parsed as
+    nested-field access.  (``df[c]`` dot-parses too in Spark 4 — only
+    quoting resolves 'a.b' as one identifier.)"""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -36,15 +45,17 @@ def profile_table(
     # hyphens / quotes, which would break (or inject into) a generated
     # selectExpr that embeds raw column names — the stack expression
     # only ever sees __c{i} identifiers and an escaped name literal
+    # _qcol: F.col(c) parses '.' as nested-field access, so a header
+    # literally named "a.b" would fail (or profile the wrong field)
     for i, c in enumerate(cols):
         distinct = (
-            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+            F.approx_count_distinct(_qcol(c)) if approx else F.count_distinct(_qcol(c))
         )
         aggs += [
-            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__nn_{i}"),
+            (F.count(F.lit(1)) - F.count(_qcol(c))).alias(f"__nn_{i}"),
             distinct.alias(f"__nd_{i}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
+            F.min(_qcol(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_qcol(c)).cast("string").alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
@@ -72,7 +83,7 @@ def numeric_histogram(
     testable.  All values equal -> one bucket holding everything.
     """
     lohi = df.agg(
-        F.min(F.col(col)).alias("__lo"), F.max(F.col(col)).alias("__hi")
+        F.min(_qcol(col)).alias("__lo"), F.max(_qcol(col)).alias("__hi")
     ).first()
     lo, hi = lohi["__lo"], lohi["__hi"]
     if lo is None or hi is None:
@@ -82,7 +93,7 @@ def numeric_histogram(
             [], "bucket int, lo double, hi double, n long"
         )
     if lo == hi:
-        return df.filter(F.col(col).isNotNull()).agg(
+        return df.filter(_qcol(col).isNotNull()).agg(
             F.lit(0).alias("bucket"),
             F.lit(lo).cast("double").alias("lo"),
             F.lit(hi).cast("double").alias("hi"),
@@ -91,10 +102,10 @@ def numeric_histogram(
     width = (hi - lo) / buckets
     b = F.least(
         F.lit(buckets - 1),
-        F.floor((F.col(col) - F.lit(lo)) * buckets / F.lit(hi - lo)),
+        F.floor((_qcol(col) - F.lit(lo)) * buckets / F.lit(hi - lo)),
     ).cast("int")
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(_qcol(col).isNotNull())
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -435,3 +435,18 @@ def test_profile_weird_column_names_and_empty_histogram(spark):
     # all-NULL column -> EMPTY histogram, no phantom row
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     assert numeric_histogram(nulls, "v").count() == 0
+
+
+def test_profile_dotted_column_names(spark):
+    # F.col("a.b") parses '.' as nested-field access; profile_table and
+    # numeric_histogram must resolve positionally (df[c]) so a header
+    # literally named "a.b" profiles the right column
+    from dqc_spark.profile import numeric_histogram, profile_table
+
+    df = spark.createDataFrame([(1.0, 9.0), (2.0, 9.0), (None, 9.0)],
+                               ["a.b", "a"])
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["a.b"]["n_nulls"] == 1 and prof["a.b"]["n_distinct"] == 2
+    assert prof["a.b"]["min_str"] == "1.0" and prof["a"]["min_str"] == "9.0"
+    h = numeric_histogram(df, "a.b", buckets=2).collect()
+    assert sum(r["n"] for r in h) == 2

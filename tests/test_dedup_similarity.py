@@ -273,3 +273,32 @@ def test_multimodal_resize_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|resize"):
         resize_media(df, 4, 4, decode_stub=False).collect()
+
+
+def test_dedup_exact_multi_key_no_phantom_winner(spark):
+    # regression: per-column minima over a dup group with keys (1,5) and
+    # (2,3) elect phantom winner (1,3) -- matches no row, semi-join drops
+    # BOTH copies.  min(struct) must elect the real tuple (1,5).
+    from dqc_spark.dedup import dedup_exact
+
+    rows = [(1, 5, "dup dup dup"), (2, 3, "dup dup dup"), (9, 9, "solo")]
+    df = spark.createDataFrame(rows, "k1 long, k2 long, text string")
+    got = {(r["k1"], r["k2"]) for r in dedup_exact(df, ["k1", "k2"]).collect()}
+    assert got == {(1, 5), (9, 9)}
+
+
+def test_minhash_and_simhash_string_keys(spark, docs):
+    # signature kernels must preserve the actual key dtype: a corpus
+    # keyed by raw url strings (no xxhash64 pre-step) goes end-to-end
+    from dqc_spark.dedup import minhash_near_dups, simhash_near_dups
+
+    urls = docs.select(
+        F.concat(F.lit("https://example.com/p"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    mh = {(r["key_a"], r["key_b"])
+          for r in minhash_near_dups(urls, "url", threshold=0.5).collect()}
+    assert ("https://example.com/p0", "https://example.com/p1") in mh
+    sh = {(r["key_a"], r["key_b"]): r["hamming"]
+          for r in simhash_near_dups(urls, "url", max_hamming=3).collect()}
+    assert sh[("https://example.com/p0", "https://example.com/p1")] == 0

@@ -67,3 +67,21 @@ def test_pr_curve_null_scores_excluded_and_zero_positives(spark):
     z = spark.createDataFrame([(0.5, 0), (0.7, 0)], "score double, label int")
     zr = pr_curve(z, "score", "label", buckets=10).collect()
     assert all(r["recall"] == 0.0 for r in zr)
+
+
+def test_pr_curve_null_labels_count_as_negatives(spark):
+    # an all-NULL-label bucket must not poison n_pos/cum_pos/precision
+    # with NULL: NULL labels coalesce to 0 (negative)
+    rows = [(0.9, 1), (0.85, None), (0.8, None),   # bucket 8: all-NULL tail
+            (0.3, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bucket"]: r for r in
+           pr_curve(df, "score", F.col("label") == 1, buckets=10).collect()}
+    for r in got.values():
+        assert r["n_pos"] is not None and r["precision"] is not None
+        assert r["recall"] is not None
+    # bucket 8 holds only the two NULL-label rows -> 0 positives, and the
+    # cumulative stats from bucket 9 still flow through it un-NULLed
+    assert got[8]["n_pos"] == 0 and got[8]["cum_pos"] == 1
+    assert got[8]["precision"] == pytest.approx(1 / 3)
+    assert got[3]["cum_pos"] == 2 and got[3]["recall"] == 1.0
