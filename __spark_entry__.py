@@ -50,11 +50,7 @@ def q_unique_violations(spark, sf):
     from dqc_spark.checks import unique_violations
 
     li = _t(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-    )
+    return unique_violations(li, "l_orderkey", with_counts=True)
 
 
 def q_unique_pass(spark, sf):
@@ -241,16 +237,19 @@ def q_distinct_not_in_set(spark, sf):
 
 
 # The driver's correctness gate records rows for the FIRST ~50 queries()
-# entries per round (CORRECTNESS_r01 stopped at exactly 50 of 60), so the
-# dict order below is the row budget.  Policy: the reference's check
-# surface and every not-yet-driver-verified operator come first; _TAIL
-# holds redundant twins that went green in round 1 (their semantics are
-# re-verified every round by tools/oracle_check.py and pytest, so they
-# spend no driver budget).  tests/test_entry_contract.py asserts the
-# order list and the registered queries stay in sync.
+# entries per round (CORRECTNESS_r01/r02 each stopped at exactly 50), so
+# the dict order below is the row budget.  Round-3 policy: the reference
+# check surface (18 rows, always in the window) + every entry WITHOUT a
+# CORRECTNESS_r02 row (28 — so after r3 every registered query has a
+# driver row in r2∪r3) + 4 flagship r2-green fills.  _TAIL holds the
+# r2-green remainder; their semantics are re-verified every round by
+# tools/oracle_check.py and pytest, so they spend no driver budget.
+# tests/test_entry_contract.py asserts the order lists and the
+# registered queries stay in sync.
 DRIVER_ORDER = [
     # reference check surface (check #1 covered by check_unique_violations;
-    # its zero-row twin check_unique_pass is in the tail)
+    # this round its zero-row library twin check_unique_pass is ALSO in
+    # the window, closing the r2∪r3 gap)
     "check_unique_violations",
     "check_not_null",
     "check_enum",
@@ -269,20 +268,54 @@ DRIVER_ORDER = [
     "check_pair_equal",
     "check_distinct_in_set",
     "check_column_exists",
-    # operators with no round-1 driver row yet
+    # --- the 28 entries with no r2 driver row (r1-green twins rotated
+    # back in + the round-2 additions that were parked in the tail) ---
+    "check_unique_pass",
+    "dedup_ngram_jaccard",
+    "text_cdc_chunks",
+    "olap_big_order_customers",
+    "olap_cheapest_part_per_brand",
+    "olap_moving_avg",
+    "olap_value_percentiles_approx",
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "embedding_near_dups_exact",
+    "dedup_distinct_count",
+    "dedup_approx_distinct",
+    "dedup_simhash_near_dups",
+    "text_fingerprints",
+    "text_top_ngrams",
+    "text_langid_heuristic",
+    "olap_events_hourly",
+    "olap_events_windowed",
+    "olap_rollup_daily",
+    "olap_lang_source_pivot",
+    "olap_top_customers_per_nation",
+    "olap_local_supplier_revenue",
+    "olap_late_shipment_priority",
+    "olap_value_percentiles",
+    "olap_sessionization",
+    "olap_rich_idle_customers",
+    "setop_customers_with_orders",
+    "setop_customers_without_orders",
+    # --- flagship r2-green fills (window slots 47-50) ---
+    "pipeline_curate",
+    "dedup_components",
+    "ann_ivf_fullprobe",
+    "text_decontaminate",
+]
+
+# r2-green entries rotated out for round 3: every one has a CORRECTNESS
+# r1-or-r2 driver row; correctness still pinned by the local
+# differential + pytest every round; listed after the driver window
+TAIL_ORDER = [
     "sample_hash_10pct",
     "sample_stratified_quota",
     "pack_token_budget",
     "text_chunks",
     "events_json_extract",
-    "dedup_components",
     "dedup_keep_canonical",
     "ann_topk_arrow",
-    "ann_ivf_fullprobe",
-    "pipeline_curate",
-    # round-2 curation operators: no driver row yet, so they take
-    # window slots from round-1-green twins demoted to the tail
-    "text_decontaminate",
     "snapshot_new_docs",
     "text_normalize_nfc",
     "order_training_positions",
@@ -293,7 +326,6 @@ DRIVER_ORDER = [
     "profile_documents",
     "profile_histogram_nchars",
     "eval_pr_curve",
-    # training-data / OLAP operators (round-1 green, re-verified)
     "dedup_exact_groups",
     "dedup_minhash_near_dups",
     "embedding_near_dups_lsh",
@@ -305,49 +337,6 @@ DRIVER_ORDER = [
     "olap_asof_join",
     "olap_range_join",
     "media_features",
-]
-
-# round-1-green redundant twins: correctness still pinned by the local
-# differential + pytest every round; listed after the driver window
-TAIL_ORDER = [
-    "ann_lsh_topk",               # rows-only; r01-green, LshIndex pytest-pinned
-    "check_unique_pass",          # zero-row twin of check_unique_violations
-    "dedup_distinct_count",       # subset of dedup_approx_distinct
-    "ann_bruteforce_topk",        # same answer as ann_topk_arrow (HOF form)
-    "embedding_near_dups_exact",  # O(n^2) oracle baseline for the LSH form
-    "olap_events_hourly",         # same shape as olap_rollup_daily
-    "setop_customers_with_orders",    # semi-join twin of the anti-join
-    "setop_customers_without_orders", # EXCEPT twin of olap_rich_idle NOT EXISTS
-    "olap_lang_source_pivot",
-    "text_fingerprints",
-    "olap_top_customers_per_nation",
-    # round-2 additions verified by the local differential (both sf);
-    # the driver window stays reserved for the core surface
-    "olap_big_order_customers",
-    "olap_cheapest_part_per_brand",
-    "olap_moving_avg",
-    "olap_value_percentiles_approx",
-    "dedup_ngram_jaccard",
-    "text_cdc_chunks",
-    # demoted round-1-green entries (window slots ceded to the round-2
-    # curation operators above; shapes still covered by close twins in
-    # the window and re-verified by the local differential every round)
-    "text_top_ngrams",          # corpus-agg twin of text_token_counts
-    "olap_local_supplier_revenue",  # Q5 join-pipeline ~ shipping_priority
-    "olap_late_shipment_priority",  # Q4 EXISTS ~ rich_idle NOT EXISTS
-    "olap_rollup_daily",        # ROLLUP twin of olap_lang_source_cube
-    "olap_events_windowed",     # tumbling-window twin of sessionization
-    "olap_value_percentiles",   # exact twin of the approx contract row
-    "dedup_simhash_near_dups",  # rows-only; minhash row represents the
-                                # near-dup family, pytest pins hamming
-    "olap_sessionization",      # lag+cumsum twin of the native
-                                # session_window entry in the window
-    "olap_rich_idle_customers", # Q22 NOT-EXISTS shape; its scalar-
-                                # subquery twins already sit in the tail
-    "dedup_approx_distinct",    # HLL rsd contract; exact-distinct twin
-                                # already in the tail, pytest re-pins
-    "text_langid_heuristic",    # Column-expr langid; the UDF-model
-                                # langid is pinned by pipeline F1 1.0
 ]
 
 

@@ -292,22 +292,25 @@ def pair_not_equal_pred(col_a: str, col_b: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def unique_violations(df: DataFrame, column: str) -> DataFrame:
+def unique_violations(
+    df: DataFrame, column: str, with_counts: bool = False
+) -> DataFrame:
     """#1 check-unique: duplicated VALUES (not rows):
     ``SELECT c FROM t GROUP BY c HAVING COUNT(*) > 1`` (checker.go:60-61).
     NULLs group together, so two NULLs are a duplicate — Spark groupBy
-    has identical NULL-grouping semantics.
+    has identical NULL-grouping semantics.  ``with_counts=True`` keeps
+    the duplicate multiplicity as column ``n``.
 
     Physical plan: partial hash agg per partition -> shuffle on c ->
     final agg; AQE coalesces/splits at runtime.  count(lit(1)) counts
     NULL-key rows (count(c) would not).
     """
-    return (
+    out = (
         df.groupBy(column)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .select(column)
     )
+    return out if with_counts else out.select(column)
 
 
 def filter_violations(df: DataFrame, pred: Column) -> DataFrame:
