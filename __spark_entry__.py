@@ -298,17 +298,19 @@ DRIVER_ORDER = [
     "olap_rich_idle_customers",
     "setop_customers_with_orders",
     "setop_customers_without_orders",
-    # --- flagship r2-green fills (window slots 47-50) ---
+    # --- new this round: REAL WAV/PNM decode path (rows-only) ---
+    "media_real_decode",
+    # --- flagship r2-green fills (window slots 48-50) ---
     "pipeline_curate",
     "dedup_components",
     "ann_ivf_fullprobe",
-    "text_decontaminate",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "text_decontaminate",
     "sample_hash_10pct",
     "sample_stratified_quota",
     "pack_token_budget",

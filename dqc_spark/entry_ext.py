@@ -678,6 +678,67 @@ def q_media_features(spark, sf):
     return feats.select("key", "n_bytes", F.size("features").alias("dim"))
 
 
+def q_media_real_decode(spark, sf):
+    # REAL (non-stub) media decode: WAV and PPM blobs synthesized
+    # deterministically from doc_ids inside an Arrow kernel, then
+    # featurized with decode_stub=False — every value below comes from
+    # an actual RIFF chunk walk / netpbm raster parse, not the digest
+    # fake.  Rows-only (binary synthesis is engine-specific); the
+    # duration/luminance slots are pinned exactly by test_mediacodec.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dqc_spark.mediacodec import encode_pnm, encode_wav
+    from dqc_spark.multimodal import extract_features
+
+    docs = _t(spark, sf, "documents").select("doc_id").limit(64)
+    # limit() collapses to one partition — re-spread before the kernel
+    docs = docs.repartition(4)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys, out_media = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 2 == 0:  # 100+d Hz sine, (1+d%5)/10 s @ 8 kHz
+                    t = np.arange(int(8000 * (1 + d % 5) / 10)) / 8000.0
+                    blob = encode_wav(
+                        np.sin(2 * np.pi * (100 + d) * t), rate=8000
+                    )
+                else:  # (4+d%3) x 4 gradient image
+                    w = 4 + d % 3
+                    img = (
+                        np.arange(4 * w * 3, dtype=np.int64) * (d + 1) % 256
+                    ).astype(np.uint8).reshape(4, w, 3)
+                    blob = encode_pnm(img)
+                out_keys.append(d)
+                out_media.append(blob)
+            yield pd.DataFrame({"doc_id": out_keys, "media": out_media})
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = extract_features(
+        media, media_col="media", key_col="doc_id", out_dim=8,
+        decode_stub=False,
+    )
+    return feats.select(
+        "key",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("slot0"),
+        F.round(F.element_at("features", 3), 4).alias("slot2"),
+    )
+
+
 def _dup_pairs(spark, sf):
     # edges from a TRUNCATED text hash (3 hex chars = 4096 buckets):
     # unlike full-md5 exact-dup edges, this collides at every scale
@@ -1049,6 +1110,7 @@ def extra_queries():
         "olap_rollup_daily": q_rollup_daily,
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "sample_hash_10pct": q_sample_hash,
         "sample_stratified_quota": q_sample_stratified,
         "pack_token_budget": q_pack_token_budget,

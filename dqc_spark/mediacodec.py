@@ -1,0 +1,311 @@
+"""Pure-python/numpy media codecs: RIFF/WAVE PCM audio and PNM images.
+
+No PIL/librosa/ffmpeg exists in this environment, but two real formats
+need neither: WAV is a RIFF chunk walk + ``np.frombuffer`` over PCM
+samples, and PPM/PGM (netpbm) is a whitespace-token header + a raster
+``np.frombuffer``.  These decoders are REAL — bytes in, samples/pixels
+out — and back the non-stub path of ``multimodal.extract_features`` /
+``resize_media``.  Both formats also have encoders here so tests can pin
+known bytes -> known features without external fixtures.
+
+Everything below is a plain function over ``bytes``/``np.ndarray`` —
+Spark never appears in this module, so the kernels are unit-testable in
+isolation and get vectorized Arrow batching from the mapInPandas callers
+in ``multimodal``.
+
+Format references (public): RIFF/WAVE as described in the multimedia
+programming interface spec (fmt/data chunks, 16-bit LE layout); netpbm
+man pages for P2/P3/P5/P6 headers.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM / IEEE-float)
+# ---------------------------------------------------------------------------
+
+_PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE -> (samples float64 in [-1, 1] shaped (n, channels),
+    sample_rate, channels).
+
+    Walks chunks properly (fmt may be preceded/followed by LIST/fact/
+    cue chunks; chunk bodies are word-aligned), handles PCM 8/16/32-bit
+    int (format 1) and 32/64-bit IEEE float (format 3).  8-bit WAV is
+    unsigned per the spec; everything else is signed little-endian.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, len(data)
+    fmt = None
+    raw = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block_align, bits = fmt
+    if channels < 1:
+        raise ValueError("zero channels")
+    if audio_fmt == 1:  # integer PCM
+        if bits not in _PCM_DTYPES:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        arr = np.frombuffer(raw, dtype=_PCM_DTYPES[bits])
+        if bits == 8:  # unsigned, midpoint 128
+            x = (arr.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = arr.astype(np.float64) / float(2 ** (bits - 1))
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_fmt}")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), rate, channels
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000, bits: int = 16
+) -> bytes:
+    """(n,) or (n, channels) float in [-1, 1] -> canonical PCM WAV bytes."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if bits == 16:
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    elif bits == 8:
+        pcm = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    elif bits == 32:
+        pcm = np.clip(
+            np.round(x * 2147483647.0), -2147483648, 2147483647
+        ).astype("<i4")
+    else:
+        raise ValueError("bits must be 8, 16 or 32")
+    raw = pcm.reshape(-1).tobytes()
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_features(data: bytes, n_bands: int = 8) -> dict:
+    """Real audio features from WAV bytes: duration, RMS loudness, peak,
+    zero-crossing rate, and ``n_bands`` octave-ish spectral band
+    energies from an rFFT over the (mono-mixed) signal."""
+    x, rate, channels = decode_wav(data)
+    mono = x.mean(axis=1) if channels > 1 else x[:, 0]
+    n = len(mono)
+    duration = n / rate if rate else 0.0
+    if n == 0:
+        return {
+            "sample_rate": rate,
+            "channels": channels,
+            "duration_s": 0.0,
+            "rms": 0.0,
+            "peak": 0.0,
+            "zcr": 0.0,
+            "bands": [0.0] * n_bands,
+        }
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    # log-spaced band edges (octave-ish): bin 1 .. n/2 split into n_bands
+    if len(spec) > 1:
+        edges = np.unique(
+            np.round(
+                np.geomspace(1, len(spec) - 1, n_bands + 1)
+            ).astype(int)
+        )
+        total = float(spec[1:].sum()) or 1.0
+        bands = [
+            float(spec[a:b].sum() / total)
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        bands += [0.0] * (n_bands - len(bands))
+    else:
+        bands = [0.0] * n_bands
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_s": duration,
+        "rms": rms,
+        "peak": peak,
+        "zcr": zcr,
+        "bands": bands,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PNM (PPM P6 / PGM P5 binary, P3 / P2 ascii)
+# ---------------------------------------------------------------------------
+
+_PNM_CHANNELS = {b"P2": 1, b"P3": 3, b"P5": 1, b"P6": 3}
+_WS_COMMENT = re.compile(rb"(?:\s|#[^\n]*\n)+")
+
+
+def _pnm_tokens(data: bytes, count: int) -> tuple[list[int], int]:
+    """First ``count`` whitespace/comment-delimited integer tokens after
+    the magic; returns (tokens, offset_past_single_whitespace)."""
+    toks: list[int] = []
+    pos = 2
+    while len(toks) < count:
+        m = _WS_COMMENT.match(data, pos)
+        if not m:
+            raise ValueError("truncated PNM header")
+        pos = m.end()
+        m2 = re.match(rb"\d+", data[pos:])
+        if not m2:
+            raise ValueError("bad PNM header token")
+        toks.append(int(m2.group()))
+        pos += m2.end()
+    # exactly ONE whitespace byte separates header from binary raster
+    return toks, pos + 1
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """PPM/PGM -> (height, width, channels) uint8 (or uint16 for
+    maxval > 255, which netpbm stores big-endian)."""
+    magic = data[:2]
+    if magic not in _PNM_CHANNELS:
+        raise ValueError("not a P2/P3/P5/P6 netpbm stream")
+    ch = _PNM_CHANNELS[magic]
+    (w, h, maxval), off = _pnm_tokens(data, 3)
+    n = w * h * ch
+    if magic in (b"P5", b"P6"):
+        if maxval > 255:
+            arr = np.frombuffer(data, dtype=">u2", count=n, offset=off)
+            arr = arr.astype(np.uint16)
+        else:
+            arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    else:  # ascii variants: whitespace-separated sample values
+        vals = data[off - 1 :].split()
+        if len(vals) < n:
+            raise ValueError("truncated ascii raster")
+        dt = np.uint16 if maxval > 255 else np.uint8
+        arr = np.array(vals[:n], dtype=dt)
+    return arr.reshape(h, w, ch)
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, {1,3}) uint8/uint16 -> binary P5/P6 bytes."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch == 1:
+        magic = b"P5"
+    elif ch == 3:
+        magic = b"P6"
+    else:
+        raise ValueError("channels must be 1 or 3")
+    if a.dtype == np.uint8:
+        maxval, raw = 255, a.tobytes()
+    else:
+        maxval, raw = 65535, a.astype(">u2").tobytes()
+    header = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
+    return header + raw
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index gather — the classic
+    O(out_pixels) numpy formulation, no interpolation libs needed."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def image_features(data: bytes, n_hist: int = 8) -> dict:
+    """Real image features from PNM bytes: dimensions, per-channel
+    mean/std, mean luminance, mean gradient magnitude (edge energy),
+    and an ``n_hist``-bin luminance histogram (mass-normalized)."""
+    raw = decode_pnm(data)
+    maxval = 65535.0 if raw.dtype.itemsize > 1 else 255.0
+    img = raw.astype(np.float64)
+    h, w, ch = img.shape
+    # luminance: Rec.601 weights for RGB, identity for gray
+    lum = (
+        img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+        if ch == 3
+        else img[:, :, 0]
+    ) / maxval
+    gy = np.abs(np.diff(lum, axis=0)).mean() if h > 1 else 0.0
+    gx = np.abs(np.diff(lum, axis=1)).mean() if w > 1 else 0.0
+    hist, _ = np.histogram(lum, bins=n_hist, range=(0.0, 1.0))
+    total = hist.sum() or 1
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "mean": [float(m) for m in img.reshape(-1, ch).mean(axis=0) / maxval],
+        "std": [float(s) for s in img.reshape(-1, ch).std(axis=0) / maxval],
+        "luminance": float(lum.mean()),
+        "edge_energy": float((gx + gy) / 2.0),
+        "hist": [float(v / total) for v in hist],
+    }
+
+
+# ---------------------------------------------------------------------------
+# dispatch: bytes -> fixed-length feature vector (the multimodal kernel)
+# ---------------------------------------------------------------------------
+
+
+def sniff_decodable(data: bytes) -> str | None:
+    """Which REAL decoder applies: 'wav', 'pnm', or None."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:2] in _PNM_CHANNELS:
+        return "pnm"
+    return None
+
+
+def feature_vector(data: bytes, out_dim: int) -> np.ndarray | None:
+    """Decode + featurize into a fixed ``out_dim`` float32 vector, or
+    None when no real decoder applies.  Layout (before pad/truncate):
+    audio  = [duration, rms, peak, zcr, band_0..band_7]
+    image  = [log1p(w), log1p(h), luminance, edge, hist_0..hist_7]
+    """
+    kind = sniff_decodable(data)
+    if kind == "wav":
+        f = audio_features(data)
+        vec = [f["duration_s"], f["rms"], f["peak"], f["zcr"], *f["bands"]]
+    elif kind == "pnm":
+        f = image_features(data)
+        vec = [
+            float(np.log1p(f["width"])),
+            float(np.log1p(f["height"])),
+            f["luminance"],
+            f["edge_energy"],
+            *f["hist"],
+        ]
+    else:
+        return None
+    out = np.zeros(out_dim, dtype=np.float32)
+    out[: min(out_dim, len(vec))] = vec[:out_dim]
+    return out

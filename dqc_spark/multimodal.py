@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-mapInPandas partitioning, metadata extraction from binary headers.  The
-actual media decode (PIL/librosa/ffmpeg) is NOT available in this
-container, so the decode kernels are stubbed: ``decode_stub=True`` (the
-default here) substitutes a deterministic fake feature vector derived
-from the bytes; passing ``decode_stub=False`` raises NotImplementedError
-at the point where a real decoder would plug in.
+mapInPandas partitioning, metadata extraction from binary headers.
+
+Decode is REAL for the formats a pure numpy decoder can handle —
+RIFF/WAVE PCM audio and netpbm PPM/PGM images (``mediacodec.py``):
+``extract_features`` computes genuine duration/RMS/spectral-band (audio)
+and luminance/edge/histogram (image) features, and ``resize_media`` does
+a genuine nearest-neighbor resample for PNM.  Formats that need
+PIL/librosa/ffmpeg (JPEG, PNG, MP3, WebM — not in this container) fall
+back per ``decode_stub``: ``True`` (default) substitutes a deterministic
+fake feature vector derived from the bytes; ``False`` raises
+NotImplementedError at the point where a real decoder would plug in.
 
 Column convention (mirrors the pages table's ``html:binary``):
     media:binary, media_type:string, media_meta:map<string,string>
@@ -39,6 +44,10 @@ _MAGIC = [
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"P6", "image/x-portable-pixmap"),
+    (b"P5", "image/x-portable-graymap"),
+    (b"P3", "image/x-portable-pixmap"),
+    (b"P2", "image/x-portable-graymap"),
 ]
 
 
@@ -78,10 +87,15 @@ def extract_features(
     out_dim: int = 32,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """binary -> feature vector via mapInPandas.  Arrow batch sizes are
-    bounded by spark.sql.execution.arrow.maxRecordsPerBatch so large
-    blobs don't blow executor memory; the kernel is O(batch) and never
-    sees the whole partition at once."""
+    """binary -> feature vector via mapInPandas.  WAV and PNM blobs get
+    REAL features (``mediacodec.feature_vector``: duration/RMS/spectral
+    bands, luminance/edge/histogram); other formats fall back per
+    ``decode_stub``.  Arrow batch sizes are bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so large blobs don't
+    blow executor memory; the kernel is O(batch) and never sees the
+    whole partition at once."""
+    from dqc_spark.mediacodec import feature_vector
+
     out_schema = T.StructType(
         [
             T.StructField("key", T.StringType()),
@@ -90,17 +104,25 @@ def extract_features(
         ]
     )
 
+    def one(raw: bytes) -> list[float]:
+        try:
+            vec = feature_vector(raw, out_dim)
+        except ValueError:  # right magic, corrupt body -> undecodable
+            vec = None
+        if vec is not None:
+            return vec.tolist()
+        if not decode_stub:
+            raise NotImplementedError(
+                "no pure-python decoder for this format (JPEG/PNG/MP3/"
+                "WebM need PIL/librosa/ffmpeg — not in this container); "
+                "pass decode_stub=True for the deterministic fake"
+            )
+        return _fake_decode(raw, out_dim).tolist()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg — not in "
-                    "this container; pass decode_stub=True for the "
-                    "deterministic fake"
-                )
             feats = [
-                _fake_decode(bytes(b) if b is not None else b"", out_dim).tolist()
-                for b in pdf[media_col]
+                one(bytes(b) if b is not None else b"") for b in pdf[media_col]
             ]
             yield pd.DataFrame(
                 {
@@ -123,13 +145,17 @@ def resize_media(
 ) -> DataFrame:
     """binary -> resized binary (image resize step of a media pipeline).
 
-    Plumbing is real: bounded Arrow batches, binary-in/binary-out
-    schema, per-row target metadata — a real implementation swaps the
-    stub for PIL's ``Image.open(...).resize((w, h)).tobytes()``.  The
-    stub emits a deterministic pseudo-bitmap of EXACTLY w*h*3 bytes
-    derived from the content digest, so downstream size/partition
-    accounting (the thing Spark cares about) behaves like the real op.
+    PNM inputs are REALLY resized: decode -> nearest-neighbor index
+    gather -> re-encode (``mediacodec``), all numpy.  Formats that need
+    PIL (JPEG/PNG) fall back per ``decode_stub``: the stub emits a
+    deterministic pseudo-bitmap of EXACTLY w*h*3 bytes derived from the
+    content digest, so downstream size/partition accounting (the thing
+    Spark cares about) behaves like the real op.  Plumbing either way:
+    bounded Arrow batches, binary-in/binary-out schema, per-row target
+    metadata.
     """
+    from dqc_spark.mediacodec import decode_pnm, encode_pnm, resize_nearest
+
     out_schema = T.StructType(
         [
             T.StructField("key", T.StringType()),
@@ -139,30 +165,41 @@ def resize_media(
     )
     n_out = width * height * 3
 
+    def one(raw: bytes) -> tuple[bytes, dict]:
+        meta = {
+            "width": str(width),
+            "height": str(height),
+            "src_bytes": str(len(raw)),
+        }
+        if raw[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            try:
+                img = decode_pnm(raw)
+            except ValueError:
+                img = None
+            if img is not None:
+                out = encode_pnm(resize_nearest(img, width, height))
+                meta["channels"] = str(img.shape[2])
+                meta["codec"] = "pnm"
+                return out, meta
+        if not decode_stub:
+            raise NotImplementedError(
+                "real resize for non-PNM formats requires PIL — not in "
+                "this container; pass decode_stub=True for the "
+                "deterministic fake"
+            )
+        digest = hashlib.sha256(raw).digest()
+        # deterministic pseudo-bitmap of the exact target size
+        reps = n_out // len(digest) + 1
+        meta["channels"] = "3"
+        return (digest * reps)[:n_out], meta
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not in this "
-                    "container; pass decode_stub=True for the "
-                    "deterministic fake"
-                )
-            out_bytes = []
-            metas = []
+            out_bytes, metas = [], []
             for b in pdf[media_col]:
-                raw = bytes(b) if b is not None else b""
-                digest = hashlib.sha256(raw).digest()
-                # deterministic pseudo-bitmap of the exact target size
-                reps = n_out // len(digest) + 1
-                out_bytes.append((digest * reps)[:n_out])
-                metas.append(
-                    {
-                        "width": str(width),
-                        "height": str(height),
-                        "channels": "3",
-                        "src_bytes": str(len(raw)),
-                    }
-                )
+                o, m = one(bytes(b) if b is not None else b"")
+                out_bytes.append(o)
+                metas.append(m)
             yield pd.DataFrame(
                 {
                     "key": pdf[key_col].astype(str),
