@@ -69,18 +69,65 @@ def new_docs(
 # ---------------------------------------------------------------------------
 
 
+_U64 = 1 << 64
+
+
+def _digest_bytes(value: str) -> bytes:
+    """16 hash bytes for a value.  A 32-char lowercase-hex string (the
+    md5 digest format every caller in this repo feeds) is parsed
+    DIRECTLY — it is already uniform 128-bit material, and skipping the
+    second md5 is what lets the batch kernels run as pure numpy.  Any
+    other string is md5'd first (general-purpose fallback)."""
+    if len(value) == 32:
+        try:
+            d = bytes.fromhex(value)
+            if len(d) == 16:  # fromhex IGNORES spaces — be strict
+                return d
+        except ValueError:
+            pass
+    return hashlib.md5(value.encode("utf-8")).digest()
+
+
 def _probe_positions(value: str, n_bits: int, k: int) -> list[int]:
-    """k bit positions from one md5: digest split into 4-byte words,
-    combined pairwise (double hashing h1 + i*h2) — deterministic,
-    engine-independent, and never needs more hash material than one md5."""
-    d = hashlib.md5(value.encode("utf-8")).digest()
+    """k bit positions via double hashing (h1 + i*h2): h1/h2 are the
+    digest's two little-endian 8-byte words, h2 forced odd (full-period
+    step).  The sum wraps mod 2^64 BEFORE the mod n_bits — that pins the
+    scalar reference to the exact semantics of the vectorized uint64
+    kernel (`_probe_matrix`), which wraps by construction."""
+    d = _digest_bytes(value)
     h1 = int.from_bytes(d[0:8], "little")
-    h2 = int.from_bytes(d[8:16], "little") | 1  # odd -> full-period step
-    return [(h1 + i * h2) % n_bits for i in range(k)]
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return [((h1 + i * h2) % _U64) % n_bits for i in range(k)]
+
+
+def _probe_matrix(values, n_bits: int, k: int) -> np.ndarray:
+    """(n, k) probe positions for a batch of md5 HEX digests — one
+    ``bytes.fromhex`` + two uint64 views + one broadcasted multiply-add,
+    no per-row python.  Non-digest strings take the scalar fallback
+    (only reachable through the generic ``build_bloom(col=...)`` API;
+    the snapshot path always feeds digests)."""
+    vals = ["" if v is None else str(v) for v in values]
+    try:
+        raw = bytes.fromhex("".join(vals))
+        if len(raw) != 16 * len(vals):
+            raise ValueError  # some value wasn't 32 hex chars
+    except ValueError:
+        return np.array(
+            [_probe_positions(v, n_bits, k) for v in vals], dtype=np.int64
+        ).reshape(len(vals), k)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16)
+    h1 = arr[:, :8].copy().view("<u8").ravel()
+    h2 = arr[:, 8:].copy().view("<u8").ravel() | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
 
 
 class BloomFilter:
-    """Fixed-size bloom bitmap with portable md5 double-hashing."""
+    """Fixed-size bloom bitmap, double-hashed straight off the md5
+    digest words (see ``_probe_positions``); scalar driver-side API —
+    the distributed paths use the vectorized ``_probe_matrix``."""
 
     def __init__(self, n_bits: int, k: int, bits: np.ndarray | None = None):
         if n_bits % 8:
@@ -123,11 +170,15 @@ def build_bloom(
         seen = False
         for pdf in batches:
             seen = True
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                for p in _probe_positions(str(v), nb, kk):
-                    bits[p >> 3] |= np.uint8(1 << (p & 7))
+            vals = pdf[col].dropna()
+            if len(vals) == 0:
+                continue
+            pos = _probe_matrix(vals.to_numpy(), nb, kk).ravel()
+            # bitwise_or.at: unbuffered, so repeated byte indices all
+            # land (plain fancy-index |= silently drops duplicates)
+            np.bitwise_or.at(
+                bits, pos >> 3, np.left_shift(1, pos & 7).astype(np.uint8)
+            )
         if seen:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
@@ -155,29 +206,28 @@ def bloom_partition(
     def kernel(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         bits = bc_bits.value
         for s in it:
-            out = []
-            for v in s:
-                if v is None:
-                    out.append(False)
-                    continue
-                # probe with the HEX DIGEST of the text — the bloom was
-                # built over content_digests() output (Spark md5 = lower
-                # hex, same as hexdigest), so both sides hash the same
-                # value; probing raw text would silently false-negative.
-                # Positions come from the SAME helper the build side
-                # uses — a drifting inline copy of the bit derivation
-                # would turn bloom "no" answers into silent false drops.
-                dg = hashlib.md5(str(v).encode("utf-8")).hexdigest()
-                out.append(
-                    all(
-                        bits[p >> 3] & (1 << (p & 7))
-                        for p in _probe_positions(dg, nb, kk)
-                    )
-                )
-            yield pd.Series(out, dtype=bool)
+            if len(s) == 0:
+                yield pd.Series([], dtype=bool)
+                continue
+            # the input is the JVM-computed md5 HEX digest of the text
+            # (Spark md5 = lower hex = hashlib hexdigest), so both sides
+            # probe the same value and the position derivation is the
+            # SAME _probe_matrix the build side uses — a drifting copy
+            # would turn bloom "no" answers into silent false drops.
+            null_mask = s.isna().to_numpy()
+            vals = s.fillna("0" * 32).to_numpy()
+            pos = _probe_matrix(vals, nb, kk)  # (n, k)
+            hit = bits[pos >> 3] & np.left_shift(1, pos & 7).astype(np.uint8)
+            maybe = (hit != 0).all(axis=1)
+            maybe[null_mask] = False
+            yield pd.Series(maybe)
 
     probe = F.pandas_udf(kernel, T.BooleanType())
-    return snapshot.withColumn("maybe_seen", probe(F.col(text_col)))
+    # digest computed JVM-side (codegen md5), so the python stage never
+    # touches the text — it probes 32-byte digests only
+    return snapshot.withColumn(
+        "maybe_seen", probe(F.md5(F.col(text_col)))
+    )
 
 
 def new_docs_bloom(

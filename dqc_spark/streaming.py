@@ -199,12 +199,16 @@ def stream_quality_pipeline(
     ann_stream = stream_pages(spark, input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        ann = annotate(batch_df, thresholds=thresholds)
+        # persist: the annotated frame embeds the scoring pandas UDF and
+        # feeds TWO consumers (audit agg + sink write) — unpersisted,
+        # Spark recomputes the whole Python stage per consumer
+        ann = annotate(batch_df, thresholds=thresholds).persist()
         row = ann.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
         ).first()
         ann.filter(F.col("keep")).write.mode("append").parquet(output_dir)
+        ann.unpersist()
         if audit is not None:
             audit.log(
                 "stream_batch_complete",

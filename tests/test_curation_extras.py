@@ -120,6 +120,28 @@ def test_bloom_no_false_negatives(spark, snapshots):
     assert (local.bits == bloom.bits).all()
 
 
+def test_probe_matrix_matches_scalar_reference():
+    # vectorized uint64 kernel == scalar python-int reference, including
+    # NON-power-of-two n_bits where the mod-2^64 wrap placement matters,
+    # and the non-hex fallback path (md5'd first)
+    import hashlib
+
+    import numpy as np
+
+    from dqc_spark.snapshot import _probe_matrix, _probe_positions
+
+    digests = [hashlib.md5(f"doc{i}".encode()).hexdigest() for i in range(64)]
+    for n_bits in (1 << 16, 9_585_059 * 8):  # sized_for-style odd bitmap
+        mat = _probe_matrix(np.array(digests), n_bits, 7)
+        for row, d in zip(mat, digests):
+            assert list(row) == _probe_positions(d, n_bits, 7)
+    # arbitrary (non-digest) strings: both sides md5 first
+    weird = ["not hex", "x" * 32, ""]
+    mat = _probe_matrix(np.array(weird), 4096, 4)
+    for row, v in zip(mat, weird):
+        assert list(row) == _probe_positions(v, 4096, 4)
+
+
 def test_bloom_sized_for_and_autosize(spark, snapshots):
     from dqc_spark.snapshot import BloomFilter, new_docs, new_docs_bloom
 
