@@ -12,12 +12,20 @@ Scale shape (the part that matters at 100 TB):
     thousands of documents, the corpus is billions) -> its distinct gram
     set is **broadcast**, so the corpus is scored with a map-side hash
     join: no shuffle of corpus text, no shuffle of corpus grams.
-  * per-document gram sets are deduplicated with ``array_distinct``
-    BEFORE the explode (gram arrays are ~1e2 elements, so the O(m^2)
-    array_distinct on such short arrays is cheaper than a
-    groupBy-distinct shuffle of every gram).
+  * per-document distinct grams come out of ONE Arrow kernel as 64-bit
+    HASHES (never gram strings).  The original all-Column form built
+    grams with an interpreted ``F.transform`` lambda + O(m^2) string
+    ``array_distinct`` — the exact hot-path trap this repo's perf notes
+    measure at ~100x per core; the kernel rewrite cut the 20k-doc bench
+    leg ~10x.  Joining on a long also shrinks the probe rows ~10x vs
+    ~60-byte gram strings.
   * the only shuffle is the final groupBy on the document key, and it
     carries (key, two longs) — not text.
+
+Gram identity is a 64-bit blake2b digest: a cross-doc collision makes
+one false n-gram hit (a +1 in a count), never a false document drop by
+itself; at eval-set sizes (~1e6-1e8 grams) collision odds are ~1e-11
+per corpus gram.
 
 If the benchmark gram set ever outgrows broadcast range (~100s of MB),
 drop the ``F.broadcast`` hint and let AQE pick a shuffle join; semantics
@@ -26,19 +34,99 @@ are unchanged.
 
 from __future__ import annotations
 
+import hashlib
+import re
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dqc_spark.textstats import ngrams_col
 
+# Java-regex \s+ (the Column form's split) is ASCII-only; Python's \s is
+# unicode-aware unless re.ASCII — match the JVM/DuckDB tokenization
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _gram_hashes_py(text: str, n: int, cache: dict) -> set[int]:
+    """Distinct word-n-gram hashes of one document — the same
+    lower/split/filter tokenization as ``textstats.ngrams_col`` (and the
+    DuckDB differential oracle), hashed to a signed 64-bit int."""
+    toks = [t for t in _WS.split((text or "").lower()) if t]
+    if len(toks) < n:
+        return set()
+    out = set()
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i : i + n])
+        h = cache.get(g)
+        if h is None:
+            d = hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
+            h = int.from_bytes(d, "little", signed=True)
+            cache[g] = h
+        out.add(h)
+    return out
+
+
+def _gram_hash_rows(
+    df: DataFrame, key_col: str | None, text_col: str, n: int
+) -> DataFrame:
+    """Exploded (key, __ng, h) rows of per-doc DISTINCT gram hashes from
+    one Arrow kernel; gram-less docs emit a single (key, 0, NULL) row
+    (the explode_outer analogue).  ``key_col=None`` emits hashes only
+    (benchmark side)."""
+    fields = []
+    if key_col is not None:
+        fields.append(T.StructField("key", df.schema[key_col].dataType))
+        fields.append(T.StructField("__ng", T.IntegerType()))
+    fields.append(T.StructField("h", T.LongType()))
+    out_schema = T.StructType(fields)
+    cols = [key_col, text_col] if key_col is not None else [text_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            if key_col is None:
+                hs: set[int] = set()
+                for text in pdf[text_col]:
+                    hs |= _gram_hashes_py(text, n, cache)
+                yield pd.DataFrame({"h": pd.array(sorted(hs), dtype="int64")})
+                continue
+            keys, ngs, hs2 = [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                g = _gram_hashes_py(text, n, cache)
+                if not g:
+                    keys.append(key)
+                    ngs.append(0)
+                    hs2.append(None)
+                    continue
+                keys.extend([key] * len(g))
+                ngs.extend([len(g)] * len(g))
+                hs2.extend(g)
+            yield pd.DataFrame(
+                {"key": keys, "__ng": pd.array(ngs, dtype="int32"),
+                 "h": pd.array(hs2, dtype="Int64")}
+            )
+
+    return df.select(*cols).mapInPandas(kernel, schema=out_schema)
+
 
 def benchmark_grams(bench: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-grams of the benchmark corpus: 1-column frame
-    ``gram``.  Distinct is a real groupBy (benchmark-sized, cheap)."""
+    """Distinct word n-grams of the benchmark corpus as STRINGS (1-column
+    frame ``gram``) — kept for inspection/debug surfaces; the scoring
+    path uses the hash form below."""
     return (
         bench.select(F.explode(ngrams_col(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
+
+
+def benchmark_gram_hashes(
+    bench: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct benchmark gram HASHES: 1-column frame ``h`` (long)."""
+    return _gram_hash_rows(bench, None, text_col, n).distinct()
 
 
 def contamination_scores(
@@ -55,29 +143,21 @@ def contamination_scores(
     them appear anywhere in the benchmark, ``contam_frac`` their ratio
     (0.0 for docs too short to have an n-gram — nothing to leak).
     """
-    grams = docs.select(
-        F.col(key_col),
-        F.array_distinct(ngrams_col(F.col(text_col), n)).alias("__grams"),
-    ).select(
-        key_col,
-        F.size("__grams").alias("__ng"),
-        # explode_outer keeps gram-less (short) docs in the result
-        F.explode_outer("__grams").alias("gram"),
-    )
+    grams = _gram_hash_rows(docs, key_col, text_col, n)
     bg = F.broadcast(
-        benchmark_grams(bench, bench_text_col or text_col, n)
+        benchmark_gram_hashes(bench, bench_text_col or text_col, n)
         .withColumn("__hit", F.lit(1))
     )
     scored = (
-        grams.join(bg, on="gram", how="left")
-        .groupBy(key_col)
+        grams.join(bg, on="h", how="left")
+        .groupBy("key")
         .agg(
             F.max("__ng").alias("n_grams"),
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
         )
     )
     return scored.select(
-        key_col,
+        F.col("key").alias(key_col),
         "n_grams",
         "n_hit",
         F.when(F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams"))
