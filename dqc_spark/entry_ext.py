@@ -976,6 +976,22 @@ def q_line_dedup(spark, sf):
     )
 
 
+def q_substr_dedup(spark, sf):
+    # cross-document substring (k-word window) dedup: per-doc word
+    # counts before/after excising non-first occurrences of duplicated
+    # 10-word shingles.  The Spark side elects winners over 128-bit
+    # shingle hashes; the oracle reproduces the identical semantics over
+    # raw gram strings (hash collisions are the only possible divergence
+    # — none at these scales).
+    from dqc_spark.substrdedup import dedup_substrings
+
+    docs = _t(spark, sf, "documents")
+    out = dedup_substrings(docs, "doc_id", k=10)
+    return out.select(
+        F.col("key").alias("doc_id"), "n_words", "n_words_kept"
+    )
+
+
 def q_profile_documents(spark, sf):
     # deequ-style one-scan column profiler over documents (exact
     # distincts at this scale; approx=True is the 100 TB path)
@@ -1130,6 +1146,7 @@ def extra_queries():
         "order_training_positions": q_training_order,
         "text_compression_ratio": q_compression_ratio,
         "text_line_dedup": q_line_dedup,
+        "text_substr_dedup": q_substr_dedup,
         "mix_temperature_sample": q_mix_temperature,
         "olap_session_window_native": q_session_window_native,
         "profile_documents": q_profile_documents,
@@ -1777,6 +1794,51 @@ def extra_oracle_sql():
         # 8-word wrap); 'first occurrence' = ROW_NUMBER over
         # (doc_id, line_no), the SQL spelling of the skew-safe
         # min(struct) winner election
+        # substring dedup: winner = lexicographic min (doc_id, pos) over
+        # each duplicated 10-word gram; a word is removed iff covered by
+        # a non-winner occurrence.  Composite BIGINT doc_id*2^20+pos
+        # mirrors Spark's min(struct(key,pos)) — valid while pos < 2^20
+        # (documents cap out far below).  COALESCE(text,'') makes NULL
+        # docs tokenize to [] (n_words 0), matching the kernel.
+        "text_substr_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                       x -> x <> '') AS w
+              FROM documents
+            ), g AS (
+              -- scalar generate_series returns a LIST; parallel unnests
+              -- zip (the lateral table-function form rejects column
+              -- bounds in this DuckDB build)
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 9), i -> i - 1)) AS pos,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 9),
+                       i -> array_to_string(w[i:i+9], ' '))) AS gram
+              FROM toks WHERE len(w) >= 10
+            ), win AS (
+              SELECT gram, MIN(doc_id * 1048576 + pos) AS wk,
+                     COUNT(*) AS n
+              FROM g GROUP BY gram
+            ), dup AS (
+              SELECT g.doc_id, g.pos
+              FROM g JOIN win ON g.gram = win.gram
+              WHERE win.n >= 2 AND g.doc_id * 1048576 + g.pos <> win.wk
+            ), cov AS (
+              SELECT DISTINCT doc_id,
+                     unnest(generate_series(pos, pos + 9)) AS wp
+              FROM dup
+            ), ncov AS (
+              SELECT doc_id, COUNT(*) AS nc FROM cov GROUP BY doc_id
+            )
+            SELECT toks.doc_id,
+                   CAST(len(toks.w) AS INTEGER) AS n_words,
+                   CAST(len(toks.w) - COALESCE(ncov.nc, 0) AS INTEGER)
+                     AS n_words_kept
+            FROM toks LEFT JOIN ncov ON toks.doc_id = ncov.doc_id
+        """,
         "text_line_dedup": rf"""
             WITH src AS (
               SELECT doc_id,

@@ -1,0 +1,243 @@
+"""Cross-document SUBSTRING-level exact dedup (ExactSubstr shape).
+
+Line dedup (``linededup.py``) removes repeated *lines*; this removes
+repeated *k-word windows* anywhere in the corpus — the "remove
+duplicated substrings of length >= k tokens" operation from the
+deduplicating-training-data literature (Lee et al., ACL'22), which
+catches boilerplate that is not line-aligned (flowed templates, quoted
+reposts, license blurbs mid-paragraph).
+
+Semantics (deterministic, order-free):
+
+  * every overlapping k-word shingle gets a 128-bit rolling hash;
+  * per distinct shingle, the occurrence with the smallest (key, pos)
+    is the WINNER (first occurrence, corpus-wide);
+  * a word is REMOVED iff it is covered by some non-winner occurrence
+    of a shingle that occurs more than once in the corpus;
+  * surviving words are rejoined with single spaces (C4-style token
+    stream — original whitespace is not preserved).
+
+Scale shape (the part that matters at 10^12 docs):
+
+  * the shuffle carries (h1, h2, key, pos) — two longs + key + int per
+    shingle, never text;
+  * winner election is ``F.min(struct(key, pos))`` — partial-
+    aggregatable map-side, no window, no hot partition (a shingle
+    repeated 10^9 times combines to one row per input partition);
+  * duplicated-span starts flow back as a per-doc array (bounded by
+    doc length); one Arrow kernel rebuilds the text.
+
+Python touches each document exactly twice (shingle hashing, rebuild),
+both as vectorized-ish Arrow batches; hashes are two independent
+64-bit rotate-xor lanes over md5-derived token hashes — 128 bits total,
+so birthday collisions stay negligible at corpus scale (the same
+reasoning as curate()'s 128-bit line key).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["shingle_occurrences", "dedup_substrings", "dedup_substrings_py"]
+
+_MASK = (1 << 64) - 1
+# ASCII \s+ tokenization — identical to decontam's kernel and the
+# RE2/DuckDB differential oracles (python's default \s is unicode-wide)
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _tokens(text: str | None) -> list[str]:
+    return [t for t in _WS.split(text or "") if t]
+
+
+def _token_hash(word: str, cache: dict) -> tuple[int, int]:
+    h = cache.get(word)
+    if h is None:
+        d = hashlib.md5(word.encode("utf-8")).digest()
+        h = (
+            int.from_bytes(d[0:8], "little"),
+            int.from_bytes(d[8:16], "little"),
+        )
+        cache[word] = h
+    return h
+
+
+def _rot(x: np.ndarray, r: int) -> np.ndarray:
+    r %= 64
+    if r == 0:
+        return x
+    return ((x << np.uint64(r)) | (x >> np.uint64(64 - r))) & np.uint64(_MASK)
+
+
+def _shingle_lanes(tokens: list[str], k: int, cache: dict) -> np.ndarray:
+    """(n_shingles, 2) uint64: lane L of shingle i is
+    XOR_j rot(token_hash_L[i+j], j*(L+1)+1) — position-dependent (no
+    bag-of-words collisions), two independent lanes = 128 bits."""
+    n = len(tokens) - k + 1
+    if n <= 0:
+        return np.zeros((0, 2), dtype=np.uint64)
+    th = np.array(
+        [_token_hash(w, cache) for w in tokens], dtype=np.uint64
+    )  # (n_tokens, 2)
+    out = np.zeros((n, 2), dtype=np.uint64)
+    for j in range(k):
+        col = th[j : j + n]
+        out[:, 0] ^= _rot(col[:, 0], j + 1)
+        out[:, 1] ^= _rot(col[:, 1], 2 * j + 1)
+    return out
+
+
+def shingle_occurrences(
+    df: DataFrame, key_col: str, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """(key, pos, h1, h2) — one row per overlapping k-word shingle.
+    ``pos`` is the 0-based WORD index of the shingle start."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("h1", T.LongType()),
+            T.StructField("h2", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            keys, poss, h1s, h2s = [], [], [], []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                toks = _tokens(text)
+                lanes = _shingle_lanes(toks, k, cache)
+                n = len(lanes)
+                if n == 0:
+                    continue
+                keys.extend([key] * n)
+                poss.extend(range(n))
+                # two's-complement reinterpret into signed long (Spark
+                # LongType): a zero-copy view, no per-element python
+                signed = lanes.view(np.int64)
+                h1s.extend(signed[:, 0].tolist())
+                h2s.extend(signed[:, 1].tolist())
+            yield pd.DataFrame(
+                {"key": keys, "pos": pd.array(poss, dtype="int32"),
+                 "h1": pd.array(h1s, dtype="int64"),
+                 "h2": pd.array(h2s, dtype="int64")}
+            )
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def _duplicate_starts(occ: DataFrame) -> DataFrame:
+    """(key, pos) of every NON-WINNER occurrence of a shingle that
+    occurs >= 2 times corpus-wide.  Winner = min(struct(key, pos)) —
+    partial-aggregatable, so a shingle with 10^9 occurrences reduces
+    map-side; no window over a hot hash partition."""
+    winners = occ.groupBy("h1", "h2").agg(
+        F.min(F.struct("key", "pos")).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        occ.join(winners.filter(F.col("n") >= 2), on=["h1", "h2"])
+        .filter(
+            ~((F.col("key") == F.col("w.key")) & (F.col("pos") == F.col("w.pos")))
+        )
+        .select("key", "pos")
+    )
+
+
+def dedup_substrings(
+    df: DataFrame, key_col: str, text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """(key, text_dedup, n_words, n_words_kept): corpus with duplicated
+    >= k-word substrings removed (first corpus-wide occurrence kept).
+    See module docstring for semantics and the scale argument."""
+    from dqc_spark.cache import track
+
+    occ = shingle_occurrences(df, key_col, text_col, k)
+    dup_starts = (
+        _duplicate_starts(occ)
+        .groupBy("key")
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+    keyed = df.select(key_col, text_col).join(
+        dup_starts.withColumnRenamed("key", key_col), on=key_col, how="left"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("text_dedup", T.StringType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("n_words_kept", T.IntegerType()),
+        ]
+    )
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, texts, nw, nk = [], [], [], []
+            for key, text, starts in zip(
+                pdf[key_col], pdf[text_col], pdf["__starts"]
+            ):
+                toks = _tokens(text)
+                if starts is None or len(starts) == 0:
+                    kept = toks
+                else:
+                    drop = np.zeros(len(toks), dtype=bool)
+                    for s in starts:
+                        drop[s : s + k] = True
+                    kept = [t for t, d in zip(toks, drop) if not d]
+                keys.append(key)
+                texts.append(" ".join(kept))
+                nw.append(len(toks))
+                nk.append(len(kept))
+            yield pd.DataFrame(
+                {"key": keys, "text_dedup": texts,
+                 "n_words": pd.array(nw, dtype="int32"),
+                 "n_words_kept": pd.array(nk, dtype="int32")}
+            )
+
+    return keyed.mapInPandas(rebuild, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# pure-python oracle (mirrors the distributed semantics exactly)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substrings_py(
+    docs: list[tuple], k: int = 10
+) -> dict:
+    """Reference implementation over [(key, text), ...] — same winner
+    rule, same coverage rule — for pytest differential pins."""
+    cache: dict = {}
+    occs: dict = {}  # (h1, h2) -> [(key, pos), ...]
+    toks_by_key = {}
+    for key, text in docs:
+        toks = _tokens(text)
+        toks_by_key[key] = toks
+        lanes = _shingle_lanes(toks, k, cache)
+        for pos in range(len(lanes)):
+            occs.setdefault((int(lanes[pos, 0]), int(lanes[pos, 1])), []).append(
+                (key, pos)
+            )
+    out = {}
+    drop_by_key = {key: np.zeros(len(t), dtype=bool) for key, t in toks_by_key.items()}
+    for locs in occs.values():
+        if len(locs) < 2:
+            continue
+        winner = min(locs)
+        for key, pos in locs:
+            if (key, pos) != winner:
+                drop_by_key[key][pos : pos + k] = True
+    for key, toks in toks_by_key.items():
+        kept = [t for t, d in zip(toks, drop_by_key[key]) if not d]
+        out[key] = (" ".join(kept), len(toks), len(kept))
+    return out
