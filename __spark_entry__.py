@@ -311,6 +311,7 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "quality_model_fit",
     "ann_ivf_fullprobe",
     "text_decontaminate",
     "sample_hash_10pct",

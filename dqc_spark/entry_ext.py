@@ -992,6 +992,33 @@ def q_substr_dedup(spark, sf):
     )
 
 
+def q_quality_model(spark, sf):
+    # distributed IRLS quality-classifier fit (iterative — rows-only;
+    # the convergence/parity contract is pinned by test_qualitymodel):
+    # learn P(n_chars >= 300) from the text-quality features, report a
+    # 1-row training summary.  Accuracy rounds to 2dp — far from any
+    # boundary the 1e-12 partial-sum drift could flip.
+    from dqc_spark.qualitymodel import score_col, train_logreg
+    from dqc_spark.textstats import quality_scores
+
+    docs = _t(spark, sf, "documents")
+    feats = quality_scores(docs, "doc_id").join(
+        docs.select("doc_id", "n_chars"), on="doc_id"
+    ).withColumn("y", (F.col("n_chars") >= 300).cast("double"))
+    fcols = ["n_words", "alpha_ratio", "punct_ratio", "stopword_ratio"]
+    feats = feats.persist()
+    model = train_logreg(feats, fcols, "y")
+    acc = feats.select(
+        ((score_col(model) > 0.5) == (F.col("y") == 1.0)).cast("double").alias("ok")
+    ).agg(F.avg("ok").alias("acc")).first()["acc"]
+    n = feats.count()
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(n, bool(model.converged), round(acc, 2))],
+        "n_rows bigint, converged boolean, acc_2dp double",
+    )
+
+
 def q_profile_documents(spark, sf):
     # deequ-style one-scan column profiler over documents (exact
     # distincts at this scale; approx=True is the 100 TB path)
@@ -1152,6 +1179,7 @@ def extra_queries():
         "profile_documents": q_profile_documents,
         "profile_histogram_nchars": q_histogram_nchars,
         "eval_pr_curve": q_pr_curve,
+        "quality_model_fit": q_quality_model,
     }
 
 
