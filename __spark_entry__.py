@@ -312,6 +312,7 @@ DRIVER_ORDER = [
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
     "quality_model_fit",
+    "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",
     "sample_hash_10pct",

@@ -992,6 +992,26 @@ def q_substr_dedup(spark, sf):
     )
 
 
+def q_hashed_tfidf(spark, sf):
+    # model-free document vectors (hashing trick + IDF): rows-only (the
+    # md5 bucket assignment is engine-specific; unit-norm/parity pinned
+    # by test_textvectors).  nnz + 2dp norm summarize each vector
+    # robustly (norm is exactly 1 or 0).
+    from dqc_spark.textvectors import hashed_tfidf
+
+    docs = _t(spark, sf, "documents")
+    vecs = hashed_tfidf(docs, "doc_id", dim=128)
+    return vecs.select(
+        F.col("key").alias("doc_id"),
+        F.size(F.filter("embedding", lambda x: x != 0)).alias("nnz"),
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                               lambda a, x: a + x.cast("double") * x)),
+            2,
+        ).alias("norm_2dp"),
+    )
+
+
 def q_quality_model(spark, sf):
     # distributed IRLS quality-classifier fit (iterative — rows-only;
     # the convergence/parity contract is pinned by test_qualitymodel):
@@ -1180,6 +1200,7 @@ def extra_queries():
         "profile_histogram_nchars": q_histogram_nchars,
         "eval_pr_curve": q_pr_curve,
         "quality_model_fit": q_quality_model,
+        "text_hashed_tfidf": q_hashed_tfidf,
     }
 
 
