@@ -229,6 +229,8 @@ def curation_stage_queries(spark) -> dict[str, float]:
     from dqc_spark.mixing import temperature_sample
     from dqc_spark.ordering import training_order
     from dqc_spark.similarity import hyperplane_signatures
+    from dqc_spark.substrdedup import dedup_substrings
+    from dqc_spark.textvectors import hashed_tfidf
 
     pages = (
         spark.read.parquet(PAGES_CACHE)
@@ -273,6 +275,12 @@ def curation_stage_queries(spark) -> dict[str, float]:
         ).count(),
         f"lsh_signatures_{n_vecs // 1000}k": lambda: hyperplane_signatures(
             vecs, "vec_id", "embedding", n_planes=64, dim=64
+        ).agg(F.count(F.lit(1))).first(),
+        "curate_substr_dedup_20k": lambda: dedup_substrings(
+            pages, "url", k=10
+        ).agg(F.sum("n_words_kept")).first(),
+        "curate_hashed_tfidf_20k": lambda: hashed_tfidf(
+            pages, "url", dim=256
         ).agg(F.count(F.lit(1))).first(),
     }
     out = {name: _best_of(fn, trials) for name, fn in thunks.items()}

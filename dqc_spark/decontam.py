@@ -35,7 +35,6 @@ are unchanged.
 from __future__ import annotations
 
 import hashlib
-import re
 from typing import Iterator
 
 import pandas as pd
@@ -44,17 +43,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dqc_spark.textstats import ngrams_col
+from dqc_spark.wordhash import WS_ASCII, ascii_tokens
 
-# Java-regex \s+ (the Column form's split) is ASCII-only; Python's \s is
-# unicode-aware unless re.ASCII — match the JVM/DuckDB tokenization
-_WS = re.compile(r"\s+", re.ASCII)
+# shared ASCII tokenizer (wordhash.py) — byte-identical with the
+# substring-dedup and TF-IDF kernels and the DuckDB oracles
+_WS = WS_ASCII
 
 
 def _gram_hashes_py(text: str, n: int, cache: dict) -> set[int]:
     """Distinct word-n-gram hashes of one document — the same
     lower/split/filter tokenization as ``textstats.ngrams_col`` (and the
     DuckDB differential oracle), hashed to a signed 64-bit int."""
-    toks = [t for t in _WS.split((text or "").lower()) if t]
+    toks = ascii_tokens((text or "").lower())
     if len(toks) < n:
         return set()
     out = set()

@@ -51,7 +51,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            if size < 16 or len(body) < 16:
+                # truncated fmt would raise struct.error — the decoder
+                # contract is ValueError for ALL corrupt-input shapes
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -196,6 +198,8 @@ def decode_pnm(data: bytes) -> np.ndarray:
         raise ValueError("not a P2/P3/P5/P6 netpbm stream")
     ch = _PNM_CHANNELS[magic]
     (w, h, maxval), off = _pnm_tokens(data, 3)
+    if w < 1 or h < 1 or maxval < 1 or maxval > 65535:
+        raise ValueError("bad PNM dimensions or maxval")
     n = w * h * ch
     if magic in (b"P5", b"P6"):
         if maxval > 255:
@@ -207,8 +211,17 @@ def decode_pnm(data: bytes) -> np.ndarray:
         vals = data[off - 1 :].split()
         if len(vals) < n:
             raise ValueError("truncated ascii raster")
-        dt = np.uint16 if maxval > 255 else np.uint8
-        arr = np.array(vals[:n], dtype=dt)
+        # parse wide then range-check: np.array(..., dtype=uint8) would
+        # silently WRAP out-of-range samples (300 -> 44) and huge tokens
+        # raise OverflowError — both must be ValueError per the decoder
+        # contract (corrupt input never crashes or silently mangles)
+        try:
+            wide = np.array(vals[:n], dtype=np.int64)
+        except (OverflowError, ValueError) as exc:
+            raise ValueError(f"bad ascii sample: {exc}") from None
+        if wide.min() < 0 or wide.max() > maxval:
+            raise ValueError("ascii sample out of [0, maxval] range")
+        arr = wide.astype(np.uint16 if maxval > 255 else np.uint8)
     return arr.reshape(h, w, ch)
 
 
@@ -246,7 +259,12 @@ def image_features(data: bytes, n_hist: int = 8) -> dict:
     mean/std, mean luminance, mean gradient magnitude (edge energy),
     and an ``n_hist``-bin luminance histogram (mass-normalized)."""
     raw = decode_pnm(data)
-    maxval = 65535.0 if raw.dtype.itemsize > 1 else 255.0
+    # normalize by the header's ACTUAL maxval — netpbm allows any value
+    # in [1, 65535] (e.g. maxval 15 from pbmtools); assuming full-scale
+    # 255/65535 from the dtype would scale every feature by
+    # maxval_assumed/maxval_actual
+    (_, _, maxval_hdr), _ = _pnm_tokens(data, 3)
+    maxval = float(max(1, maxval_hdr))
     img = raw.astype(np.float64)
     h, w, ch = img.shape
     # luminance: Rec.601 weights for RGB, identity for gray

@@ -264,18 +264,23 @@ def curate(
         # persisted: the keyed frame embeds the (optional) normalize
         # pandas UDF + prior anti-join and feeds BOTH dedup_lines and
         # the join-back left side.
-        # 128-bit content key: at the 1e9-1e12-doc scale this module
-        # targets, 64-bit birthday collisions (~n^2/2^65) are expected,
-        # and a collision here silently drops a distinct document.  md5
-        # of (key \x00 text) makes that probability negligible; the key
-        # is only ever shuffled alongside the full text, so the extra
-        # 24 bytes are noise.
+        # 128-bit-per-part content key: at the 1e9-1e12-doc scale this
+        # module targets, 64-bit birthday collisions (~n^2/2^65) are
+        # expected, and a collision here silently drops a distinct
+        # document.  md5(key)||md5(text) is INJECTIVE over the pair up
+        # to md5 collisions — a separator-joined md5 is not (concat_ws
+        # SKIPS NULL args and the separator can occur inside crawl
+        # text, so ('a\x00b', 'c') and ('a', 'b\x00c') collide
+        # deterministically).  NULL parts map to a 32-char non-hex
+        # marker no real digest can equal.
+        _nullmark = F.lit("#" * 32)
         with_key = _track(
             pages.withColumn(
                 "__ldk",
-                F.md5(F.concat_ws(
-                    "\u0000", F.col(key_col).cast("string"), F.col(text_col)
-                )),
+                F.concat(
+                    F.coalesce(F.md5(F.col(key_col).cast("string")), _nullmark),
+                    F.coalesce(F.md5(F.col(text_col)), _nullmark),
+                ),
             )
             .dropDuplicates(["__ldk"])
         )

@@ -144,7 +144,22 @@ def hyperplane_signatures(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            # NULL / wrong-length vectors (e.g. after a left join into a
+            # vector table) get the zero vector -> sig 0, matching the
+            # Column form this kernel replaced (NULL > 0 was false on
+            # every plane); np.stack would crash the whole job instead.
+            # Fast path stacks the whole batch; the row loop runs only
+            # when a batch actually contains a bad row.
+            vals = pdf[vec_col].values
+            try:
+                m = np.stack(vals).astype(np.float64)
+                if m.ndim != 2 or m.shape[1] != dim:
+                    raise ValueError("ragged or mis-sized batch")
+            except (ValueError, TypeError):
+                m = np.zeros((len(vals), dim), dtype=np.float64)
+                for i, v in enumerate(vals):
+                    if v is not None and len(v) == dim:
+                        m[i] = v
             bits = (m @ planes_t) > 0
             sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
             yield pd.DataFrame(
@@ -184,8 +199,9 @@ class LshIndex:
     ):
         from dqc_spark.cache import track
 
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-        self._planes = rng.standard_normal((n_planes, dim))
+        # SAME derivation as the signature kernel — a drifting inline
+        # copy would silently empty every candidate set
+        self._planes = _hyperplanes(n_planes, dim, seed)
         self._key_col = key_col
         self._n_planes = n_planes
         self.sigs = track(
@@ -237,8 +253,7 @@ def lsh_topk(
 
     One-off form: recomputes signatures per call.  For repeated queries
     build an ``LshIndex`` once and call ``.topk`` per query."""
-    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
-    planes = rng.standard_normal((n_planes, dim))
+    planes = _hyperplanes(n_planes, dim, 11)  # same seed as the kernel default
     qsig = 0
     qv = np.asarray(query_vec)
     for i in range(n_planes):

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 from typing import Iterator
 
 import numpy as np
@@ -70,6 +71,7 @@ def new_docs(
 
 
 _U64 = 1 << 64
+_HEX32 = re.compile(r"[0-9a-fA-F]{32}\Z")
 
 
 def _digest_bytes(value: str) -> bytes:
@@ -107,14 +109,15 @@ def _probe_matrix(values, n_bits: int, k: int) -> np.ndarray:
     (only reachable through the generic ``build_bloom(col=...)`` API;
     the snapshot path always feeds digests)."""
     vals = ["" if v is None else str(v) for v in values]
-    try:
-        raw = bytes.fromhex("".join(vals))
-        if len(raw) != 16 * len(vals):
-            raise ValueError  # some value wasn't 32 hex chars
-    except ValueError:
+    # per-value strictness BEFORE the joined parse: bytes.fromhex skips
+    # spaces, so a whitespace-bearing 32-char value could pass a joined
+    # length check while misaligning every later value's 16-byte slice
+    # (probe positions silently diverging from the scalar reference)
+    if not all(len(v) == 32 and _HEX32.match(v) for v in vals):
         return np.array(
             [_probe_positions(v, n_bits, k) for v in vals], dtype=np.int64
         ).reshape(len(vals), k)
+    raw = bytes.fromhex("".join(vals))
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16)
     h1 = arr[:, :8].copy().view("<u8").ravel()
     h2 = arr[:, 8:].copy().view("<u8").ravel() | np.uint64(1)

@@ -36,8 +36,6 @@ reasoning as curate()'s 128-bit line key).
 
 from __future__ import annotations
 
-import hashlib
-import re
 from typing import Iterator
 
 import numpy as np
@@ -46,28 +44,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqc_spark.wordhash import ascii_tokens, md5_word
+
 __all__ = ["shingle_occurrences", "dedup_substrings", "dedup_substrings_py"]
 
 _MASK = (1 << 64) - 1
-# ASCII \s+ tokenization — identical to decontam's kernel and the
-# RE2/DuckDB differential oracles (python's default \s is unicode-wide)
-_WS = re.compile(r"\s+", re.ASCII)
-
-
-def _tokens(text: str | None) -> list[str]:
-    return [t for t in _WS.split(text or "") if t]
+# shared tokenizer/word-hash (wordhash.py): the DuckDB oracle and two
+# sibling kernels depend on these staying byte-identical
+_tokens = ascii_tokens
 
 
 def _token_hash(word: str, cache: dict) -> tuple[int, int]:
-    h = cache.get(word)
-    if h is None:
-        d = hashlib.md5(word.encode("utf-8")).digest()
-        h = (
-            int.from_bytes(d[0:8], "little"),
-            int.from_bytes(d[8:16], "little"),
-        )
-        cache[word] = h
-    return h
+    h1, h2, _ = md5_word(word, cache)
+    return h1, h2
 
 
 def _rot(x: np.ndarray, r: int) -> np.ndarray:
@@ -161,7 +150,10 @@ def dedup_substrings(
     See module docstring for semantics and the scale argument."""
     from dqc_spark.cache import track
 
-    occ = shingle_occurrences(df, key_col, text_col, k)
+    # persisted: the shingle frame is a mapInPandas stage with TWO
+    # consumers inside _duplicate_starts (winner aggregate + join probe)
+    # — unpersisted, Spark re-runs the tokenize+hash kernel per consumer
+    occ = track(shingle_occurrences(df, key_col, text_col, k))
     dup_starts = (
         _duplicate_starts(occ)
         .groupBy("key")

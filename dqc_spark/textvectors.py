@@ -29,8 +29,6 @@ bucket collisions cancel in expectation instead of accumulating
 
 from __future__ import annotations
 
-import hashlib
-import re
 from typing import Iterator
 
 import numpy as np
@@ -39,20 +37,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqc_spark.wordhash import WS_ASCII, md5_word
+
 __all__ = ["hashed_tfidf", "hashed_tf_py"]
 
-_WS = re.compile(r"\s+", re.ASCII)
+_WS = WS_ASCII
 
 
 def _tok_bucket_sign(word: str, dim: int, cache: dict) -> tuple[int, float]:
-    v = cache.get(word)
-    if v is None:
-        d = hashlib.md5(word.encode("utf-8")).digest()
-        h = int.from_bytes(d[0:8], "little")
-        sign = 1.0 if d[8] & 1 else -1.0
-        v = (h % dim, sign)
-        cache[word] = v
-    return v
+    # cache the RAW hash, not the bucket: a cache reused across calls
+    # with different dims would otherwise serve buckets computed for the
+    # wrong dimensionality (silent wrong vectors / IndexError)
+    h1, _, sign = md5_word(word, cache)
+    return h1 % dim, sign
 
 
 def hashed_tf_py(text: str | None, dim: int, cache: dict | None = None) -> np.ndarray:
@@ -68,9 +65,7 @@ def hashed_tf_py(text: str | None, dim: int, cache: dict | None = None) -> np.nd
     return vec
 
 
-def _doc_buckets(
-    df: DataFrame, key_col: str, text_col: str, dim: int
-) -> DataFrame:
+def _doc_buckets(df: DataFrame, text_col: str, dim: int) -> DataFrame:
     """(bucket) rows — one per DISTINCT feature bucket per document."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -105,7 +100,7 @@ def hashed_tfidf(
     if idf:
         n_docs = df.count()
         dfreq = (
-            _doc_buckets(df, key_col, text_col, dim)
+            _doc_buckets(df, text_col, dim)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("df"))
             .collect()  # <= dim rows — the IDF table is metadata-sized
