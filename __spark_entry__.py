@@ -298,19 +298,21 @@ DRIVER_ORDER = [
     "olap_rich_idle_customers",
     "setop_customers_with_orders",
     "setop_customers_without_orders",
-    # --- new this round: REAL WAV/PNM decode (rows-only) and the
-    # ExactSubstr-style substring dedup (full SQL oracle) ---
+    # --- new this round: REAL WAV/PNM decode (rows-only), the
+    # ExactSubstr-style substring dedup (full SQL oracle), and the URL
+    # canonicalization / domain-stats operators (full SQL oracles) ---
     "media_real_decode",
     "text_substr_dedup",
-    # --- flagship r2-green fills (window slots 49-50) ---
-    "pipeline_curate",
-    "dedup_components",
+    "url_canonicalize",
+    "url_domain_stats",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "pipeline_curate",
+    "dedup_components",
     "quality_model_fit",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",

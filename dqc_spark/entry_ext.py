@@ -1135,6 +1135,138 @@ def q_compression_ratio(spark, sf):
     return compression_ratios(docs, "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# URL operators over a deterministic synthetic crawl-URL column
+# ---------------------------------------------------------------------------
+
+# The documents table has no url column, so both engines build the SAME
+# messy URL deterministically from doc_id: 4 host variants (mixed case,
+# default and non-default ports) x 5 tail variants (tracking params in
+# every position, fragments, trailing slashes, 'refresh' prefix trap).
+_URL_HOSTS = [
+    "HTTP://WWW.Example.COM:80",
+    "https://cdn.example.org:443",
+    "https://News.example.net:8443",
+    "http://blog.example.org",
+]
+_URL_TAILS_PRE = ["/Path/", "/p/", "/p/", "/?gclid=g", "/p/"]
+_URL_TAILS_POST = [
+    "?utm_source=feed&utm_medium=rss&id=1#sec",
+    "/",
+    "?refresh=1&ref=home",
+    "&q=x",
+    "?a=1&fbclid=f99&b=2",
+]
+
+
+def _synthetic_url_col():
+    did = F.col("doc_id")
+    host = F.when(did % 4 == 0, _URL_HOSTS[0])
+    for i in (1, 2, 3):
+        host = host.when(did % 4 == i, _URL_HOSTS[i])
+    pre = F.when(did % 5 == 0, _URL_TAILS_PRE[0])
+    post = F.when(did % 5 == 0, _URL_TAILS_POST[0])
+    for i in (1, 2, 3, 4):
+        pre = pre.when(did % 5 == i, _URL_TAILS_PRE[i])
+        post = post.when(did % 5 == i, _URL_TAILS_POST[i])
+    return F.concat(host, pre, did.cast("string"), post).alias("url")
+
+
+def _synthetic_url_sql():
+    host = ("CASE doc_id % 4 "
+            + " ".join(f"WHEN {i} THEN '{h}'"
+                       for i, h in enumerate(_URL_HOSTS)) + " END")
+    pre = ("CASE doc_id % 5 "
+           + " ".join(f"WHEN {i} THEN '{p}'"
+                      for i, p in enumerate(_URL_TAILS_PRE)) + " END")
+    post = ("CASE doc_id % 5 "
+            + " ".join(f"WHEN {i} THEN '{p}'"
+                       for i, p in enumerate(_URL_TAILS_POST)) + " END")
+    return (f"{host} || {pre} || CAST(doc_id AS VARCHAR) || {post}")
+
+
+# DuckDB-side canonicalizer: an INDEPENDENT implementation of the same
+# documented canonical form (urlops.py docstring) — list_filter over
+# split query params instead of the Java-regex lookahead chain (RE2 has
+# no lookahead), so the differential compares two genuinely different
+# implementations of the semantics.
+_CANON_SQL_CTES = """
+        nofrag AS (
+            SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+            FROM urls
+        ),
+        sp AS (
+            SELECT doc_id, u,
+                   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                       AS scheme,
+                   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+            FROM nofrag
+        ),
+        auth AS (
+            SELECT doc_id, u, scheme,
+                   lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS authority,
+                   regexp_replace(rest, '^[^/?#]*', '') AS tail
+            FROM sp
+        ),
+        port AS (
+            SELECT doc_id, u, scheme,
+                   CASE WHEN scheme = 'http'
+                            THEN regexp_replace(authority, ':80$', '')
+                        WHEN scheme = 'https'
+                            THEN regexp_replace(authority, ':443$', '')
+                        ELSE authority END AS authority,
+                   tail
+            FROM auth
+        ),
+        track AS (
+            SELECT doc_id, u, scheme, authority,
+                   CASE WHEN strpos(tail, '?') = 0 THEN tail
+                        ELSE split_part(tail, '?', 1) ||
+                             CASE WHEN kept = '' THEN ''
+                                  ELSE '?' || kept END
+                   END AS tail
+            FROM (
+                SELECT *,
+                       array_to_string(list_filter(
+                           string_split(
+                               CASE WHEN strpos(tail, '?') = 0 THEN ''
+                                    ELSE substr(tail, strpos(tail, '?') + 1)
+                               END, '&'),
+                           p -> NOT regexp_matches(
+                               split_part(p, '=', 1),
+                               '^(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)$')),
+                           '&') AS kept
+                FROM port)
+        ),
+        canon AS (
+            SELECT doc_id, u, scheme, authority,
+                   regexp_replace(tail, '^(/.+)/$', '\\1') AS tail
+            FROM track
+        )
+"""
+
+
+def q_url_canonicalize(spark, sf):
+    from dqc_spark.urlops import canonical_url, domain_of
+
+    docs = _t(spark, sf, "documents").select("doc_id", _synthetic_url_col())
+    return docs.select(
+        "doc_id", canonical_url("url"), domain_of("url")
+    )
+
+
+def q_url_domain_stats(spark, sf):
+    from dqc_spark.urlops import domain_stats
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", _synthetic_url_col()
+    )
+    s = domain_stats(docs, "url", "text")
+    return s.select(
+        "domain", "n_docs", "total_chars", _trunc4("share").alias("share")
+    )
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -1201,6 +1333,8 @@ def extra_queries():
         "eval_pr_curve": q_pr_curve,
         "quality_model_fit": q_quality_model,
         "text_hashed_tfidf": q_hashed_tfidf,
+        "url_canonicalize": q_url_canonicalize,
+        "url_domain_stats": q_url_domain_stats,
     }
 
 
@@ -1940,5 +2074,37 @@ def extra_oracle_sql():
                    CAST(ROW_NUMBER() OVER (ORDER BY md5(text) NULLS FIRST,
                                            doc_id) - 1 AS BIGINT) AS position
             FROM documents
+        """,
+        "url_canonicalize": f"""
+            WITH urls AS (
+                SELECT doc_id, {_synthetic_url_sql()} AS url FROM documents
+            ),
+            {_CANON_SQL_CTES}
+            SELECT doc_id,
+                   CASE WHEN scheme = '' THEN u
+                        ELSE scheme || '://' || authority || tail
+                   END AS canonical_url,
+                   lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain
+            FROM canon
+        """,
+        "url_domain_stats": f"""
+            WITH urls AS (
+                SELECT doc_id, text, {_synthetic_url_sql()} AS url
+                FROM documents
+            ),
+            per AS (
+                SELECT lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           AS domain,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                           AS total_chars
+                FROM urls GROUP BY 1
+            )
+            SELECT domain, n_docs, total_chars,
+                   FLOOR((n_docs / (SELECT SUM(n_docs) FROM per)) * 10000)
+                       / 10000 AS share
+            FROM per
         """,
     }

@@ -1,0 +1,106 @@
+"""URL operators for web-crawl corpora: canonicalization, domain
+extraction, per-domain statistics.
+
+Crawl snapshots refer to the same page under many spellings — scheme
+and host case, default ports, fragments, tracking parameters, trailing
+slashes — so URL-keyed dedup (exact dedup, snapshot anti-joins, quota
+strata) undercounts duplicates unless keys are canonicalized first.
+Everything here is a pure Catalyst Column expression (regexp ops inside
+whole-stage codegen, no python), so canonicalization composes into any
+scan at zero extra cost and pushes through the same projection pruning
+as any other column.
+
+Canonical form (conservative, lossless for routing purposes):
+  * scheme and host lowercased
+  * default ports stripped (:80 for http, :443 for https)
+  * fragment (#...) removed
+  * tracking query parameters removed (utm_*, gclid, fbclid, ref);
+    a query left empty by the removal loses its '?'
+  * trailing '/' dropped from non-root paths
+
+``domain_of`` returns the lowercased host (no port); per-domain stats
+(the hot-domain skew report feeding quota/salting decisions) are a
+plain partial-aggregatable groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonical_url", "domain_of", "domain_stats"]
+
+# tracking params dropped during canonicalization (either position in
+# the query string, with or without a value)
+_TRACKING = r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|ref)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalized URL as a Column expression (codegen, no UDF)."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. drop the fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. split scheme (lowercased) from the rest
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    # 3. lowercase the authority (host[:port]), keep path case
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.regexp_replace(rest, r"^[^/?#]*", "")
+    authority = F.lower(authority)
+    # 4. strip default ports
+    authority = F.when(
+        (scheme == "http"), F.regexp_replace(authority, r":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(authority, r":443$", "")
+    ).otherwise(authority)
+    # 5. drop tracking params.  Three global replaces handle ANY number
+    #    of tracking params: first strip every '&name[=v]' occurrence
+    #    (all non-first params; the (?=&|$) lookahead is the word
+    #    boundary — 'ref' must not eat a param named 'refresh', and a
+    #    zero-width boundary keeps consecutive '&utm_a&utm_b' both
+    #    matchable in ONE pass), which leaves at most ONE tracking
+    #    param, in first position; then promote its successor
+    #    ('?name[=v]&' -> '?') or drop a lone one.
+    tail = F.regexp_replace(tail, r"&" + _TRACKING + r"(=[^&]*)?(?=&|$)", "")
+    tail = F.regexp_replace(tail, r"\?" + _TRACKING + r"(=[^&]*)?&", "?")
+    tail = F.regexp_replace(tail, r"\?" + _TRACKING + r"(=[^&]*)?$", "")
+    # 6. trailing slash on a non-root path (no query present)
+    tail = F.regexp_replace(tail, r"^(/.+?)/$", r"$1")
+    out = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), authority, tail)
+    ).otherwise(u)  # scheme-less input passes through untouched
+    return out.alias("canonical_url")
+
+
+def domain_of(url: Column | str) -> Column:
+    """Lowercased host without port; '' for unparseable input."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    return F.lower(host).alias("domain")
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str | None = "text"
+) -> DataFrame:
+    """Per-domain corpus stats: (domain, n_docs, total_chars, share).
+
+    The hot-domain skew report: one partial-aggregatable groupBy plus a
+    broadcast scalar for the share denominator — no window, no second
+    scan.  Feed the output into ``stratified_sample`` quota choices or
+    ``skew.py`` salting decisions."""
+    chars = (
+        F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+        if text_col is not None
+        else F.lit(None).cast("bigint")
+    )
+    per = df.groupBy(domain_of(url_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        chars.alias("total_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("__t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs") / F.col("__t")).alias("share"),
+    )

@@ -1,0 +1,135 @@
+"""URL canonicalization / domain stats: differential vs a pure-python
+reference canonicalizer, idempotence, boundary cases (param-name
+prefixes, consecutive tracking params), and domain_stats share math."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.urlops import canonical_url, domain_of, domain_stats
+
+_TRACK_RE = re.compile(r"^(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)$")
+
+
+def canonical_url_py(url: str) -> str:
+    """Independent python model of the documented canonical form."""
+    u = url.split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return u  # scheme-less input passes through (minus fragment)
+    scheme = m.group(1).lower()
+    rest = u[m.end():]
+    sep = re.search(r"[/?]", rest)
+    authority = rest[: sep.start()] if sep else rest
+    tail = rest[sep.start():] if sep else ""
+    authority = authority.lower()
+    if scheme == "http" and authority.endswith(":80"):
+        authority = authority[: -3]
+    elif scheme == "https" and authority.endswith(":443"):
+        authority = authority[: -4]
+    # tracking-param removal on the query part
+    if "?" in tail:
+        path, q = tail.split("?", 1)
+        parts = [p for p in q.split("&")
+                 if not _TRACK_RE.match(p.split("=", 1)[0])]
+        tail = path + ("?" + "&".join(parts) if parts else "")
+    # trailing slash on a non-root tail
+    if len(tail) >= 3 and tail[0] == "/" and tail[-1] == "/":
+        tail = tail[:-1]
+    return scheme + "://" + authority + tail
+
+
+URL_ZOO = [
+    "HTTP://WWW.Example.COM:80/Path/Page?id=3&utm_source=x#frag",
+    "https://example.org:443/",
+    "https://example.org/a/b/",
+    "https://example.org/a/b",
+    "http://example.org",
+    "http://example.org/?utm_a=1&utm_b=2&utm_c=3",
+    "http://example.org/?utm_a=1&utm_b=2&id=9",
+    "http://example.org/?id=9&utm_a=1&gclid=zz",
+    "http://example.org/?refresh=1&id=2",          # 'ref' prefix trap
+    "http://example.org/?ref=home&fbclid=abc",
+    "http://example.org/?ref",                      # valueless tracking
+    "http://example.org/search?q=a+b&page=2",
+    "HtTpS://MiXeD.Case.ORG/KeepPathCase/X",
+    "ftp://Files.Example.com:21/pub/",
+    "example.org/no/scheme?utm_source=x#frag",      # scheme-less
+    "http://example.org:8080/alt-port/",
+    "http://example.org/trail/?utm_source=x",
+    "http://example.org/#onlyfrag",
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URL_ZOO)], "i long, url string"
+    )
+
+
+def test_differential_vs_python_model(spark, url_df):
+    got = {r["i"]: r["canonical_url"]
+           for r in url_df.select("i", canonical_url("url")).collect()}
+    for i, u in enumerate(URL_ZOO):
+        assert got[i] == canonical_url_py(u), (u, got[i], canonical_url_py(u))
+
+
+def test_idempotent(spark, url_df):
+    once = url_df.select("i", canonical_url("url"))
+    twice = once.select("i", canonical_url("canonical_url").alias("c2"),
+                        "canonical_url")
+    for r in twice.collect():
+        assert r["c2"] == r["canonical_url"]
+    for u in URL_ZOO:  # python model too
+        assert canonical_url_py(canonical_url_py(u)) == canonical_url_py(u)
+
+
+def test_specific_forms(spark):
+    cases = {
+        # default port + host case + fragment + tracking all at once
+        "HTTP://WWW.Example.COM:80/Path?id=3&utm_source=x#f":
+            "http://www.example.com/Path?id=3",
+        # three consecutive tracking params collapse to no query
+        "http://a.com/p?utm_a=1&utm_b=2&utm_c=3": "http://a.com/p",
+        # 'refresh' is NOT 'ref'
+        "http://a.com/p?refresh=1": "http://a.com/p?refresh=1",
+        # root slash survives, non-root trailing slash dropped
+        "https://a.com/": "https://a.com/",
+        "https://a.com/x/": "https://a.com/x",
+        # non-default port survives
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        # https keeps :80 (not its default)
+        "https://a.com:80/x": "https://a.com:80/x",
+    }
+    df = spark.createDataFrame(list(cases.items()), "url string, want string")
+    for r in df.select(canonical_url("url"), "want").collect():
+        assert r["canonical_url"] == r["want"]
+
+
+def test_domain_of(spark):
+    rows = [("HTTP://WWW.Ex.COM:80/p", "www.ex.com"),
+            ("https://a.b.c/x?y#z", "a.b.c"),
+            ("no-scheme/path", ""),
+            (None, None)]
+    df = spark.createDataFrame(rows, "url string, want string")
+    for r in df.select(domain_of("url"), "want").collect():
+        assert r["domain"] == r["want"]
+
+
+def test_domain_stats(spark):
+    rows = [(f"http://{d}/p{i}", "x" * n) for d, i, n in
+            [("a.com", 1, 10), ("a.com", 2, 20), ("b.com", 1, 5)]]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["a.com"]["n_docs"] == 2 and got["a.com"]["total_chars"] == 30
+    assert got["b.com"]["n_docs"] == 1 and got["b.com"]["total_chars"] == 5
+    assert got["a.com"]["share"] == pytest.approx(2 / 3)
+    assert sum(r["share"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_domain_stats_no_text(spark):
+    df = spark.createDataFrame([("http://a.com/1",)], "url string")
+    row = domain_stats(df, text_col=None).collect()[0]
+    assert row["n_docs"] == 1 and row["total_chars"] is None
