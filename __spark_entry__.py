@@ -268,9 +268,11 @@ DRIVER_ORDER = [
     "check_pair_equal",
     "check_distinct_in_set",
     "check_column_exists",
-    # --- the 28 entries with no r2 driver row (r1-green twins rotated
-    # back in + the round-2 additions that were parked in the tail) ---
-    "check_unique_pass",
+    # --- the entries with no r2 driver row (r1-green twins rotated
+    # back in + the round-2 additions that were parked in the tail;
+    # check_unique_pass — a zero-row twin of the in-window
+    # check_unique_violations — yielded its slot to the new
+    # html_extract_text and is pinned by the local differential) ---
     "dedup_ngram_jaccard",
     "text_cdc_chunks",
     "olap_big_order_customers",
@@ -305,12 +307,14 @@ DRIVER_ORDER = [
     "text_substr_dedup",
     "url_canonicalize",
     "url_domain_stats",
+    "html_extract_text",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "check_unique_pass",
     "pipeline_curate",
     "dedup_components",
     "quality_model_fit",

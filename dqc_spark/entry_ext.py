@@ -1246,6 +1246,27 @@ _CANON_SQL_CTES = """
 """
 
 
+# synthetic page markup wrapped around documents.text on BOTH engines:
+# heading (block-boundary blank line), inline markup, a comment, a
+# script element, and one planted entity — every extraction rule fires
+_HTML_PRE = ('<html><body><script>var x = "<p>no</p>";</script>'
+             "<h1>Doc </h1><!-- hidden --><p><b>")
+_HTML_POST = "</b> &amp; tail</p></body></html>"
+
+
+def q_html_extract(spark, sf):
+    from dqc_spark.htmlextract import extract_text_col
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)),
+            "utf-8",
+        ).alias("html"),
+    )
+    return docs.select("doc_id", extract_text_col("html").alias("text"))
+
+
 def q_url_canonicalize(spark, sf):
     from dqc_spark.urlops import canonical_url, domain_of
 
@@ -1335,6 +1356,7 @@ def extra_queries():
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
+        "html_extract_text": q_html_extract,
     }
 
 
@@ -2074,6 +2096,54 @@ def extra_oracle_sql():
                    CAST(ROW_NUMBER() OVER (ORDER BY md5(text) NULLS FIRST,
                                            doc_id) - 1 AS BIGINT) AS position
             FROM documents
+        """,
+        # independent RE2 extraction chain over the SAME synthetic page
+        # markup (no backrefs/lookahead: script close-tag spelled out,
+        # planted entity decoded with a literal replace); text/markup
+        # contain no newlines so dotall flags are unnecessary
+        "html_extract_text": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '{_HTML_PRE.replace("'", "''")}' || text ||
+                       '{_HTML_POST.replace("'", "''")}' AS h
+                FROM documents
+            ),
+            x1 AS (
+                SELECT doc_id,
+                       regexp_replace(h, '<!--.*?-->', '', 'g') AS h
+                FROM pages
+            ),
+            x2 AS (
+                SELECT doc_id,
+                       regexp_replace(h,
+                           '<script\\b[^>]*>.*?</script\\s*>', '', 'g') AS h
+                FROM x1
+            ),
+            x3 AS (
+                SELECT doc_id,
+                       regexp_replace(h,
+                           '</?(html|body|p|div|br|h[1-6]|li|ul|ol|table|tr'
+                           || '|td|th|blockquote|pre|section|article|header'
+                           || '|footer)\\b[^>]*/?>',
+                           chr(10), 'gi') AS h
+                FROM x2
+            ),
+            x4 AS (
+                SELECT doc_id, regexp_replace(h, '<[^>]+>', '', 'g') AS h
+                FROM x3
+            ),
+            x5 AS (
+                SELECT doc_id, replace(h, '&amp;', '&') AS h FROM x4
+            ),
+            x6 AS (
+                SELECT doc_id,
+                       regexp_replace(h, '\\n{{3,}}',
+                                      chr(10) || chr(10), 'g') AS h
+                FROM x5
+            )
+            SELECT doc_id,
+                   regexp_replace(h, '^\\n+|\\n+$', '', 'g') AS text
+            FROM x6
         """,
         "url_canonicalize": f"""
             WITH urls AS (
