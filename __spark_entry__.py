@@ -314,6 +314,7 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "url_domain_filter",
     "check_unique_pass",
     "pipeline_curate",
     "dedup_components",

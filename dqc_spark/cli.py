@@ -138,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval-set parquet: decontaminate against its n-grams")
     p.add_argument("--mix-alpha", type=float, default=-1.0,
                    help="temperature mix exponent by domain (<0 = off)")
+    p.add_argument("--blocked-domains", default=None,
+                   help="comma-separated domains, or a parquet/csv path "
+                        "with a 'domain' column: drop these hosts and "
+                        "their subdomains first (UT1-style)")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -181,6 +185,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = exact anti-join only)")
 
     return ap
+
+
+def _parse_blocked(spark, spec: str | None):
+    """--blocked-domains value: a path (ends .parquet/.csv, read as a
+    'domain'-column table for UT1-scale lists) or an inline
+    comma-separated list; None stays None."""
+    if not spec:
+        return None
+    if spec.endswith(".parquet"):
+        return spark.read.parquet(spec)
+    if spec.endswith(".csv"):
+        return spark.read.option("header", "true").csv(spec)
+    return [d.strip() for d in spec.split(",") if d.strip()]
 
 
 def main(argv=None) -> int:
@@ -296,6 +313,7 @@ def main(argv=None) -> int:
             benchmark=(spark.read.parquet(args.benchmark)
                        if args.benchmark else None),
             mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
+            blocked_domains=_parse_blocked(spark, args.blocked_domains),
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -1276,6 +1276,18 @@ def q_url_canonicalize(spark, sf):
     )
 
 
+# entries whose host is example.org-rooted or exactly news.example.net
+# are blocked; only the www.example.com quarter survives
+_BLOCKED_DOMAINS = ["example.org", "news.example.net"]
+
+
+def q_url_domain_filter(spark, sf):
+    from dqc_spark.urlops import domain_filter
+
+    docs = _t(spark, sf, "documents").select("doc_id", _synthetic_url_col())
+    return domain_filter(docs, _BLOCKED_DOMAINS).select("doc_id", "url")
+
+
 def q_url_domain_stats(spark, sf):
     from dqc_spark.urlops import domain_stats
 
@@ -1357,6 +1369,7 @@ def extra_queries():
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
         "html_extract_text": q_html_extract,
+        "url_domain_filter": q_url_domain_filter,
     }
 
 
@@ -2157,6 +2170,27 @@ def extra_oracle_sql():
                    lower(regexp_extract(u,
                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain
             FROM canon
+        """,
+        # independent suffix mechanism: NOT EXISTS + LIKE '%.domain'
+        # (unbounded depth) vs Spark's substring_index candidate array
+        "url_domain_filter": f"""
+            WITH urls AS (
+                SELECT doc_id, {_synthetic_url_sql()} AS url FROM documents
+            ),
+            bl(bdomain) AS (
+                VALUES {", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)}
+            ),
+            hosts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS d
+                FROM urls
+            )
+            SELECT doc_id, url FROM hosts h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM bl b
+                WHERE h.d = b.bdomain OR h.d LIKE '%.' || b.bdomain
+            )
         """,
         "url_domain_stats": f"""
             WITH urls AS (

@@ -202,6 +202,7 @@ def curate(
     decontam_ngram: int = 8,
     decontam_max_frac: float = 0.8,
     mix_alpha: float | None = None,
+    blocked_domains=None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -210,9 +211,12 @@ def curate(
     The composition a training-data run actually executes, each stage an
     operator tested on its own (parenthesized stages default OFF):
 
+      0a. ``blocked_domains`` — UT1-style domain blocklist
+         (urlops.domain_filter, suffix semantics); runs before
+         everything: a shuffle-free codegen filter is the cheapest
+         possible row reduction
       0. ``prior`` — incremental snapshot filter: drop pages whose text
-         was already ingested (snapshot.py digest anti-join); runs
-         FIRST because it is the cheapest row reduction
+         was already ingested (snapshot.py digest anti-join)
       0b. ``normalize_text`` — NFC/control/whitespace canonicalization
          (normalize.py) so every later hash sees canonical bytes
       0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
@@ -243,6 +247,13 @@ def curate(
     from dqc_spark.dedup import dedup_exact, minhash_near_dups
     from dqc_spark.sampling import pack_token_budget, stratified_sample
 
+    if blocked_domains is not None:
+        from dqc_spark.urlops import domain_filter
+
+        # before everything: a pure codegen filter (no shuffle) is the
+        # cheapest possible row reduction, ahead of even the snapshot
+        # anti-join
+        pages = domain_filter(pages, blocked_domains, url_col=key_col)
     if prior is not None:
         from dqc_spark.snapshot import new_docs
 

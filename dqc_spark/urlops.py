@@ -25,10 +25,17 @@ plain partial-aggregatable groupBy.
 
 from __future__ import annotations
 
+from typing import Iterable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "domain_of", "domain_stats"]
+__all__ = [
+    "canonical_url",
+    "domain_of",
+    "domain_stats",
+    "domain_filter",
+]
 
 # tracking params dropped during canonicalization (either position in
 # the query string, with or without a value)
@@ -104,3 +111,64 @@ def domain_stats(
         "total_chars",
         (F.col("n_docs") / F.col("__t")).alias("share"),
     )
+
+
+def _suffix_candidates(domain: Column, max_labels: int) -> Column:
+    """Array of the domain plus its parent-domain suffixes (up to
+    ``max_labels`` labels), via fixed ``substring_index`` columns — pure
+    codegen, no interpreted array lambda on this per-document path."""
+    return F.array_distinct(
+        F.array(*[F.substring_index(domain, ".", -k)
+                  for k in range(1, max_labels + 1)])
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame | Iterable[str],
+    url_col: str = "url",
+    mode: str = "block",
+    max_labels: int = 8,
+) -> DataFrame:
+    """UT1-style domain block/allow filtering with suffix semantics: a
+    page matches a list entry when its host equals the entry OR is a
+    subdomain of it ('ads.x.com' matches entry 'x.com').
+
+    ``mode='block'`` drops matching pages; ``mode='allow'`` keeps only
+    matching pages.
+
+    Two scale paths, both exact and lambda-free:
+      * python iterable (curated lists, <= ~10k entries): the host's
+        suffix candidates are a fixed array of ``substring_index``
+        columns and the membership test is one ``arrays_overlap``
+        against a constant array — zero shuffle, whole-stage codegen,
+        composes into the page scan.
+      * DataFrame with a ``domain`` column (UT1-scale millions of
+        entries): posexplode the <= ``max_labels`` candidates and
+        semi/anti-join against the (broadcastable) blocklist — traffic
+        is (key, candidate) pairs, never text.
+
+    Suffix depth is bounded by ``max_labels`` (default 8): a list entry
+    with more than 8 labels cannot match a still-deeper subdomain.  Real
+    blocklists name registrable domains (2-4 labels), so the bound is
+    theoretical; raise it if your list disagrees."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    host = domain_of(url_col)
+    cands = _suffix_candidates(host, max_labels)
+    if isinstance(blocklist, DataFrame):
+        probe = df.select(F.col(url_col).alias("__df_url"),
+                          F.explode(cands).alias("__df_cand"))
+        bl = blocklist.select(F.lower(F.col("domain")).alias("__df_cand"))
+        matched = probe.join(F.broadcast(bl), "__df_cand", "left_semi") \
+                       .select("__df_url").distinct()
+        how = "left_anti" if mode == "block" else "left_semi"
+        return df.join(
+            matched.withColumnRenamed("__df_url", url_col), url_col, how
+        )
+    const = F.array(*[F.lit(b.lower()) for b in blocklist])
+    hit = F.arrays_overlap(cands, const)
+    # NULL/unparseable urls never match a list entry: blocked-mode keeps
+    # them, allow-mode drops them (coalesce pins the three-valued edge)
+    hit = F.coalesce(hit, F.lit(False))
+    return df.filter(~hit if mode == "block" else hit)

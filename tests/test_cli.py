@@ -112,3 +112,21 @@ def test_cli_profile(capsys, spark, db_path):
     rc, out = _run(capsys, ["--db-path", db_path, "profile",
                             "--data", fixture_path("has_nulls.csv")])
     assert rc == 0 and "nulls=" in out and "distinct=" in out
+
+
+def test_cli_curate_blocked_domains(capsys, spark, db_path, tmp_path):
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "curated.parquet")
+    generate_pages(spark, 120, n_partitions=2).write.parquet(src)
+    rc, txt = _run(capsys, [
+        "--db-path", db_path, "curate", "--input", src, "--output", out,
+        "--near-dup-threshold", "-1",
+        "--blocked-domains", "site0.example.com,site1.example.com",
+    ])
+    assert rc == 0 and "curated" in txt
+    doms = {r["domain"]
+            for r in spark.read.parquet(out).select("domain").distinct()
+            .collect()}
+    assert doms and not doms & {"site0.example.com", "site1.example.com"}

@@ -133,3 +133,88 @@ def test_domain_stats_no_text(spark):
     df = spark.createDataFrame([("http://a.com/1",)], "url string")
     row = domain_stats(df, text_col=None).collect()[0]
     assert row["n_docs"] == 1 and row["total_chars"] is None
+
+
+# ---------------------------------------------------------------------------
+# domain_filter
+# ---------------------------------------------------------------------------
+
+BLOCK_ROWS = [
+    (1, "http://ads.spam.com/x"),        # subdomain of blocked spam.com
+    (2, "http://spam.com/y"),            # exact blocked
+    (3, "http://notspam.com/z"),         # NOT a suffix match ('.'-bounded)
+    (4, "https://good.org/a"),
+    (5, "https://deep.a.b.tracker.net/b"),  # deep subdomain of tracker.net
+    (6, None),                           # NULL url
+    (7, "no-scheme-url"),                # unparseable -> domain ''
+]
+BLOCKED = ["spam.com", "tracker.net"]
+
+
+@pytest.fixture(scope="module")
+def block_df(spark):
+    return spark.createDataFrame(BLOCK_ROWS, "i long, url string")
+
+
+def test_domain_filter_block_const(spark, block_df):
+    from dqc_spark.urlops import domain_filter
+
+    kept = sorted(r["i"] for r in domain_filter(block_df, BLOCKED).collect())
+    assert kept == [3, 4, 6, 7]  # NULL/unparseable kept in block mode
+
+
+def test_domain_filter_allow_const(spark, block_df):
+    from dqc_spark.urlops import domain_filter
+
+    kept = sorted(
+        r["i"]
+        for r in domain_filter(block_df, BLOCKED, mode="allow").collect()
+    )
+    assert kept == [1, 2, 5]  # NULL/unparseable dropped in allow mode
+
+
+def test_domain_filter_dataframe_path_matches_const(spark, block_df):
+    from dqc_spark.urlops import domain_filter
+
+    bl = spark.createDataFrame([(d,) for d in BLOCKED], "domain string")
+    for mode in ("block", "allow"):
+        a = sorted(r["i"] for r in
+                   domain_filter(block_df, BLOCKED, mode=mode).collect())
+        b = sorted(r["i"] for r in
+                   domain_filter(block_df, bl, mode=mode).collect())
+        # identical INCLUDING the NULL-url row: a NULL key matches
+        # nothing in an equi-join, so left_anti keeps it and left_semi
+        # drops it — the same semantics the const path pins via coalesce
+        assert a == b, mode
+
+
+def test_domain_filter_case_insensitive(spark):
+    from dqc_spark.urlops import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "http://ADS.Spam.COM/x")], "i long, url string"
+    )
+    assert domain_filter(df, ["SPAM.com"]).count() == 0
+
+
+def test_domain_filter_bad_mode(spark, block_df):
+    from dqc_spark.urlops import domain_filter
+
+    with pytest.raises(ValueError):
+        domain_filter(block_df, BLOCKED, mode="deny")
+
+
+def test_curate_blocked_domains(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 200, n_partitions=4)
+    blocked = ["site0.example.com", "site1.example.com"]
+    cur = curate(pages, near_dup_threshold=None, blocked_domains=blocked)
+    doms = {r["domain"] for r in cur.select("domain").distinct().collect()}
+    assert doms and not doms.intersection(blocked)
+    # and the unblocked run does keep those domains (non-vacuous)
+    base = curate(pages, near_dup_threshold=None)
+    doms_base = {r["domain"]
+                 for r in base.select("domain").distinct().collect()}
+    assert doms_base.intersection(blocked)
