@@ -188,15 +188,29 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _parse_blocked(spark, spec: str | None):
-    """--blocked-domains value: a path (ends .parquet/.csv, read as a
-    'domain'-column table for UT1-scale lists) or an inline
-    comma-separated list; None stays None."""
+    """--blocked-domains value: a file path (UT1-scale lists) or an
+    inline comma-separated list; None stays None.
+
+    Anything path-shaped — contains a '/', or names an existing file —
+    is READ, never comma-split: UT1 lists ship as extensionless
+    ``domains`` text files, and silently turning a typo'd path into one
+    bogus inline 'domain' would no-op the whole blocklist.  .parquet
+    and .csv read as a 'domain'-column table; any other path reads as
+    one-domain-per-line text.  A path that doesn't exist errors."""
+    import os
+
+    from pyspark.sql import functions as F
+
     if not spec:
         return None
     if spec.endswith(".parquet"):
         return spark.read.parquet(spec)
     if spec.endswith(".csv"):
         return spark.read.option("header", "true").csv(spec)
+    if "/" in spec or os.path.exists(spec):
+        return (spark.read.text(spec)
+                .select(F.trim("value").alias("domain"))
+                .filter(F.col("domain") != ""))
     return [d.strip() for d in spec.split(",") if d.strip()]
 
 

@@ -1240,7 +1240,9 @@ _CANON_SQL_CTES = """
         ),
         canon AS (
             SELECT doc_id, u, scheme, authority,
-                   regexp_replace(tail, '^(/.+)/$', '\\1') AS tail
+                   CASE WHEN strpos(tail, '?') = 0
+                        THEN regexp_replace(tail, '^(/.+)/$', '\\1')
+                        ELSE tail END AS tail
             FROM track
         )
 """

@@ -25,10 +25,16 @@ trafilatura/jusText shape):
     th blockquote pre section article header footer``) become ``\\n``
   * every other tag is dropped
   * character/entity references are decoded (``html.unescape``)
-  * runs of >2 newlines introduced BY TAGS collapse via the outer
-    strip; interior text whitespace is preserved verbatim (so the
-    text -> html -> text round trip is byte-identical)
-  * the result is stripped of leading/trailing newlines
+  * runs of >2 newlines collapse to exactly two, and the result is
+    stripped of leading/trailing newlines
+
+The text -> html -> text round trip is byte-identical exactly for text
+already in that normal form (no leading/trailing newlines, no runs of
+3+ newlines — tag-introduced newlines are indistinguishable from text
+newlines, so a looser invariant is unachievable without a side
+channel).  The synthetic pages table and every scrubbed corpus the
+pipeline emits satisfy the form; for anything else extraction is
+idempotent (extract(html(extract(h))) == extract(h)).
 
 Reference parity: the reference validates pre-extracted text columns
 (data_quality_checker has no HTML layer); this operator extends the
@@ -50,8 +56,12 @@ from pyspark.sql.functions import pandas_udf
 __all__ = ["extract_text_py", "extract_text_col", "extract_text"]
 
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
+# backreference (\1) pins the CLOSE tag to the OPEN tag: with an
+# alternation on both ends, <script>var s="</style>";evil()</script>
+# terminates at the string literal and leaks script source into the
+# extracted text (re.I makes the backreference case-insensitive too)
 _SCRIPT_STYLE = re.compile(
-    r"<(?:script|style)\b[^>]*>.*?</(?:script|style)\s*>", re.S | re.I
+    r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I
 )
 _BLOCK = re.compile(
     r"</?(?:html|body|p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|blockquote"
@@ -75,8 +85,8 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     s = _BLOCK.sub("\n", s)
     s = _ANY_TAG.sub("", s)
     s = _html.unescape(s)
-    # collapse tag-introduced blank runs, then trim the outer frame;
-    # interior single/double newlines (real text structure) survive
+    # normal form: blank runs collapse to one blank line, outer frame
+    # trimmed; single/double newlines (real text structure) survive
     s = _TAG_NL_RUNS.sub("\n\n", s)
     return s.strip("\n")
 

@@ -14,9 +14,12 @@ Canonical form (conservative, lossless for routing purposes):
   * scheme and host lowercased
   * default ports stripped (:80 for http, :443 for https)
   * fragment (#...) removed
-  * tracking query parameters removed (utm_*, gclid, fbclid, ref);
-    a query left empty by the removal loses its '?'
-  * trailing '/' dropped from non-root paths
+  * tracking query parameters removed (utm_*, gclid, fbclid, ref) —
+    from the query string ONLY ('&' is a legal path character and '?'
+    may recur inside values; neither is touched); a query left empty
+    by the removal loses its '?'
+  * trailing '/' dropped from non-root paths, only when no query
+    survives (the query is never rewritten)
 
 ``domain_of`` returns the lowercased host (no port); per-domain stats
 (the hot-domain skew report feeding quota/salting decisions) are a
@@ -60,19 +63,29 @@ def canonical_url(url: Column | str) -> Column:
     ).when(
         (scheme == "https"), F.regexp_replace(authority, r":443$", "")
     ).otherwise(authority)
-    # 5. drop tracking params.  Three global replaces handle ANY number
-    #    of tracking params: first strip every '&name[=v]' occurrence
-    #    (all non-first params; the (?=&|$) lookahead is the word
-    #    boundary — 'ref' must not eat a param named 'refresh', and a
-    #    zero-width boundary keeps consecutive '&utm_a&utm_b' both
-    #    matchable in ONE pass), which leaves at most ONE tracking
+    # 5. drop tracking params — from the QUERY STRING only.  '&' is a
+    #    legal path sub-delim (RFC 3986) and '?' may appear literally
+    #    inside query VALUES, so the replaces must see neither: split at
+    #    the FIRST '?' and run them on the query alone, with the
+    #    promote/drop rules anchored at ^ so a '?name' inside a value
+    #    ('?a=x?ref=1') can never match.  Three replaces handle ANY
+    #    number of tracking params: first strip every '&name[=v]'
+    #    occurrence (all non-first params; the (?=&|$) lookahead is the
+    #    word boundary — 'ref' must not eat a param named 'refresh',
+    #    and a zero-width boundary keeps consecutive '&utm_a&utm_b'
+    #    both matchable in ONE pass), which leaves at most ONE tracking
     #    param, in first position; then promote its successor
-    #    ('?name[=v]&' -> '?') or drop a lone one.
-    tail = F.regexp_replace(tail, r"&" + _TRACKING + r"(=[^&]*)?(?=&|$)", "")
-    tail = F.regexp_replace(tail, r"\?" + _TRACKING + r"(=[^&]*)?&", "?")
-    tail = F.regexp_replace(tail, r"\?" + _TRACKING + r"(=[^&]*)?$", "")
-    # 6. trailing slash on a non-root path (no query present)
-    tail = F.regexp_replace(tail, r"^(/.+?)/$", r"$1")
+    #    ('^?name[=v]&' -> '?') or drop a lone one.
+    path = F.regexp_replace(tail, r"\?.*$", "")
+    query = F.regexp_extract(tail, r"(\?.*)$", 1)  # '' when no query
+    query = F.regexp_replace(query, r"&" + _TRACKING + r"(=[^&]*)?(?=&|$)", "")
+    query = F.regexp_replace(query, r"^\?" + _TRACKING + r"(=[^&]*)?&", "?")
+    query = F.regexp_replace(query, r"^\?" + _TRACKING + r"(=[^&]*)?$", "")
+    # 6. trailing slash on a non-root path (no query survives)
+    path = F.when(
+        query == "", F.regexp_replace(path, r"^(/.+?)/$", r"$1")
+    ).otherwise(path)
+    tail = F.concat(path, query)
     out = F.when(
         scheme != "", F.concat(scheme, F.lit("://"), authority, tail)
     ).otherwise(u)  # scheme-less input passes through untouched
@@ -92,18 +105,25 @@ def domain_stats(
     """Per-domain corpus stats: (domain, n_docs, total_chars, share).
 
     The hot-domain skew report: one partial-aggregatable groupBy plus a
-    broadcast scalar for the share denominator — no window, no second
-    scan.  Feed the output into ``stratified_sample`` quota choices or
-    ``skew.py`` salting decisions."""
+    broadcast scalar for the share denominator — no window.  The per-
+    domain aggregate is ``cache.track``-persisted before the total is
+    derived from it: without the persist, column pruning specializes
+    the total branch's exchange (it drops text/total_chars) so
+    ReusedExchange never fires and the corpus is scanned TWICE — the
+    same measured trap CLAUDE.md documents for ordering.py.  Feed the
+    output into ``stratified_sample`` quota choices or ``skew.py``
+    salting decisions; call ``cache.release_all()`` when done."""
+    from dqc_spark import cache
+
     chars = (
         F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
         if text_col is not None
         else F.lit(None).cast("bigint")
     )
-    per = df.groupBy(domain_of(url_col)).agg(
+    per = cache.track(df.groupBy(domain_of(url_col)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         chars.alias("total_chars"),
-    )
+    ))
     total = per.agg(F.sum("n_docs").alias("__t"))
     return per.crossJoin(F.broadcast(total)).select(
         "domain",

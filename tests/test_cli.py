@@ -130,3 +130,21 @@ def test_cli_curate_blocked_domains(capsys, spark, db_path, tmp_path):
             for r in spark.read.parquet(out).select("domain").distinct()
             .collect()}
     assert doms and not doms & {"site0.example.com", "site1.example.com"}
+
+
+def test_cli_blocked_domains_file_paths(spark, tmp_path):
+    """Path-shaped --blocked-domains values are READ (UT1 lists ship as
+    extensionless 'domains' text files) — never comma-split into one
+    bogus inline entry that silently no-ops the blocklist."""
+    from dqc_spark.cli import _parse_blocked
+
+    lst = tmp_path / "domains"  # no extension, like UT1
+    lst.write_text("site0.example.com\n  site1.example.com  \n\n")
+    df = _parse_blocked(spark, str(lst))
+    assert sorted(r["domain"] for r in df.collect()) == [
+        "site0.example.com", "site1.example.com"]
+    # inline lists (no '/') still parse inline
+    assert _parse_blocked(spark, "a.com, b.org") == ["a.com", "b.org"]
+    # a typo'd path errors instead of silently matching nothing
+    with pytest.raises(Exception):
+        _parse_blocked(spark, str(tmp_path / "nope" / "domains")).collect()

@@ -50,6 +50,19 @@ ZOO = [
     # invalid utf-8 is replaced, not fatal
     ("<p>caf\xe9</p>".encode("latin-1"), "caf�"),
     (b"", ""),
+    # a '</style>' STRING inside a script must not terminate it (the
+    # close tag is backreference-pinned to the open tag): the whole
+    # script body is removed, nothing leaks into training text
+    (b'<script>var css = "</style>"; steal();</script><p>real</p>',
+     "real"),
+    (b'<style>s::after { content: "</script>" }</style><p>ok</p>', "ok"),
+    # case-insensitive backreference
+    (b"<SCRIPT>var y = 1;</script><p>z</p>", "z"),
+    # normal-form collapse: text newline runs >= 3 become one blank
+    # line, leading/trailing newlines trimmed (documented: round trip
+    # is byte-identical only for text already in normal form)
+    (b"<p>a\n\n\nb</p>", "a\n\nb"),
+    (b"<p>\nx\n</p>", "x"),
 ]
 
 

@@ -34,8 +34,9 @@ def canonical_url_py(url: str) -> str:
         parts = [p for p in q.split("&")
                  if not _TRACK_RE.match(p.split("=", 1)[0])]
         tail = path + ("?" + "&".join(parts) if parts else "")
-    # trailing slash on a non-root tail
-    if len(tail) >= 3 and tail[0] == "/" and tail[-1] == "/":
+    # trailing slash on a non-root path, only when no query survives
+    if "?" not in tail and len(tail) >= 3 and tail[0] == "/" \
+            and tail[-1] == "/":
         tail = tail[:-1]
     return scheme + "://" + authority + tail
 
@@ -59,6 +60,11 @@ URL_ZOO = [
     "http://example.org:8080/alt-port/",
     "http://example.org/trail/?utm_source=x",
     "http://example.org/#onlyfrag",
+    "http://a.com/search&ref=nav?q=1",      # '&' in PATH (RFC sub-delim)
+    "http://a.com/p?a=x?ref=1&b=2",         # '?ref' inside a VALUE
+    "http://a.com/p?a=/",                   # query ends with '/'
+    "http://a.com/p/?a=1",                  # path slash kept: query survives
+    "http://a.com/&utm_source=feed/x",      # '&utm_' in PATH
 ]
 
 
