@@ -315,6 +315,8 @@ DRIVER_ORDER = [
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
     "url_domain_filter",
+    "url_dedup_canonical",
+    "bucket_split_by_lang",
     "check_unique_pass",
     "pipeline_curate",
     "dedup_components",

@@ -1226,8 +1226,10 @@ _CANON_SQL_CTES = """
                                   ELSE '?' || kept END
                    END AS tail
             FROM (
+                -- COALESCE: array_to_string of an EMPTY filtered list
+                -- is NULL in DuckDB (all-tracking query), not ''
                 SELECT *,
-                       array_to_string(list_filter(
+                       COALESCE(array_to_string(list_filter(
                            string_split(
                                CASE WHEN strpos(tail, '?') = 0 THEN ''
                                     ELSE substr(tail, strpos(tail, '?') + 1)
@@ -1235,7 +1237,7 @@ _CANON_SQL_CTES = """
                            p -> NOT regexp_matches(
                                split_part(p, '=', 1),
                                '^(utm_[A-Za-z0-9_]+|gclid|fbclid|ref)$')),
-                           '&') AS kept
+                           '&'), '') AS kept
                 FROM port)
         ),
         canon AS (
@@ -1288,6 +1290,59 @@ def q_url_domain_filter(spark, sf):
 
     docs = _t(spark, sf, "documents").select("doc_id", _synthetic_url_col())
     return domain_filter(docs, _BLOCKED_DOMAINS).select("doc_id", "url")
+
+
+# five spellings per page that all canonicalize to
+# http://www.example.com/page/{doc_id % 37}: host case + default port +
+# tracking param / fragment / trailing slash / two tracking params /
+# the canonical form itself — url_dedup must collapse 500 rows to 37
+def _collide_url_col():
+    g = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 5
+    return (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page/"),
+                                g, F.lit("?utm_source=x")))
+        .when(v == 1, F.concat(F.lit("http://www.example.com/page/"),
+                               g, F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("http://www.example.com/page/"),
+                               g, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("http://www.example.com/page/"),
+                               g, F.lit("?gclid=1&utm_a=2")))
+        .otherwise(F.concat(F.lit("http://www.example.com/page/"), g))
+        .alias("url")
+    )
+
+
+_COLLIDE_URL_SQL = """
+    CASE doc_id % 5
+        WHEN 0 THEN 'HTTP://WWW.EXAMPLE.COM:80/page/'
+                    || CAST(doc_id % 37 AS VARCHAR) || '?utm_source=x'
+        WHEN 1 THEN 'http://www.example.com/page/'
+                    || CAST(doc_id % 37 AS VARCHAR) || '#frag'
+        WHEN 2 THEN 'http://www.example.com/page/'
+                    || CAST(doc_id % 37 AS VARCHAR) || '/'
+        WHEN 3 THEN 'http://www.example.com/page/'
+                    || CAST(doc_id % 37 AS VARCHAR) || '?gclid=1&utm_a=2'
+        ELSE 'http://www.example.com/page/'
+             || CAST(doc_id % 37 AS VARCHAR)
+    END
+"""
+
+
+def q_url_dedup_canonical(spark, sf):
+    from dqc_spark.urlops import url_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", _collide_url_col())
+    return url_dedup(docs, key_cols=["doc_id"]).select("doc_id", "url")
+
+
+def q_bucket_split(spark, sf):
+    from dqc_spark.bucketsplit import score_buckets
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").alias("score"))
+    return score_buckets(docs, "lang", "score", "doc_id").select(
+        "doc_id", "lang", "bucket")
 
 
 def q_url_domain_stats(spark, sf):
@@ -1372,6 +1427,8 @@ def extra_queries():
         "url_domain_stats": q_url_domain_stats,
         "html_extract_text": q_html_extract,
         "url_domain_filter": q_url_domain_filter,
+        "url_dedup_canonical": q_url_dedup_canonical,
+        "bucket_split_by_lang": q_bucket_split,
     }
 
 
@@ -2193,6 +2250,38 @@ def extra_oracle_sql():
                 SELECT 1 FROM bl b
                 WHERE h.d = b.bdomain OR h.d LIKE '%.' || b.bdomain
             )
+        """,
+        # same CTE canonicalizer; winner election re-expressed as
+        # min(doc_id) IN-list instead of Spark's min(struct) + semi-join
+        "url_dedup_canonical": f"""
+            WITH urls AS (
+                SELECT doc_id, {_COLLIDE_URL_SQL} AS url FROM documents
+            ),
+            {_CANON_SQL_CTES}
+            SELECT u2.doc_id, u2.url FROM urls u2
+            WHERE u2.doc_id IN (
+                SELECT MIN(doc_id) FROM (
+                    SELECT doc_id,
+                           CASE WHEN scheme = '' THEN u
+                                ELSE scheme || '://' || authority || tail
+                           END AS c
+                    FROM canon
+                ) GROUP BY c
+            )
+        """,
+        # independent mechanism: ROW_NUMBER window per language vs
+        # Spark's range-shuffle + offsets-join rank; bucket math is
+        # pure integer division on both sides (no float thresholds)
+        "bucket_split_by_lang": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY length(text), doc_id) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST((3 * rk) // n AS BIGINT) AS bucket
+            FROM r
         """,
         "url_domain_stats": f"""
             WITH urls AS (

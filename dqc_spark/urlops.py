@@ -38,6 +38,7 @@ __all__ = [
     "domain_of",
     "domain_stats",
     "domain_filter",
+    "url_dedup",
 ]
 
 # tracking params dropped during canonicalization (either position in
@@ -131,6 +132,32 @@ def domain_stats(
         "total_chars",
         (F.col("n_docs") / F.col("__t")).alias("share"),
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per CANONICAL url: crawl snapshots list the same page
+    under many spellings (tracking params, fragments, case, default
+    ports, trailing slashes), so url-keyed exact dedup undercounts
+    unless keys are canonicalized first.  The winner per canonical
+    group is the lexicographically smallest ``key_cols`` TUPLE
+    (default: the url itself) — ``min(struct)`` like dedup.dedup_exact,
+    so election is a partial-aggregatable two-phase agg (never a
+    hot-partition window) and the winner is always an actual row.
+    Shuffle traffic is (canonical_url, keys); document text never
+    moves."""
+    key_cols = key_cols or [url_col]
+    winners = (
+        df.select(canonical_url(url_col).alias("__cu"),
+                  F.struct(*key_cols).alias("__k"))
+        .groupBy("__cu")
+        .agg(F.min("__k").alias("__k"))
+        .select("__k.*")
+    )
+    return df.join(winners, on=key_cols, how="left_semi")
 
 
 def _suffix_candidates(domain: Column, max_labels: int) -> Column:

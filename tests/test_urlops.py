@@ -210,6 +210,28 @@ def test_domain_filter_bad_mode(spark, block_df):
         domain_filter(block_df, BLOCKED, mode="deny")
 
 
+def test_url_dedup_collapses_spellings(spark):
+    from dqc_spark.urlops import url_dedup
+
+    rows = [
+        (1, "HTTP://WWW.EXAMPLE.COM:80/a?utm_source=x"),
+        (2, "http://www.example.com/a#frag"),
+        (3, "http://www.example.com/a"),
+        (4, "http://www.example.com/b"),        # different page survives
+        (5, "http://www.example.com/a/"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    kept = sorted(r["i"] for r in url_dedup(df, key_cols=["i"]).collect())
+    assert kept == [1, 4]  # min key per canonical group
+    # default key: the url string itself elects the winner
+    kept_urls = sorted(
+        r["url"] for r in url_dedup(df).select("url").collect())
+    assert kept_urls == [
+        "HTTP://WWW.EXAMPLE.COM:80/a?utm_source=x",
+        "http://www.example.com/b",
+    ]
+
+
 def test_curate_blocked_domains(spark):
     from dqc_spark.pagesgen import generate_pages
     from dqc_spark.pipeline import curate
