@@ -317,6 +317,8 @@ TAIL_ORDER = [
     "url_domain_filter",
     "url_dedup_canonical",
     "bucket_split_by_lang",
+    "text_repetition",
+    "text_repetition_ngrams",
     "check_unique_pass",
     "pipeline_curate",
     "dedup_components",

@@ -1345,6 +1345,52 @@ def q_bucket_split(spark, sf):
         "doc_id", "lang", "bucket")
 
 
+# documents.text is single-line, so the repetition entries plant
+# line/paragraph structure deterministically: two duplicate 60-char
+# lines always, plus a duplicated 60-char PARAGRAPH for even doc_ids
+def _rep_text_col():
+    p1 = F.expr("substring(text, 1, 60)")
+    base = F.concat(p1, F.lit("\n"), p1, F.lit("\n"), F.col("text"))
+    return F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(base, F.lit("\n\n"), p1, F.lit("\n\n"), p1),
+    ).otherwise(base).alias("text")
+
+
+_REP_TEXT_SQL = """
+    CASE WHEN doc_id % 2 = 0
+         THEN substr(text,1,60) || chr(10) || substr(text,1,60)
+              || chr(10) || text
+              || chr(10) || chr(10) || substr(text,1,60)
+              || chr(10) || chr(10) || substr(text,1,60)
+         ELSE substr(text,1,60) || chr(10) || substr(text,1,60)
+              || chr(10) || text
+    END
+"""
+
+_REP_LINE_COLS = ["dup_line_frac", "dup_line_char_frac",
+                  "dup_para_frac", "dup_para_char_frac"]
+
+
+def q_text_repetition(spark, sf):
+    from dqc_spark.textstats import repetition_signals
+
+    docs = _t(spark, sf, "documents").select("doc_id", _rep_text_col())
+    r = repetition_signals(docs, "doc_id")
+    return r.select(
+        "doc_id", *[_trunc4(c).alias(c) for c in _REP_LINE_COLS])
+
+
+def q_text_repetition_ngrams(spark, sf):
+    from dqc_spark.textstats import (REP_NGRAM_DUP, REP_NGRAM_TOP,
+                                     repetition_signals)
+
+    docs = _t(spark, sf, "documents").select("doc_id", _rep_text_col())
+    cols = ([f"top_{n}gram_char_frac" for n in REP_NGRAM_TOP]
+            + [f"dup_{n}gram_char_frac" for n in REP_NGRAM_DUP])
+    return repetition_signals(docs, "doc_id").select("doc_id", *cols)
+
+
 def q_url_domain_stats(spark, sf):
     from dqc_spark.urlops import domain_stats
 
@@ -1429,6 +1475,8 @@ def extra_queries():
         "url_domain_filter": q_url_domain_filter,
         "url_dedup_canonical": q_url_dedup_canonical,
         "bucket_split_by_lang": q_bucket_split,
+        "text_repetition": q_text_repetition,
+        "text_repetition_ngrams": q_text_repetition_ngrams,
     }
 
 
@@ -2282,6 +2330,55 @@ def extra_oracle_sql():
             )
             SELECT doc_id, lang, CAST((3 * rk) // n AS BIGINT) AS bucket
             FROM r
+        """,
+        # independent mechanism: unnest + groupBy per line/paragraph
+        # (the corpus-shuffling spelling the Arrow kernel avoids);
+        # ratios are int-derived identical doubles -> FLOOR (_trunc4)
+        "text_repetition": f"""
+            WITH src AS (
+                SELECT doc_id, {_REP_TEXT_SQL} AS t FROM documents
+            ),
+            lc AS (
+                SELECT doc_id, u, length(u) AS len, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split(t, chr(10))) AS u
+                      FROM src)
+                GROUP BY doc_id, u
+            ),
+            ls AS (
+                SELECT doc_id,
+                       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dlf,
+                       CASE WHEN SUM(c * len) = 0 THEN 0.0
+                            ELSE CAST(SUM(CASE WHEN c > 1
+                                               THEN (c - 1) * len
+                                               ELSE 0 END) AS DOUBLE)
+                                 / SUM(c * len) END AS dlcf
+                FROM lc GROUP BY doc_id
+            ),
+            pc AS (
+                SELECT doc_id, u, length(u) AS len, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split(t, chr(10) || chr(10)))
+                                 AS u
+                      FROM src)
+                GROUP BY doc_id, u
+            ),
+            ps AS (
+                SELECT doc_id,
+                       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dpf,
+                       CASE WHEN SUM(c * len) = 0 THEN 0.0
+                            ELSE CAST(SUM(CASE WHEN c > 1
+                                               THEN (c - 1) * len
+                                               ELSE 0 END) AS DOUBLE)
+                                 / SUM(c * len) END AS dpcf
+                FROM pc GROUP BY doc_id
+            )
+            SELECT ls.doc_id,
+                   FLOOR(dlf * 10000) / 10000 AS dup_line_frac,
+                   FLOOR(dlcf * 10000) / 10000 AS dup_line_char_frac,
+                   FLOOR(dpf * 10000) / 10000 AS dup_para_frac,
+                   FLOOR(dpcf * 10000) / 10000 AS dup_para_char_frac
+            FROM ls JOIN ps ON ls.doc_id = ps.doc_id
         """,
         "url_domain_stats": f"""
             WITH urls AS (

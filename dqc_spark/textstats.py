@@ -190,6 +190,120 @@ def top_ngrams(
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+REP_NGRAM_TOP = (2, 3, 4)
+REP_NGRAM_DUP = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_signals_py(text: str | None) -> dict:
+    """One document's Gopher-style repetition signals (Rae et al. 2021,
+    A1.1), exact definitions as implemented:
+
+      * dup_line_frac       = (#lines - #distinct lines) / #lines
+      * dup_line_char_frac  = sum over duplicated lines of
+                              (count-1)*len / sum of count*len
+      * dup_para_frac / dup_para_char_frac — same over '\\n\\n' splits
+      * top_{n}gram_char_frac (n=2,3,4): chars of the most frequent
+        word n-gram (count * gram char length, spaces included) over
+        len(text); ties broken toward the larger fraction
+      * dup_{n}gram_char_frac (n=5..10): word chars covered by the
+        2nd+ occurrences of any duplicated n-gram (overlaps counted
+        once) over total word chars
+
+    Shared verbatim by the distributed kernel and the pytest oracle
+    (the features_py never-fork rule).  Empty/None text -> all 0.0."""
+    from collections import Counter
+
+    out: dict = {}
+
+    def dup_fracs(units: list[str]) -> tuple[float, float]:
+        n = len(units)
+        if not n:
+            return 0.0, 0.0
+        cnt = Counter(units)
+        dups = n - len(cnt)
+        total = sum(len(u) for u in units)
+        dup_chars = sum((c - 1) * len(u) for u, c in cnt.items() if c > 1)
+        return dups / n, (dup_chars / total) if total else 0.0
+
+    t = text or ""
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(
+        t.split("\n"))
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(
+        t.split("\n\n"))
+
+    words = t.split()
+    wlens = [len(w) for w in words]
+    total_word_chars = sum(wlens)
+    for n in REP_NGRAM_TOP:
+        frac = 0.0
+        if len(words) >= n and len(t):
+            cnt = Counter(
+                tuple(words[i:i + n]) for i in range(len(words) - n + 1))
+            frac = max(
+                c * (sum(len(w) for w in g) + n - 1) for g, c in cnt.items()
+            ) / len(t)
+        out[f"top_{n}gram_char_frac"] = frac
+    for n in REP_NGRAM_DUP:
+        frac = 0.0
+        if len(words) >= n and total_word_chars:
+            cnt: Counter = Counter()
+            covered = [False] * len(words)
+            seen: set = set()
+            for i in range(len(words) - n + 1):
+                g = tuple(words[i:i + n])
+                if g in seen:  # a 2nd+ occurrence: mark its words
+                    for j in range(i, i + n):
+                        covered[j] = True
+                else:
+                    seen.add(g)
+            frac = sum(
+                l for l, c in zip(wlens, covered) if c) / total_word_chars
+        out[f"dup_{n}gram_char_frac"] = frac
+    return out
+
+
+def repetition_signals(
+    df: DataFrame, key_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(key, dup_line_frac, ..., dup_10gram_char_frac) per document.
+
+    Scale shape: per-document CPU inside ONE mapInPandas Arrow kernel —
+    zero shuffle, composes into the corpus scan, text never moves.  The
+    pure-Catalyst alternative (split + explode + groupBy per unit)
+    would shuffle every line/gram of the corpus; the oracle SQL uses
+    exactly that spelling as the independent mechanism.  Line/para
+    columns are SQL-differentiated; n-gram columns are pytest-pinned
+    (rows-only at the driver gate)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cols = (
+        ["dup_line_frac", "dup_line_char_frac",
+         "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in REP_NGRAM_TOP]
+        + [f"dup_{n}gram_char_frac" for n in REP_NGRAM_DUP]
+    )
+    out_schema = T.StructType(
+        [T.StructField(key_col, df.schema[key_col].dataType)]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [repetition_signals_py(t) for t in pdf[text_col]]
+            data = {key_col: pdf[key_col]}
+            data.update({c: [s[c] for s in sigs] for c in cols})
+            yield pd.DataFrame(data)
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # compression-ratio quality signal
 # ---------------------------------------------------------------------------
 
