@@ -319,6 +319,8 @@ TAIL_ORDER = [
     "bucket_split_by_lang",
     "text_repetition",
     "text_repetition_ngrams",
+    "graph_domain_edges",
+    "graph_pagerank",
     "check_unique_pass",
     "pipeline_curate",
     "dedup_components",

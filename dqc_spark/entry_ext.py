@@ -1391,6 +1391,105 @@ def q_text_repetition_ngrams(spark, sf):
     return repetition_signals(docs, "doc_id").select("doc_id", *cols)
 
 
+# planted link structure for the graph entries: every doc anchors to
+# one of 9 .example.net hubs; every third doc also links to its OWN
+# host (self-loop, must be dropped), the rest to one of 4 .org peers
+def _linked_html_col():
+    hub = F.concat(F.lit('<a href="http://hub'),
+                   (F.col("doc_id") % 9).cast("string"),
+                   F.lit('.example.net/x">h</a>'))
+    own = F.concat(F.lit('<a href="'), _synthetic_url_col().cast("string"),
+                   F.lit('">self</a>'))
+    peer = F.concat(F.lit('<a href="https://peer'),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit('.example.org/y">p</a>'))
+    second = F.when(F.col("doc_id") % 3 == 0, own).otherwise(peer)
+    return F.encode(
+        F.concat(F.lit("<html><body>"), hub, second,
+                 F.lit("<p>t</p></body></html>")),
+        "utf-8",
+    ).alias("html")
+
+
+def q_graph_domain_edges(spark, sf):
+    from dqc_spark.linkgraph import domain_edges
+
+    docs = _t(spark, sf, "documents").select(
+        _synthetic_url_col(), _linked_html_col())
+    return domain_edges(docs)
+
+
+# deterministic 7-node graph straight from doc_id math (no html layer:
+# this entry pins the ITERATION, the edges entry pins extraction)
+def _pr_edges_df(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy(
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src_domain"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 3 + 1) % 7).cast("string"))
+        .alias("dst_domain"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+
+
+_PR_ITER = 8
+_PR_DAMP = 0.85
+
+
+def q_graph_pagerank(spark, sf):
+    from dqc_spark.linkgraph import pagerank
+
+    pr = pagerank(_pr_edges_df(spark, sf), n_iter=_PR_ITER,
+                  damping=_PR_DAMP)
+    # ROUND (not trunc): the engines sum contributions in different
+    # orders, so the doubles differ at ~1e-15 — ROUND absorbs that,
+    # FLOOR would flip at every boundary (CLAUDE.md rounding rule)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_unrolled_sql(n_iter: int, damping: float) -> str:
+    """The oracle is the textbook spelling, mechanically unrolled: one
+    (dangling, contribution, rank) CTE triple per iteration — no
+    recursion (aggregates are not allowed in a recursive CTE term)."""
+    ctes = [f"""
+        e AS (
+            SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS src,
+                   'd' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM documents GROUP BY 1, 2
+        ),
+        nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        norm AS (
+            SELECT e.src, e.dst, e.w / outw.ow AS p
+            FROM e JOIN outw ON e.src = outw.src
+        ),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""
+        d{k} AS (
+            SELECT COALESCE(SUM(rank), 0) AS dm FROM r{k - 1}
+            WHERE node NOT IN (SELECT src FROM norm)
+        ),
+        c{k} AS (
+            SELECT norm.dst, SUM(r.rank * norm.p) AS c
+            FROM r{k - 1} r JOIN norm ON r.node = norm.src
+            GROUP BY norm.dst
+        ),
+        r{k} AS (
+            SELECT nodes.node,
+                   (1 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * (COALESCE(c.c, 0)
+                                  + (SELECT dm FROM d{k})
+                                    / (SELECT n FROM nn)) AS rank
+            FROM nodes LEFT JOIN c{k} c ON nodes.node = c.dst
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+
+
 def q_url_domain_stats(spark, sf):
     from dqc_spark.urlops import domain_stats
 
@@ -1477,6 +1576,8 @@ def extra_queries():
         "bucket_split_by_lang": q_bucket_split,
         "text_repetition": q_text_repetition,
         "text_repetition_ngrams": q_text_repetition_ngrams,
+        "graph_domain_edges": q_graph_domain_edges,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -2331,6 +2432,45 @@ def extra_oracle_sql():
             SELECT doc_id, lang, CAST((3 * rk) // n AS BIGINT) AS bucket
             FROM r
         """,
+        # independent extraction mechanism: regexp_extract_all + unnest
+        # vs the Arrow href kernel (urljoin/entity handling exercised
+        # by pytest; the planted anchors here are plain absolutes)
+        "graph_domain_edges": f"""
+            WITH docs AS (
+                SELECT doc_id, {_synthetic_url_sql()} AS url,
+                       '<html><body><a href="http://hub'
+                       || CAST(doc_id % 9 AS VARCHAR)
+                       || '.example.net/x">h</a>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<a href="' || {_synthetic_url_sql()}
+                                    || '">self</a>'
+                               ELSE '<a href="https://peer'
+                                    || CAST(doc_id % 4 AS VARCHAR)
+                                    || '.example.org/y">p</a>' END
+                       || '<p>t</p></body></html>' AS html
+                FROM documents
+            ),
+            links AS (
+                SELECT url,
+                       unnest(regexp_extract_all(
+                           html, '<a href="([^"]*)"', 1)) AS l
+                FROM docs
+            ),
+            doms AS (
+                SELECT lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           AS src_domain,
+                       lower(regexp_extract(l,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           AS dst_domain
+                FROM links
+            )
+            SELECT src_domain, dst_domain, COUNT(*) AS weight
+            FROM doms
+            WHERE src_domain <> dst_domain AND dst_domain <> ''
+            GROUP BY 1, 2
+        """,
+        "graph_pagerank": _pagerank_unrolled_sql(_PR_ITER, _PR_DAMP),
         # independent mechanism: unnest + groupBy per line/paragraph
         # (the corpus-shuffling spelling the Arrow kernel avoids);
         # ratios are int-derived identical doubles -> FLOOR (_trunc4)

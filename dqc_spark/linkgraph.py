@@ -1,0 +1,190 @@
+"""Web link graph operators: outlink extraction, domain-level edges,
+PageRank.
+
+A crawl's link structure is a standard quality prior (harmonic
+centrality / PageRank feed source weighting in Common-Crawl-derived
+corpora, e.g. the CC ranking datasets): pages on well-linked domains
+are kept at higher rates, spam constellations down-weighted.  This
+module computes that prior IN Spark:
+
+  * ``extract_links_col`` — one Arrow kernel (the htmlextract shape):
+    anchor hrefs out of raw ``html`` bytes, entity-decoded, resolved
+    against the page url (stdlib ``urljoin``), http(s) absolutes only.
+    Returns an ``array<string>`` column; zero shuffle.
+  * ``domain_edges`` — (src_domain, dst_domain, weight) via one
+    groupBy; self-loops dropped.  Shuffle traffic is domain pairs,
+    never html.
+  * ``pagerank`` — damped power iteration on the edge list.  The
+    100-TB shape per the repo's iterative-loop rules (CLAUDE.md,
+    components.py): ranks persist per round, previous round unpersists,
+    ``localCheckpoint`` every 5 rounds truncates the plan, empty input
+    short-circuits.  Dangling mass (domains with no outlinks) is
+    redistributed uniformly each round, so ranks always sum to 1 and
+    the usual "rank leaks" bug cannot hide.
+
+Reference parity: the reference has no link layer
+(data_quality_checker validates tabular columns); this extends the
+pipeline per the web-corpus north rule.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqc_spark.cache import track
+from dqc_spark.urlops import domain_of
+
+__all__ = [
+    "extract_links_py",
+    "extract_links_col",
+    "domain_edges",
+    "pagerank",
+]
+
+_HREF = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.I | re.S,
+)
+
+
+def extract_links_py(html_bytes: bytes | None,
+                     base_url: str | None) -> list[str]:
+    """One page's outlinks: href values, entity-decoded, resolved
+    against ``base_url``, http(s) only, order-preserving dedup.
+    Shared verbatim by the kernel and the pytest oracle."""
+    if html_bytes is None:
+        return []
+    s = html_bytes.decode("utf-8", errors="replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _HREF.finditer(s):
+        raw = m.group(2) or m.group(3) or m.group(4) or ""
+        href = _html.unescape(raw).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            absu = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        if not absu.startswith(("http://", "https://")):
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+def extract_links_col(html: Column | str, url: Column | str) -> Column:
+    """Outlinks as an ``array<string>`` Column (one Arrow kernel)."""
+    h = F.col(html) if isinstance(html, str) else html
+    u = F.col(url) if isinstance(url, str) else url
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _links_udf(it: Iterator[tuple[pd.Series, pd.Series]]
+                   ) -> Iterator[pd.Series]:
+        for hs, us in it:
+            yield pd.Series(
+                [extract_links_py(hb, ub) for hb, ub in zip(hs, us)])
+
+    return _links_udf(h, u).alias("outlinks")
+
+
+def domain_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src_domain, dst_domain, weight): domain-level link graph.
+
+    One kernel pass + one explode + one groupBy; the shuffle carries
+    (src, dst) domain pairs only."""
+    links = df.select(
+        domain_of(url_col).alias("src_domain"),
+        F.explode(extract_links_col(html_col, url_col)).alias("__l"),
+    ).select("src_domain", domain_of(F.col("__l")).alias("dst_domain"))
+    if drop_self:
+        links = links.filter(F.col("src_domain") != F.col("dst_domain"))
+    return (
+        links.filter(F.col("dst_domain") != "")
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    weight_col: str | None = "weight",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` damped power iterations.
+
+    rank'(v) = (1-d)/N + d * (sum over in-edges u->v of
+    rank(u) * w(u,v) / out_weight(u)  +  dangling_mass / N)
+
+    Ranks sum to exactly 1 each round (dangling mass redistributed).
+    The per-round dangling sum is a scalar aggregate over the
+    persisted rank frame — metadata, not a data shuffle."""
+    spark = edges.sparkSession
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
+        w.alias("__w"))
+    nodes = track(
+        e.select(F.col("__src").alias("node"))
+        .union(e.select("__dst"))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:  # empty-graph short-circuit: no scheduler rounds
+        return spark.createDataFrame([], "node string, rank double")
+    out_w = e.groupBy("__src").agg(F.sum("__w").alias("__out"))
+    # normalized edge weights, persisted once: every iteration joins it
+    norm = track(
+        e.join(out_w, on="__src", how="inner")
+        .select("__src", "__dst", (F.col("__w") / F.col("__out"))
+                .alias("__p"))
+    )
+    has_out = norm.select(F.col("__src").alias("node")).distinct()
+    ranks = track(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    teleport = (1.0 - damping) / n
+    for i in range(n_iter):
+        dangling = (
+            ranks.join(has_out, on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        )
+        contrib = (
+            ranks.join(norm, ranks["node"] == norm["__src"], "inner")
+            .groupBy("__dst")
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+        )
+        new = (
+            nodes.join(contrib, nodes["node"] == contrib["__dst"], "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.lit(damping)
+                 * (F.coalesce(F.col("__c"), F.lit(0.0))
+                    + F.lit(dangling / n))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = track(new)  # registry-persisted: release_all cleans up
+            new.count()  # materialize before releasing the parent
+        ranks.unpersist()
+        ranks = new
+    return ranks

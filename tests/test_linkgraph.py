@@ -1,0 +1,129 @@
+"""Link graph: href extraction pins, domain edges, and PageRank vs an
+independent pure-python power iteration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.linkgraph import (domain_edges, extract_links_py, pagerank)
+
+
+# ---------------------------------------------------------------------------
+# extraction
+# ---------------------------------------------------------------------------
+
+def test_extract_links_py():
+    html = (b'<a href="http://a.com/x">x</a>'
+            b"<a href='/rel'>rel</a>"
+            b'<A HREF=http://b.com/unquoted>u</A>'
+            b'<a class="k" href="http://a.com/x">dup</a>'
+            b'<a href="#frag">skip</a>'
+            b'<a href="javascript:void(0)">skip</a>'
+            b'<a href="mailto:x@y.z">skip</a>'
+            b'<a href="ftp://f.com/f">skip</a>'
+            b'<a href="?q=1&amp;r=2">entity</a>')
+    got = extract_links_py(html, "https://base.org/dir/page")
+    assert got == [
+        "http://a.com/x",
+        "https://base.org/rel",
+        "http://b.com/unquoted",
+        "https://base.org/dir/page?q=1&r=2",
+    ]
+    assert extract_links_py(None, "http://x.com") == []
+    assert extract_links_py(b"no links here", "http://x.com") == []
+
+
+def test_domain_edges(spark):
+    rows = [
+        ("http://a.com/1",
+         b'<a href="http://b.com/x">.</a><a href="http://b.com/y">.</a>'
+         b'<a href="http://a.com/self">.</a>'),
+        ("http://a.com/2", b'<a href="http://c.com/z">.</a>'),
+        ("http://b.com/1", b'<a href="/rel">.</a>'),  # self after resolve
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r["src_domain"], r["dst_domain"]): r["weight"]
+           for r in domain_edges(df).collect()}
+    assert got == {("a.com", "b.com"): 2, ("a.com", "c.com"): 1}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def pagerank_py(edges, damping=0.85, n_iter=10):
+    """Independent model: dense power iteration with dangling
+    redistribution, same definition as the docstring."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = [0.0] * n
+    for s, _, w in edges:
+        out[idx[s]] += w
+    ranks = [1.0 / n] * n
+    for _ in range(n_iter):
+        dangling = sum(r for i, r in enumerate(ranks) if out[i] == 0.0)
+        new = [(1 - damping) / n + damping * dangling / n] * n
+        for s, d, w in edges:
+            new[idx[d]] += damping * ranks[idx[s]] * (w / out[idx[s]])
+        ranks = new
+    return dict(zip(nodes, ranks))
+
+
+EDGES = [
+    ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+    ("c", "a", 1.0), ("d", "c", 3.0),  # e: dangling sink target
+    ("c", "e", 1.0),
+]
+
+
+def test_pagerank_matches_python_model(spark):
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    want = pagerank_py(EDGES, n_iter=12)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    cyc = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(
+        cyc, "src_domain string, dst_domain string, weight double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1 / 3)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame(
+        [], "src_domain string, dst_domain string, weight double")
+    assert pagerank(df).count() == 0
+
+
+def test_pagerank_partition_invariance(spark):
+    a = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    ga = {r["node"]: r["rank"]
+          for r in pagerank(a.repartition(1), n_iter=7).collect()}
+    gb = {r["node"]: r["rank"]
+          for r in pagerank(a.repartition(9), n_iter=7).collect()}
+    for k in ga:
+        assert ga[k] == pytest.approx(gb[k], rel=1e-12), k
+
+
+def test_end_to_end_prior(spark):
+    """Pages whose anchors concentrate on one domain push its rank up."""
+    rows = []
+    for i in range(30):
+        src = f"http://site{i % 5}.example.com/p{i}"
+        # everyone links to hub.example.net; half also link to a peer
+        links = '<a href="http://hub.example.net/">hub</a>'
+        if i % 2 == 0:
+            links += f'<a href="http://site{(i + 1) % 5}.example.com/">p</a>'
+        rows.append((src, f"<html><body>{links}</body></html>".encode()))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    pr = pagerank(domain_edges(df), n_iter=10)
+    top = pr.orderBy(F.desc("rank")).first()
+    assert top["node"] == "hub.example.net"
