@@ -226,11 +226,14 @@ def curation_stage_queries(spark) -> dict[str, float]:
 
     from dqc_spark.decontam import decontaminate
     from dqc_spark.linededup import dedup_lines
+    from dqc_spark.linkgraph import pagerank
     from dqc_spark.mixing import temperature_sample
     from dqc_spark.ordering import training_order
     from dqc_spark.similarity import hyperplane_signatures
     from dqc_spark.substrdedup import dedup_substrings
+    from dqc_spark.textstats import repetition_signals
     from dqc_spark.textvectors import hashed_tfidf
+    from dqc_spark.urlops import domain_of
 
     pages = (
         spark.read.parquet(PAGES_CACHE)
@@ -282,6 +285,23 @@ def curation_stage_queries(spark) -> dict[str, float]:
         "curate_hashed_tfidf_20k": lambda: hashed_tfidf(
             pages, "url", dim=256
         ).agg(F.count(F.lit(1))).first(),
+        "curate_repetition_20k": lambda: repetition_signals(
+            pages, "url"
+        ).agg(F.sum("dup_line_frac")).first(),
+        # domain pagerank over the 20k slice's host graph (every page
+        # links its own next-host neighbor: deterministic, ~hundreds of
+        # domain nodes, 8 checkpointed iterations)
+        "graph_pagerank_20k": lambda: pagerank(
+            pages.groupBy(
+                domain_of("url").alias("src_domain"),
+                F.concat(
+                    F.lit("site"),
+                    ((F.abs(F.xxhash64("url")) % 977)).cast("string"),
+                    F.lit(".example.com"),
+                ).alias("dst_domain"),
+            ).agg(F.count(F.lit(1)).cast("double").alias("weight")),
+            n_iter=8,
+        ).agg(F.sum("rank")).first(),
     }
     out = {name: _best_of(fn, trials) for name, fn in thunks.items()}
     hist = _history_best()
@@ -291,6 +311,11 @@ def curation_stage_queries(spark) -> dict[str, float]:
     pages.unpersist()
     bench_set.unpersist()
     vecs.unpersist()
+    # pagerank registry-persists its per-round frames; release them so
+    # the registry doesn't accumulate refs across trials
+    from dqc_spark.cache import release_all
+
+    release_all()
     spark.catalog.clearCache()
     return out
 

@@ -142,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated domains, or a parquet/csv path "
                         "with a 'domain' column: drop these hosts and "
                         "their subdomains first (UT1-style)")
+    p.add_argument("--repetition-gates", default=None,
+                   help="Gopher repetition drop rules as "
+                        "'signal=thr,...', e.g. "
+                        "'dup_5gram_char_frac=0.15,dup_para_frac=0.3'")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -328,6 +332,12 @@ def main(argv=None) -> int:
                        if args.benchmark else None),
             mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
             blocked_domains=_parse_blocked(spark, args.blocked_domains),
+            repetition_thresholds=(
+                {k.strip(): float(v)
+                 for k, v in (kv.split("=", 1)
+                              for kv in args.repetition_gates.split(","))}
+                if args.repetition_gates else None
+            ),
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -203,6 +203,7 @@ def curate(
     decontam_max_frac: float = 0.8,
     mix_alpha: float | None = None,
     blocked_domains=None,
+    repetition_thresholds: dict | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -223,6 +224,9 @@ def curate(
          (linededup.py), BEFORE gating: de-boilerplated text is what
          the quality gates should score
       1. ``annotate`` + keep-filter (gates/langid/ppl/scrub; 0 shuffles)
+      1b. ``repetition_thresholds`` — Gopher A1.1 repetition gates
+         (textstats.repetition_signals) on the kept scrubbed text;
+         e.g. ``{"dup_5gram_char_frac": 0.15}``; drop on ANY exceed
       2. exact dedup — min-key canonical per identical ``scrubbed_text``
          (one digest groupBy; dedup.py)
       3. near-dup dedup — MinHash-LSH pairs -> connected components ->
@@ -327,6 +331,27 @@ def curate(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if repetition_thresholds:
+        from dqc_spark.textstats import repetition_signals
+
+        # stage 1b: Gopher repetition gates beyond the base feature set
+        # (the fused scorer covers dup_line/dup_bigram; the full A1.1
+        # n-gram suite runs HERE, on the already-gated survivors — the
+        # expensive per-doc n-gram pass sees only kept rows).  A doc is
+        # dropped when ANY named signal exceeds its threshold.
+        sig = repetition_signals(kept, "doc_key", text_col="scrubbed_text")
+        bad_cols = [k for k in repetition_thresholds if k not in sig.columns]
+        if bad_cols:
+            raise ValueError(
+                f"unknown repetition signal(s) {bad_cols}; "
+                f"available: {[c for c in sig.columns if c != 'doc_key']}")
+        pred = None
+        for name, thr in repetition_thresholds.items():
+            c = F.col(name) > F.lit(float(thr))
+            pred = c if pred is None else (pred | c)
+        kept = kept.join(
+            sig.filter(pred).select("doc_key"), on="doc_key",
+            how="left_anti")
     kept = dedup_exact(kept, ["doc_key"], text_col="scrubbed_text")
     if near_dup_threshold is not None:
         pairs = minhash_near_dups(

@@ -310,3 +310,38 @@ def test_curate_full_composition(spark):
     assert cur.select("doc_key").distinct().count() == n_cur
     assert cur.filter(F.col("bin_id").isNull()).count() == 0
     cur.unpersist(); baseline.unpersist()
+
+
+def test_curate_repetition_gates(spark):
+    """A doc that passes the base gates but trips the Gopher n-gram
+    repetition suite is dropped only when repetition_thresholds is on."""
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 200, n_partitions=4)
+    base = curate(pages, near_dup_threshold=None).persist()
+    donor = base.filter(F.col("n_words") >= 80).select("url").first()
+    src = pages.filter(F.col("url") == donor["url"]).first()
+    # planted: the donor's own text plus one 10-word snippet of itself
+    # repeated twice — dup_5gram_char_frac spikes, but dup_line stays 0
+    # and dup_bigram stays under the base 0.40 gate
+    snippet = " ".join(src["text"].split()[:10])
+    planted_url = "http://planted.example.com/rep"
+    planted = spark.createDataFrame(
+        [(planted_url, src["warc_ts"], src["html"],
+          f"{src['text']} {snippet} {snippet}", src["lang"])],
+        pages.schema)
+    corpus = pages.unionByName(planted)
+
+    off = curate(corpus, near_dup_threshold=None)
+    assert off.filter(F.col("url") == planted_url).count() == 1
+    on = curate(corpus, near_dup_threshold=None,
+                repetition_thresholds={"dup_5gram_char_frac": 0.08})
+    assert on.filter(F.col("url") == planted_url).count() == 0
+    # the gate only removes rows, never adds
+    assert on.count() < off.count()
+    base.unpersist()
+
+    with pytest.raises(ValueError, match="unknown repetition"):
+        curate(corpus, near_dup_threshold=None,
+               repetition_thresholds={"not_a_signal": 0.1}).count()
