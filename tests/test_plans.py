@@ -278,3 +278,84 @@ def test_dynamic_partition_pruning_on_day_partitioned_pages(spark, tmp_path):
     # and the pruned count equals a static two-day filter
     want = pt.filter(F.col("day").isin(days[:2])).count()
     assert n == want
+
+
+# ---------------------------------------------------------------------------
+# round-3 web operators: plan-shape pins for the 100 TB claims
+# ---------------------------------------------------------------------------
+
+def _url_docs(docs):
+    return docs.select(
+        F.concat(F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        "text",
+    )
+
+
+def test_domain_filter_const_list_is_pure_filter(docs):
+    """Python-list blocklists compose into the scan: ONE stage, zero
+    Exchange — the 'cheapest possible row reduction' claim."""
+    from dqc_spark.urlops import domain_filter
+
+    out = domain_filter(_url_docs(docs), ["site3.example.com", "x.org"])
+    plan = plan_str(out)
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_url_dedup_is_two_phase_agg_not_window(docs):
+    """Winner election must be a partial-aggregatable min(struct), never
+    a hot-partition window, and text must not reach the agg."""
+    from dqc_spark.urlops import url_dedup
+
+    out = url_dedup(_url_docs(docs), key_cols=["url"])
+    plan = plan_str(out)
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_repetition_signals_plan_has_no_shuffle(docs):
+    """One mapInPandas kernel composed into the scan: per-doc n-gram
+    work never moves data."""
+    from dqc_spark.textstats import repetition_signals
+
+    out = repetition_signals(docs, "doc_id")
+    plan = plan_str(out)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_score_buckets_no_single_partition_window(docs):
+    """Ranks come from the range-shuffled per-partition window
+    (ordering.py plan) — never row_number over an empty partitionBy."""
+    from dqc_spark.bucketsplit import score_buckets
+
+    out = score_buckets(
+        docs.select("doc_id", "lang", F.length("text").alias("s")),
+        "lang", "s", "doc_id", validate=False)
+    plan = plan_str(out)
+    # every Window node must be keyed by the range-partition id
+    for frag in plan.split("Window ")[1:]:
+        assert "__pid" in frag.split("\n")[0]
+    from dqc_spark.cache import release_all
+
+    release_all()
+
+
+def test_domain_edges_single_exchange(docs):
+    """Kernel -> explode -> ONE groupBy exchange of domain pairs."""
+    from dqc_spark.linkgraph import domain_edges
+
+    pages = docs.select(
+        F.concat(F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+        F.encode(F.concat(F.lit('<a href="http://hub'),
+                          (F.col("doc_id") % 5).cast("string"),
+                          F.lit('.example.net/">h</a>')), "utf-8")
+        .alias("html"),
+    )
+    out = domain_edges(pages)
+    plan = plan_str(out)
+    assert plan.count("Exchange") <= 2  # partial+final agg exchange only
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
