@@ -135,8 +135,12 @@ def pagerank(
     rank(u) * w(u,v) / out_weight(u)  +  dangling_mass / N)
 
     Ranks sum to exactly 1 each round (dangling mass redistributed).
-    The per-round dangling sum is a scalar aggregate over the
-    persisted rank frame — metadata, not a data shuffle."""
+    One driver action per round: the contribution frame is persisted
+    and its scalar total collected — the dangling mass falls out of the
+    invariant (dangling = 1 - linked mass, since every non-dangling
+    node's rank is fully distributed over its out-edges), so no second
+    per-round aggregate over the rank frame is needed, and the next
+    round's ranks chain lazily over the cached contributions."""
     spark = edges.sparkSession
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
@@ -158,19 +162,22 @@ def pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out"))
                 .alias("__p"))
     )
-    has_out = norm.select(F.col("__src").alias("node")).distinct()
     ranks = track(nodes.select("node", F.lit(1.0 / n).alias("rank")))
     teleport = (1.0 - damping) / n
+    prev_contrib = None
     for i in range(n_iter):
-        dangling = (
-            ranks.join(has_out, on="node", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
-        )
-        contrib = (
+        contrib = track(
             ranks.join(norm, ranks["node"] == norm["__src"], "inner")
             .groupBy("__dst")
             .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
         )
+        # the round's ONLY action: materializes contrib (and, through
+        # it, this round's lazy rank chain) and yields the linked mass
+        linked = contrib.agg(
+            F.coalesce(F.sum("__c"), F.lit(0.0))).collect()[0][0]
+        dangling = 1.0 - linked
+        if prev_contrib is not None:  # safe: contrib is materialized
+            prev_contrib.unpersist()
         new = (
             nodes.join(contrib, nodes["node"] == contrib["__dst"], "left")
             .select(
@@ -181,10 +188,13 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
-        else:
-            new = track(new)  # registry-persisted: release_all cleans up
-            new.count()  # materialize before releasing the parent
-        ranks.unpersist()
+            new = new.localCheckpoint(eager=True)  # truncate the chain
         ranks = new
+        prev_contrib = contrib
+    # materialize the final frame so callers (and release_all) don't
+    # recompute through the cached-contribution chain
+    ranks = track(ranks)
+    ranks.count()
+    if prev_contrib is not None:
+        prev_contrib.unpersist()
     return ranks
