@@ -282,8 +282,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "ann_bruteforce_topk",
     "embedding_near_dups_exact",
-    "dedup_distinct_count",
-    "dedup_approx_distinct",
     "dedup_simhash_near_dups",
     "text_fingerprints",
     "text_top_ngrams",
@@ -308,12 +306,21 @@ DRIVER_ORDER = [
     "url_canonicalize",
     "url_domain_stats",
     "html_extract_text",
+    # --- new in round 3, part 2: distributed LM training gram tables
+    # (full SQL oracles).  Their window slots came from the r1-green
+    # trivial-count twins dedup_distinct_count / dedup_approx_distinct
+    # (both demoted to the tail; still pinned by the local differential
+    # every round) ---
+    "lm_word_counts",
+    "lm_bigram_counts",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "dedup_distinct_count",
+    "dedup_approx_distinct",
     "url_domain_filter",
     "url_dedup_canonical",
     "bucket_split_by_lang",

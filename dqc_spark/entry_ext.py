@@ -225,6 +225,29 @@ def q_top_ngrams(spark, sf):
     return top_ngrams(_t(spark, sf, "documents"), "text", n=3, k=20)
 
 
+def q_lm_word_counts(spark, sf):
+    # the LM-training unigram table (lmtrain.py): one combiner kernel +
+    # one groupBy; top-k plans as TakeOrderedAndProject
+    from dqc_spark.lmtrain import word_counts
+
+    return (
+        word_counts(_t(spark, sf, "documents"), "text")
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(100)
+    )
+
+
+def q_lm_bigram_counts(spark, sf):
+    # the LM-training bigram table; bigrams never cross documents
+    from dqc_spark.lmtrain import bigram_counts
+
+    return (
+        bigram_counts(_t(spark, sf, "documents"), "text")
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(100)
+    )
+
+
 def q_fingerprints(spark, sf):
     from dqc_spark.textstats import fingerprint
 
@@ -1518,6 +1541,8 @@ def extra_queries():
         "text_langid_heuristic": q_langid_heuristic,
         "text_fingerprints": q_fingerprints,
         "text_top_ngrams": q_top_ngrams,
+        "lm_word_counts": q_lm_word_counts,
+        "lm_bigram_counts": q_lm_bigram_counts,
         "olap_pricing_summary": q_pricing_summary,
         "olap_events_hourly": q_events_hourly,
         "olap_local_supplier_revenue": q_local_supplier_revenue,
@@ -1685,6 +1710,31 @@ def extra_oracle_sql():
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                    AS fingerprint
             FROM documents
+        """,
+        "lm_word_counts": r"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT unnest(toks) AS word FROM w
+            )
+            SELECT word, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, word LIMIT 100
+        """,
+        "lm_bigram_counts": r"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT array_to_string(toks[i:i+1], ' ') AS gram
+              FROM w, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+                               AS i) s
+              WHERE len(toks) >= 2
+            )
+            SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, gram LIMIT 100
         """,
         "text_top_ngrams": r"""
             WITH w AS (

@@ -1,0 +1,201 @@
+"""Distributed n-gram LM training: the CCNet shape, IN Spark.
+
+CCNet (Wenzek et al. 2020) trains a KenLM n-gram model on a trusted
+reference slice (Wikipedia) and scores the crawl with it; this repo's
+perplexity gate (perplexity.py / scoring.py) so far consumed only the
+in-repo synthetic LM (textmodels.build_lm).  This module closes the
+loop: train the SAME model shape on any DataFrame slice — e.g. the
+high-quality head bucket, or a curated prior snapshot — with one
+distributed counting pass per gram order, then broadcast the result
+back into the scoring UDFs unchanged.
+
+Scale shape (what matters at 100 TB):
+
+  * gram counting is ONE Arrow kernel emitting per-batch PRE-AGGREGATED
+    (gram, count) partials — a combiner, so the shuffle carries one row
+    per distinct gram per batch, never one row per token.  The final
+    groupBy-sum partial-aggregates again map-side.  Corpus text never
+    shuffles.
+  * the model collected to the driver is BOUNDED: vocabulary capped at
+    ``max_vocab`` words (TakeOrdered — no global sort), bigrams
+    restricted to in-vocab pairs (vocab broadcast into the second
+    kernel, OOV pairs dropped at the source — they can never be looked
+    up by add-k scoring anyway without their unigram context), pruned
+    by ``min_count`` and capped at ``max_bigrams``.  Driver traffic is
+    the finished model, not the corpus.
+  * at production scale the returned dict is the drop-in slot where a
+    real KenLM .arpa artifact would be serialized; the Spark-side
+    topology (count → prune → broadcast) is identical.
+
+Tokenization is the repo-wide shared ``wordhash.ascii_tokens`` over
+lowercased text — byte-identical with the decontamination / substring
+/ TF-IDF kernels and the DuckDB differential oracles (see wordhash.py:
+python ``\\s`` vs engine ``\\s`` differ only on characters absent from
+the corpora).  The python reference trainer (``train_lm_py``) uses the
+identical tokenizer, so Spark-vs-python model equality is exact, and
+the produced dict feeds ``textmodels.perplexity`` unchanged.
+
+Reference parity: the reference (data_quality_checker) has no model
+training; this is §2.5 training-data surface per the web-corpus north
+rule (perplexity scoring needs an LM from somewhere, and at 1e12 docs
+"somewhere" must be a distributed pass).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqc_spark.wordhash import ascii_tokens
+
+__all__ = [
+    "word_counts",
+    "bigram_counts",
+    "train_lm_py",
+    "train_bigram_lm",
+]
+
+
+def _count_rows(
+    df: DataFrame, text_col: str, n: int, vocab: frozenset | None = None
+) -> DataFrame:
+    """Per-batch pre-aggregated (gram, cnt) partials from one Arrow
+    kernel.  ``n=1`` emits words, ``n=2`` space-joined bigrams; with
+    ``vocab`` set, bigrams whose either word is out-of-vocabulary are
+    dropped inside the kernel (no OOV rows ever shuffle)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("gram", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                toks = ascii_tokens((text or "").lower())
+                if n == 1:
+                    c.update(toks)
+                elif vocab is None:
+                    c.update(
+                        f"{a} {b}" for a, b in zip(toks, toks[1:]))
+                else:
+                    c.update(
+                        f"{a} {b}" for a, b in zip(toks, toks[1:])
+                        if a in vocab and b in vocab)
+            yield pd.DataFrame(
+                {"gram": list(c.keys()),
+                 "cnt": pd.array(list(c.values()), dtype="int64")})
+
+    return df.select(text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_occurrences) over the corpus — the unigram table."""
+    return (
+        _count_rows(df, text_col, 1)
+        .groupBy(F.col("gram").alias("word"))
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text",
+    vocab: frozenset | None = None,
+) -> DataFrame:
+    """(gram, n_occurrences) with ``gram`` the space-joined word pair;
+    bigrams never cross document boundaries."""
+    return (
+        _count_rows(df, text_col, 2, vocab)
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
+
+
+def _prune(
+    uni: Counter, bi: Counter,
+    max_vocab: int | None, min_count: int, max_bigrams: int | None,
+    k: float,
+) -> dict:
+    """Deterministic pruning + dict assembly shared by both trainers.
+    Tiebreaks are (count desc, gram asc) so the python and Spark paths
+    keep identical rows under any cap."""
+    if max_vocab is not None and len(uni) > max_vocab:
+        kept = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+        uni = Counter(dict(kept[:max_vocab]))
+    vocab = set(uni)
+    items = [
+        ((a, b), c) for (a, b), c in bi.items()
+        if c >= min_count and a in vocab and b in vocab
+    ]
+    if max_bigrams is not None and len(items) > max_bigrams:
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        items = items[:max_bigrams]
+    return {
+        "unigrams": dict(uni),
+        "bigrams": {f"{a}\x00{b}": c for (a, b), c in items},
+        "total": sum(uni.values()),
+        "vocab": len(uni) + 1,
+        "k": k,
+    }
+
+
+def train_lm_py(
+    texts,
+    max_vocab: int | None = None,
+    min_count: int = 1,
+    max_bigrams: int | None = None,
+    k: float = 0.1,
+) -> dict:
+    """Python reference trainer — the exact-parity oracle for
+    ``train_bigram_lm`` (same tokenizer, same pruning, same dict)."""
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in texts:
+        toks = ascii_tokens((t or "").lower())
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    return _prune(uni, bi, max_vocab, min_count, max_bigrams, k)
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = 65536,
+    min_count: int = 1,
+    max_bigrams: int | None = 2_000_000,
+    k: float = 0.1,
+) -> dict:
+    """Train the add-k bigram LM distributed; returns the same dict
+    shape as ``textmodels.build_lm`` so ``textmodels.perplexity`` and
+    the scoring UDFs consume it unchanged.
+
+    Two counting passes (unigrams, then vocab-restricted bigrams), each
+    one kernel + one groupBy; the driver receives at most ``max_vocab``
+    + ``max_bigrams`` rows, never corpus-sized data.  Vocabulary
+    restriction happens INSIDE the bigram kernel via a broadcast
+    frozenset, so pruned-word pairs are dropped before the shuffle."""
+    wc = word_counts(df, text_col)
+    if max_vocab is not None:
+        # TakeOrderedAndProject — no global sort materializes
+        wc = wc.orderBy(F.desc("n_occurrences"), "word").limit(max_vocab)
+    uni = Counter(
+        {r["word"]: r["n_occurrences"] for r in wc.collect()})
+    vocab = frozenset(uni)
+    bc = bigram_counts(df, text_col, vocab=vocab).filter(
+        F.col("n_occurrences") >= min_count)
+    if max_bigrams is not None:
+        bc = bc.orderBy(F.desc("n_occurrences"), "gram").limit(max_bigrams)
+    bi = Counter()
+    for r in bc.collect():
+        a, b = r["gram"].split(" ", 1)
+        bi[(a, b)] = r["n_occurrences"]
+    # pruning already applied distributed; _prune re-applies as a no-op
+    # to share the assembly (and guards the caps exactly once)
+    return _prune(uni, bi, max_vocab, min_count, max_bigrams, k)

@@ -18,21 +18,30 @@ from dqc_spark.textmodels import perplexity
 DEFAULT_MAX_PPL = 100.0
 
 
-def make_perplexity_udf(spark: SparkSession):
-    from dqc_spark.scoring import _broadcast_models
+def make_perplexity_udf(spark: SparkSession, lm: dict | None = None):
+    """Scoring UDF over the default in-repo LM, or — CCNet-style — over
+    a caller-supplied model dict (e.g. one trained IN Spark on a
+    trusted slice via ``lmtrain.train_bigram_lm``).  A custom ``lm`` is
+    broadcast once here; the caller owns its lifetime."""
+    if lm is None:
+        from dqc_spark.scoring import _broadcast_models
 
-    _, bc = _broadcast_models(spark)
+        _, bc = _broadcast_models(spark)
+    else:
+        bc = spark.sparkContext.broadcast(lm)
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:
-        lm = bc.value
-        return texts.map(lambda t: perplexity(t, lm))
+        m = bc.value
+        return texts.map(lambda t: perplexity(t, m))
 
     return ppl_udf
 
 
-def with_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
-    udf = make_perplexity_udf(df.sparkSession)
+def with_perplexity(
+    df: DataFrame, text_col: str = "text", lm: dict | None = None
+) -> DataFrame:
+    udf = make_perplexity_udf(df.sparkSession, lm=lm)
     return df.withColumn("ppl", udf(F.col(text_col)))
 
 

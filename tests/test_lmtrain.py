@@ -1,0 +1,102 @@
+"""Distributed LM training (lmtrain.py): exact Spark-vs-python model
+parity, pruning determinism, and the trained model scoring through the
+perplexity UDF bit-identically to the python kernel."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.lmtrain import (
+    bigram_counts,
+    train_bigram_lm,
+    train_lm_py,
+    word_counts,
+)
+from dqc_spark.pagesgen import generate_pages
+from dqc_spark.textmodels import perplexity
+from dqc_spark.wordhash import ascii_tokens
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 120, n_partitions=5).persist()
+
+
+def _texts(pages):
+    return [r["text"] for r in pages.select("text").collect()]
+
+
+def test_word_counts_match_counter(spark, pages):
+    from collections import Counter
+
+    want = Counter()
+    for t in _texts(pages):
+        want.update(ascii_tokens((t or "").lower()))
+    got = {r["word"]: r["n_occurrences"] for r in word_counts(pages).collect()}
+    assert got == dict(want)
+
+
+def test_bigram_counts_match_counter_and_vocab_filter(spark, pages):
+    from collections import Counter
+
+    want = Counter()
+    for t in _texts(pages):
+        toks = ascii_tokens((t or "").lower())
+        want.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    got = {r["gram"]: r["n_occurrences"]
+           for r in bigram_counts(pages).collect()}
+    assert got == dict(want)
+
+    # vocabulary restriction drops OOV pairs inside the kernel
+    vocab = frozenset(list(zip(*Counter(
+        w for t in _texts(pages)
+        for w in ascii_tokens((t or "").lower())).most_common(40)))[0])
+    got_v = {r["gram"]: r["n_occurrences"]
+             for r in bigram_counts(pages, vocab=vocab).collect()}
+    want_v = {g: c for g, c in want.items()
+              if all(w in vocab for w in g.split(" ", 1))}
+    assert got_v == want_v
+
+
+def test_trained_model_matches_python_reference_exactly(spark, pages):
+    texts = _texts(pages)
+    got = train_bigram_lm(pages, max_vocab=None, min_count=1,
+                          max_bigrams=None)
+    want = train_lm_py(texts)
+    assert got == want
+
+
+def test_trained_model_pruning_parity(spark, pages):
+    texts = _texts(pages)
+    got = train_bigram_lm(pages, max_vocab=50, min_count=2, max_bigrams=80)
+    want = train_lm_py(texts, max_vocab=50, min_count=2, max_bigrams=80)
+    assert got == want
+    assert len(got["unigrams"]) <= 50
+    assert len(got["bigrams"]) <= 80
+    assert min(got["bigrams"].values()) >= 2
+    # every bigram's words are in the kept vocabulary
+    for key in got["bigrams"]:
+        a, b = key.split("\x00")
+        assert a in got["unigrams"] and b in got["unigrams"]
+
+
+def test_trained_model_scores_through_udf(spark, pages):
+    """with_perplexity(lm=trained) == python perplexity with the same
+    model — the trained dict is a drop-in for the scoring slot."""
+    from dqc_spark.perplexity import with_perplexity
+
+    lm = train_bigram_lm(pages, max_vocab=200, min_count=1,
+                         max_bigrams=None)
+    # compare (text, ppl) jointly per row — pagesgen plants duplicate
+    # urls with DIFFERENT texts, so a url-keyed dict would cross-pair
+    rows = with_perplexity(pages, lm=lm).select("text", "ppl").collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert r["ppl"] == perplexity(r["text"], lm)
+
+
+def test_partition_invariance(spark, pages):
+    one = train_bigram_lm(pages.repartition(1), max_vocab=60, min_count=1,
+                          max_bigrams=100)
+    many = train_bigram_lm(pages.repartition(13), max_vocab=60, min_count=1,
+                           max_bigrams=100)
+    assert one == many
