@@ -146,6 +146,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Gopher repetition drop rules as "
                         "'signal=thr,...', e.g. "
                         "'dup_5gram_char_frac=0.15,dup_para_frac=0.3'")
+    p.add_argument("--min-domain-rank", type=float, default=-1.0,
+                   help="drop pages whose domain PageRank is below this "
+                        "(<0 = off); ranks come from --domain-ranks or, "
+                        "absent that, the corpus's own link graph")
+    p.add_argument("--domain-ranks", default=None,
+                   help="parquet with (node, rank): a precomputed "
+                        "link-graph prior for --min-domain-rank")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -338,6 +345,10 @@ def main(argv=None) -> int:
                               for kv in args.repetition_gates.split(","))}
                 if args.repetition_gates else None
             ),
+            domain_ranks=(spark.read.parquet(args.domain_ranks)
+                          if args.domain_ranks else None),
+            min_domain_rank=(args.min_domain_rank
+                             if args.min_domain_rank >= 0 else None),
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

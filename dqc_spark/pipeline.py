@@ -204,6 +204,8 @@ def curate(
     mix_alpha: float | None = None,
     blocked_domains=None,
     repetition_thresholds: dict | None = None,
+    domain_ranks: DataFrame | None = None,
+    min_domain_rank: float | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -216,6 +218,13 @@ def curate(
          (urlops.domain_filter, suffix semantics); runs before
          everything: a shuffle-free codegen filter is the cheapest
          possible row reduction
+      0b'. ``min_domain_rank`` — link-graph reputation gate: drop pages
+         whose domain's PageRank (linkgraph.py) falls below the
+         threshold.  ``domain_ranks`` is a (node, rank) frame — pass
+         the output of ``pagerank(domain_edges(...))``; when omitted
+         and the pages carry an ``html`` column, the prior is computed
+         from the corpus's OWN link structure.  Domains absent from
+         the rank table are KEPT (unknown is not evidence of spam).
       0. ``prior`` — incremental snapshot filter: drop pages whose text
          was already ingested (snapshot.py digest anti-join)
       0b. ``normalize_text`` — NFC/control/whitespace canonicalization
@@ -258,6 +267,35 @@ def curate(
         # cheapest possible row reduction, ahead of even the snapshot
         # anti-join
         pages = domain_filter(pages, blocked_domains, url_col=key_col)
+    if min_domain_rank is not None:
+        from dqc_spark.linkgraph import domain_edges, pagerank
+        from dqc_spark.urlops import domain_of
+
+        if domain_ranks is None:
+            # self-prior: rank the corpus's own domain graph.  Requires
+            # the raw html column (link extraction needs anchors).
+            if "html" not in pages.columns:
+                raise ValueError(
+                    "min_domain_rank without domain_ranks needs an "
+                    "'html' column to build the link graph from")
+            domain_ranks = pagerank(domain_edges(pages, url_col=key_col))
+        # left join + null-keep: the rank table covers linked domains
+        # only; a never-linked domain is unknown, not spam.  The join
+        # key is the registrable host — domain cardinality is ~5 orders
+        # below page cardinality, so AQE picks a broadcast build side
+        # at any realistic scale.
+        ranks = domain_ranks.select(
+            F.col("node").alias("__rank_domain"),
+            F.col("rank").alias("__domain_rank"))
+        pages = (
+            pages.withColumn("__pr_domain", domain_of(key_col))
+            .join(ranks,
+                  F.col("__pr_domain") == F.col("__rank_domain"), "left")
+            .filter(F.col("__domain_rank").isNull()
+                    | (F.col("__domain_rank") >= F.lit(
+                        float(min_domain_rank))))
+            .drop("__pr_domain", "__rank_domain", "__domain_rank")
+        )
     if prior is not None:
         from dqc_spark.snapshot import new_docs
 

@@ -127,3 +127,69 @@ def test_end_to_end_prior(spark):
     pr = pagerank(domain_edges(df), n_iter=10)
     top = pr.orderBy(F.desc("rank")).first()
     assert top["node"] == "hub.example.net"
+
+
+# ---------------------------------------------------------------------------
+# curate() domain-reputation gate
+# ---------------------------------------------------------------------------
+
+def test_curate_min_domain_rank_gate(spark):
+    """Explicit (node, rank) prior: low-rank domains drop, unknown
+    domains keep, everything else matches the ungated run."""
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+    from dqc_spark.urlops import domain_of
+
+    pages = generate_pages(spark, 120, n_partitions=4).persist()
+    domains = sorted(
+        r["d"] for r in
+        pages.select(domain_of("url").alias("d")).distinct().collect())
+    assert len(domains) >= 2
+    spam, rest = domains[0], domains[1:]
+    base = curate(pages, near_dup_threshold=None).persist()
+    base_by_domain = {
+        r["d"]: r["n"] for r in base.groupBy(
+            domain_of("url").alias("d")).count()
+        .withColumnRenamed("count", "n").collect()}
+
+    # rank table covers every domain: spam far below, rest far above
+    ranks = spark.createDataFrame(
+        [(spam, 0.001)] + [(d, 0.9) for d in rest], "node string, rank double")
+    gated = curate(pages, near_dup_threshold=None,
+                   domain_ranks=ranks, min_domain_rank=0.5).persist()
+    got_by_domain = {
+        r["d"]: r["n"] for r in gated.groupBy(
+            domain_of("url").alias("d")).count()
+        .withColumnRenamed("count", "n").collect()}
+    assert spam not in got_by_domain
+    assert got_by_domain == {d: n for d, n in base_by_domain.items()
+                             if d != spam}
+
+    # a rank table that only names the spam domain: unknowns are KEPT
+    only_spam = spark.createDataFrame(
+        [(spam, 0.001)], "node string, rank double")
+    gated2 = curate(pages, near_dup_threshold=None,
+                    domain_ranks=only_spam, min_domain_rank=0.5)
+    got2 = {r["d"]: r["n"] for r in gated2.groupBy(
+        domain_of("url").alias("d")).count()
+        .withColumnRenamed("count", "n").collect()}
+    assert got2 == got_by_domain
+    base.unpersist(); gated.unpersist(); pages.unpersist()
+
+
+def test_curate_self_prior_and_missing_html(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 60, n_partitions=3).persist()
+    # threshold 0: every ranked (and unknown) domain passes — exercises
+    # the compute-the-prior-from-own-html path without changing output
+    base_n = curate(pages, near_dup_threshold=None).count()
+    self_n = curate(pages, near_dup_threshold=None,
+                    min_domain_rank=0.0).count()
+    assert self_n == base_n
+
+    with pytest.raises(ValueError, match="html"):
+        curate(pages.drop("html"), near_dup_threshold=None,
+               min_domain_rank=0.1).count()
+    pages.unpersist()
