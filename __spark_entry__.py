@@ -280,7 +280,6 @@ DRIVER_ORDER = [
     "olap_moving_avg",
     "olap_value_percentiles_approx",
     "ann_lsh_topk",
-    "ann_bruteforce_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
     "text_fingerprints",
@@ -313,12 +312,17 @@ DRIVER_ORDER = [
     # every round) ---
     "lm_word_counts",
     "lm_bigram_counts",
+    # anchor-text aggregation (full SQL oracle); slot from the r1-green
+    # ann_bruteforce_topk whose Arrow twin ann_topk_arrow is r2-green
+    # and equality-pinned by pytest
+    "graph_anchor_terms",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "ann_bruteforce_topk",
     "dedup_distinct_count",
     "dedup_approx_distinct",
     "url_domain_filter",

@@ -1434,6 +1434,40 @@ def _linked_html_col():
     ).alias("html")
 
 
+# the anchor-text twin of _linked_html_col: same deterministic link
+# topology, but MULTI-WORD anchor texts so term aggregation has
+# something to count ("news hub K" toward the hub, "peer review site"
+# toward the peer; the self-link's "my own page" must be excluded by
+# drop_self)
+def _anchored_html_col():
+    k = (F.col("doc_id") % 9).cast("string")
+    hub = F.concat(F.lit('<a href="http://hub'), k,
+                   F.lit('.example.net/x">news hub '), k, F.lit("</a>"))
+    own = F.concat(F.lit('<a href="'), _synthetic_url_col().cast("string"),
+                   F.lit('">my own page</a>'))
+    peer = F.concat(F.lit('<a href="https://peer'),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit('.example.org/y">peer review site</a>'))
+    second = F.when(F.col("doc_id") % 3 == 0, own).otherwise(peer)
+    return F.encode(
+        F.concat(F.lit("<html><body>"), hub, second,
+                 F.lit("<p>t</p></body></html>")),
+        "utf-8",
+    ).alias("html")
+
+
+def q_graph_anchor_terms(spark, sf):
+    # anchor-text aggregation: the Spark side genuinely PARSES the
+    # synthetic html (kernel -> tokens -> combiner groupBy); the oracle
+    # states the generation rule directly — extraction itself is pinned
+    # by graph_domain_edges' regex-extracting oracle and the pytest pins
+    from dqc_spark.linkgraph import anchor_term_counts
+
+    docs = _t(spark, sf, "documents").select(
+        _synthetic_url_col(), _anchored_html_col())
+    return anchor_term_counts(docs)
+
+
 def q_graph_domain_edges(spark, sf):
     from dqc_spark.linkgraph import domain_edges
 
@@ -1602,6 +1636,7 @@ def extra_queries():
         "text_repetition": q_text_repetition,
         "text_repetition_ngrams": q_text_repetition_ngrams,
         "graph_domain_edges": q_graph_domain_edges,
+        "graph_anchor_terms": q_graph_anchor_terms,
         "graph_pagerank": q_graph_pagerank,
     }
 
@@ -2485,6 +2520,25 @@ def extra_oracle_sql():
         # independent extraction mechanism: regexp_extract_all + unnest
         # vs the Arrow href kernel (urljoin/entity handling exercised
         # by pytest; the planted anchors here are plain absolutes)
+        "graph_anchor_terms": """
+            WITH contrib AS (
+                SELECT 'hub' || CAST(doc_id % 9 AS VARCHAR)
+                       || '.example.net' AS domain, t.term
+                FROM documents,
+                     LATERAL (SELECT unnest(
+                         ['news', 'hub', CAST(doc_id % 9 AS VARCHAR)])
+                         AS term) t
+                UNION ALL
+                SELECT 'peer' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.org' AS domain, t.term
+                FROM documents,
+                     LATERAL (SELECT unnest(['peer', 'review', 'site'])
+                              AS term) t
+                WHERE doc_id % 3 <> 0
+            )
+            SELECT domain, term, COUNT(*) AS n_mentions
+            FROM contrib GROUP BY 1, 2
+        """,
         "graph_domain_edges": f"""
             WITH docs AS (
                 SELECT doc_id, {_synthetic_url_sql()} AS url,

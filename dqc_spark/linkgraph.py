@@ -45,7 +45,9 @@ from dqc_spark.urlops import domain_of
 __all__ = [
     "extract_links_py",
     "extract_links_col",
+    "extract_anchors_py",
     "domain_edges",
+    "anchor_term_counts",
     "pagerank",
 ]
 
@@ -53,6 +55,14 @@ _HREF = re.compile(
     r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.I | re.S,
 )
+
+_ANCHOR = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))"""
+    r"""[^>]*>(.*?)</a\s*>""",
+    re.I | re.S,
+)
+_INNER_TAG = re.compile(r"<[^>]*>")
+_ANCHOR_WS = re.compile(r"\s+")
 
 
 def extract_links_py(html_bytes: bytes | None,
@@ -79,6 +89,36 @@ def extract_links_py(html_bytes: bytes | None,
         if absu not in seen:
             seen.add(absu)
             out.append(absu)
+    return out
+
+
+def extract_anchors_py(html_bytes: bytes | None,
+                       base_url: str | None) -> list[tuple[str, str]]:
+    """(absolute_url, anchor_text) per anchor ELEMENT — the url rules
+    of ``extract_links_py`` (entity-decode, urljoin resolve, http(s)
+    only) but every occurrence kept (each anchor is one description
+    vote), inner tags stripped and whitespace collapsed in the text.
+    Anchors with empty visible text are dropped (image links carry no
+    terms).  Shared verbatim by the kernel and the pytest oracle."""
+    if html_bytes is None:
+        return []
+    s = html_bytes.decode("utf-8", errors="replace")
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR.finditer(s):
+        raw = m.group(2) or m.group(3) or m.group(4) or ""
+        href = _html.unescape(raw).strip()
+        if not href or href.startswith(("#", "javascript:", "mailto:")):
+            continue
+        try:
+            absu = urljoin(base_url or "", href)
+        except ValueError:
+            continue
+        if not absu.startswith(("http://", "https://")):
+            continue
+        text = _html.unescape(_INNER_TAG.sub(" ", m.group(5)))
+        text = _ANCHOR_WS.sub(" ", text).strip()
+        if text:
+            out.append((absu, text))
     return out
 
 
@@ -117,6 +157,62 @@ def domain_edges(
         links.filter(F.col("dst_domain") != "")
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def anchor_term_counts(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """(domain, term, n_mentions): how the REST of the web describes
+    each domain — anchor-text tokens aggregated over all in-links (the
+    classic anchor-text quality/topic prior; self-links excluded by
+    default since a site describing itself is not independent
+    evidence).
+
+    One Arrow kernel emits per-batch PRE-AGGREGATED (domain, term, cnt)
+    partials (the lmtrain combiner shape): the shuffle carries one row
+    per distinct (domain, term) per batch — never html, never one row
+    per anchor.  Tokens are the repo-wide shared ascii tokenizer over
+    lowercased anchor text."""
+    from dqc_spark.urlops import domain_of_py
+    from dqc_spark.wordhash import ascii_tokens
+
+    out_schema = T.StructType([
+        T.StructField("domain", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for hb, ub in zip(pdf[html_col], pdf[url_col]):
+                src_dom = domain_of_py(ub)
+                for absu, text in extract_anchors_py(hb, ub):
+                    dst_dom = domain_of_py(absu)
+                    if not dst_dom or (drop_self and dst_dom == src_dom):
+                        continue
+                    for term in ascii_tokens(text.lower()):
+                        c[(dst_dom, term)] += 1
+            doms, terms, cnts = [], [], []
+            for (d, t), n in c.items():
+                doms.append(d)
+                terms.append(t)
+                cnts.append(n)
+            yield pd.DataFrame(
+                {"domain": doms, "term": terms,
+                 "cnt": pd.array(cnts, dtype="int64")})
+
+    return (
+        df.select(url_col, html_col)
+        .mapInPandas(kernel, schema=out_schema)
+        .groupBy("domain", "term")
+        .agg(F.sum("cnt").alias("n_mentions"))
     )
 
 

@@ -28,6 +28,7 @@ plain partial-aggregatable groupBy.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame
@@ -36,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "canonical_url",
     "domain_of",
+    "domain_of_py",
     "domain_stats",
     "domain_filter",
     "url_dedup",
@@ -98,6 +100,20 @@ def domain_of(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
     return F.lower(host).alias("domain")
+
+
+_DOMAIN_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)")
+
+
+def domain_of_py(url: str | None) -> str | None:
+    """Python twin of ``domain_of`` — same regex, same lowercasing,
+    same NULL-in/NULL-out — for kernels that need the host INSIDE an
+    Arrow batch (linkgraph anchor aggregation).  Dual-implementation
+    pair: change both or none (pinned by tests/test_urlops.py)."""
+    if url is None:
+        return None
+    m = _DOMAIN_RE.match(url)
+    return (m.group(1) if m else "").lower()
 
 
 def domain_stats(

@@ -193,3 +193,59 @@ def test_curate_self_prior_and_missing_html(spark):
         curate(pages.drop("html"), near_dup_threshold=None,
                min_domain_rank=0.1).count()
     pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+def test_extract_anchors_py():
+    from dqc_spark.linkgraph import extract_anchors_py
+
+    html = (b'<a href="http://a.com/x"><b>Bold</b> &amp; Plain</a>'
+            b'<a href="http://a.com/x">Bold\n  again</a>'
+            b"<a href='/rel'>rel text</a>"
+            b'<a href="http://img.com/"><img src="x.png"/></a>'
+            b'<a href="#frag">skip</a>'
+            b'<a href="mailto:x@y.z">skip</a>')
+    got = extract_anchors_py(html, "https://base.org/d/p")
+    assert got == [
+        ("http://a.com/x", "Bold & Plain"),
+        ("http://a.com/x", "Bold again"),
+        ("https://base.org/rel", "rel text"),
+    ]
+    assert extract_anchors_py(None, "http://x.com") == []
+
+
+def test_anchor_term_counts(spark):
+    from dqc_spark.linkgraph import anchor_term_counts
+
+    rows = [
+        ("http://a.com/1",
+         b'<a href="http://b.com/x">Great News Site</a>'
+         b'<a href="http://a.com/self">my page</a>'
+         b'<a href="http://c.com/z">news</a>'),
+        ("http://b.com/1", b'<a href="http://c.com/z">News news</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r["domain"], r["term"]): r["n_mentions"]
+           for r in anchor_term_counts(df).collect()}
+    assert got == {("b.com", "great"): 1, ("b.com", "news"): 1,
+                   ("b.com", "site"): 1, ("c.com", "news"): 3}
+    # self-votes included on request
+    got2 = {(r["domain"], r["term"]): r["n_mentions"]
+            for r in anchor_term_counts(df, drop_self=False).collect()}
+    assert got2[("a.com", "my")] == 1 and got2[("a.com", "page")] == 1
+    assert got2[("c.com", "news")] == 3
+
+
+def test_anchor_term_counts_partition_invariance(spark):
+    from dqc_spark.linkgraph import anchor_term_counts
+    from dqc_spark.pagesgen import generate_pages
+
+    pages = generate_pages(spark, 80, n_partitions=4)
+    a = {(r["domain"], r["term"]): r["n_mentions"]
+         for r in anchor_term_counts(pages.repartition(1)).collect()}
+    b = {(r["domain"], r["term"]): r["n_mentions"]
+         for r in anchor_term_counts(pages.repartition(9)).collect()}
+    assert a == b

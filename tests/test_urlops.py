@@ -246,3 +246,14 @@ def test_curate_blocked_domains(spark):
     doms_base = {r["domain"]
                  for r in base.select("domain").distinct().collect()}
     assert doms_base.intersection(blocked)
+
+
+def test_domain_of_py_matches_column(spark):
+    """domain_of / domain_of_py dual-implementation pin."""
+    from dqc_spark.urlops import domain_of, domain_of_py
+
+    urls = ["http://A.com/x", "https://b.org:8080/p?q#f", "ftp://c",
+            "nonsense", None, "http://host/path", "http://", ""]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(domain_of("url")).collect()]
+    assert got == [domain_of_py(u) for u in urls]
