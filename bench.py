@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
-PAGES_CACHE = f"/tmp/dqc_bench_pages_{N_DOCS}"
+from dqc_spark.pagesgen import CORPUS_VERSION
+
+PAGES_CACHE = f"/tmp/dqc_bench_pages_{N_DOCS}_v{CORPUS_VERSION}"
 # Scaling pair: N=2 and 4N=8 cores rather than 8/32 — this host (32
 # physical cores, no SMT) runs other tenants at a steady ~10-core load,
 # so high-core runs measure the neighbors, not the engine; 2 vs 8 stays
@@ -226,7 +228,8 @@ def curation_stage_queries(spark) -> dict[str, float]:
 
     from dqc_spark.decontam import decontaminate
     from dqc_spark.linededup import dedup_lines
-    from dqc_spark.linkgraph import pagerank
+    from dqc_spark.linkgraph import domain_edges, pagerank
+    from dqc_spark.lmtrain import train_bigram_lm
     from dqc_spark.mixing import temperature_sample
     from dqc_spark.ordering import training_order
     from dqc_spark.similarity import hyperplane_signatures
@@ -288,6 +291,14 @@ def curation_stage_queries(spark) -> dict[str, float]:
         "curate_repetition_20k": lambda: repetition_signals(
             pages, "url"
         ).agg(F.sum("dup_line_frac")).first(),
+        # distributed LM training over the slice: two combiner-kernel
+        # counting passes + bounded TakeOrdered collects (lmtrain.py)
+        "lm_train_20k": lambda: train_bigram_lm(
+            pages, max_vocab=4096, min_count=2
+        )["total"],
+        # link extraction + domain-edge groupBy over the pages' REAL
+        # embedded outlinks (pagesgen v2)
+        "graph_links_20k": lambda: domain_edges(pages).count(),
         # domain pagerank over the 20k slice's host graph (every page
         # links its own next-host neighbor: deterministic, ~hundreds of
         # domain nodes, 8 checkpointed iterations)

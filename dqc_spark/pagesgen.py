@@ -34,6 +34,9 @@ N_DOMAINS = 1000
 HOT_DOMAINS = 5          # first few domains absorb most urls (skew)
 HOT_SHARE = 0.55
 DUP_URL_RATE = 0.02
+# bump when make_page's output changes in ANY byte — cache dirs (bench
+# pages parquet) embed it so a generator change can't serve stale data
+CORPUS_VERSION = 2
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -144,7 +147,23 @@ def make_page(doc_id: int, allow_dup_url: bool = True) -> dict:
     ts = BASE_TS + _dt.timedelta(
         seconds=(int(doc_id) * 2654435761) % (30 * 86400)
     )
-    html = f"<html><body><p>{text}</p></body></html>".encode("utf-8")
+    # outlink block (v2): 1-3 anchors to other site domains, zipf-mixed
+    # like the url domains, EMPTY visible text — extraction drops them
+    # entirely, so the text column (and every text-derived golden) is
+    # byte-unchanged while the corpus carries a real link graph for the
+    # linkgraph/pagerank/curate-prior operators.  Drawn AFTER every
+    # other field's randomness so the v1 values of url/text/lang/ts are
+    # preserved per doc_id.
+    n_links = 1 + int(r.integers(0, 3))
+    anchors = []
+    for _ in range(n_links):
+        if r.random() < HOT_SHARE:
+            tdom = int(r.integers(0, HOT_DOMAINS))
+        else:
+            tdom = int(r.integers(HOT_DOMAINS, N_DOMAINS))
+        anchors.append(f'<a href="https://site{tdom}.example.com/"></a>')
+    html = (f"<html><body><p>{text}</p>{''.join(anchors)}"
+            f"</body></html>").encode("utf-8")
     return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": claimed}
 
 

@@ -52,6 +52,7 @@ def annotate(
     max_ppl: float = DEFAULT_MAX_PPL,
     lang_col: str | None = "lang",
     engine: str = "pandas",
+    lm: dict | None = None,
 ) -> DataFrame:
     """Append feature, gate, keep and scrubbed_text columns in one pass.
 
@@ -73,7 +74,7 @@ def annotate(
     if engine == "pandas":
         from dqc_spark.scoring import with_scores
 
-        df = with_scores(df, text_col)
+        df = with_scores(df, text_col, lm=lm)
         feat_names = list(gates.feature_columns(text))
     else:
         feats = gates.feature_columns(text)
@@ -84,7 +85,7 @@ def annotate(
         from dqc_spark.perplexity import with_perplexity
 
         df = with_langid(df, text_col)
-        df = with_perplexity(df, text_col)
+        df = with_perplexity(df, text_col, lm=lm)
 
     preds = gates.gate_predicates(
         {k: F.col(k) for k in feat_names}, thresholds
@@ -206,6 +207,7 @@ def curate(
     repetition_thresholds: dict | None = None,
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
+    lm: dict | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -346,7 +348,10 @@ def curate(
             .drop("text_dedup", "__ldk")
         )
 
-    ann = annotate(pages, text_col=text_col, thresholds=thresholds)
+    # ``lm``: a trained perplexity model (lmtrain.train_bigram_lm) for
+    # the high-ppl gate — the CCNet loop (train on a trusted slice,
+    # score the crawl); None keeps the default broadcast LM
+    ann = annotate(pages, text_col=text_col, thresholds=thresholds, lm=lm)
     # persist the annotated survivors: the frame embeds the fused Arrow
     # scoring UDF and feeds 4+ downstream consumers (exact-dedup winners
     # + semi join, minhash signatures, canonical anti-join) — without

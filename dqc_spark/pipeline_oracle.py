@@ -39,12 +39,15 @@ def gate_flags_py(
     claimed_lang: str | None,
     thresholds: dict | None = None,
     max_ppl: float = DEFAULT_MAX_PPL,
+    lm: dict | None = None,
 ) -> dict:
     t = dict(gates.DEFAULT_THRESHOLDS)
     if thresholds:
         t.update(thresholds)
     f = features_py(text)
-    model, lm = _models()
+    model, default_lm = _models()
+    if lm is None:  # custom lm mirrors annotate(lm=...) exactly
+        lm = default_lm
     lang_pred, lang_conf = langid_score(text, model)
     ppl = perplexity(text, lm)
 
@@ -77,13 +80,14 @@ def gate_flags_py(
 
 def oracle_labels(
     rows: list[dict], thresholds: dict | None = None,
-    max_ppl: float = DEFAULT_MAX_PPL,
+    max_ppl: float = DEFAULT_MAX_PPL, lm: dict | None = None,
 ) -> list[dict]:
     """Golden (url, keep, scrubbed_text) per input row — scrubbed_text is
     None for dropped docs, mirroring the pipeline's keep-gated scrub."""
     out = []
     for row in rows:
-        flags = gate_flags_py(row["text"], row.get("lang"), thresholds, max_ppl)
+        flags = gate_flags_py(row["text"], row.get("lang"), thresholds,
+                              max_ppl, lm=lm)
         keep = not any(v for k, v in flags.items() if k.startswith("gate_"))
         out.append(
             {

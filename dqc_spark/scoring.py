@@ -66,8 +66,15 @@ def _broadcast_models(spark: SparkSession) -> tuple:
     return _BC_CACHE[key]
 
 
-def make_score_udf(spark: SparkSession):
+def make_score_udf(spark: SparkSession, lm: dict | None = None):
+    """Fused scoring UDF; ``lm`` swaps the perplexity model for a
+    caller-supplied dict (e.g. trained IN Spark on a trusted slice via
+    ``lmtrain.train_bigram_lm``) — the CCNet loop.  A custom ``lm`` is
+    broadcast here and owned by the caller; langid stays the default
+    broadcast model either way."""
     bc_model, bc_lm = _broadcast_models(spark)
+    if lm is not None:
+        bc_lm = spark.sparkContext.broadcast(lm)
 
     @F.pandas_udf(_SCORE_TYPE)
     def score_udf(texts: pd.Series) -> pd.DataFrame:
@@ -96,11 +103,13 @@ def make_score_udf(spark: SparkSession):
     return score_udf
 
 
-def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_scores(
+    df: DataFrame, text_col: str = "text", lm: dict | None = None
+) -> DataFrame:
     """Append all feature/score columns in one UDF stage (a single
     projection — a withColumn-per-field chain costs one analyzer pass
     per column)."""
-    udf = make_score_udf(df.sparkSession)
+    udf = make_score_udf(df.sparkSession, lm=lm)
     tagged = df.withColumn("__sc", udf(F.col(text_col)))
     return tagged.select(
         *[F.col(c) for c in df.columns],

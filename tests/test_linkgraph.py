@@ -241,11 +241,32 @@ def test_anchor_term_counts(spark):
 
 def test_anchor_term_counts_partition_invariance(spark):
     from dqc_spark.linkgraph import anchor_term_counts
+
+    rows = [
+        (f"http://src{i % 7}.net/p{i}",
+         (f'<a href="http://dst{i % 3}.org/x">topic {i % 5} page</a>'
+          f'<a href="http://dst{(i + 1) % 3}.org/y">other words</a>')
+         .encode())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    a = {(r["domain"], r["term"]): r["n_mentions"]
+         for r in anchor_term_counts(df.repartition(1)).collect()}
+    b = {(r["domain"], r["term"]): r["n_mentions"]
+         for r in anchor_term_counts(df.repartition(9)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_generated_pages_carry_link_graph(spark):
+    """v2 pagesgen: pages embed empty-anchor outlinks — real edges for
+    the graph operators, zero change to extracted text (the round-trip
+    invariant is pinned in test_htmlextract)."""
     from dqc_spark.pagesgen import generate_pages
 
-    pages = generate_pages(spark, 80, n_partitions=4)
-    a = {(r["domain"], r["term"]): r["n_mentions"]
-         for r in anchor_term_counts(pages.repartition(1)).collect()}
-    b = {(r["domain"], r["term"]): r["n_mentions"]
-         for r in anchor_term_counts(pages.repartition(9)).collect()}
-    assert a == b
+    pages = generate_pages(spark, 100, n_partitions=4)
+    edges = domain_edges(pages)
+    assert edges.count() > 0
+    # hub skew: the hot site domains absorb most link weight
+    top = edges.groupBy("dst_domain").agg(
+        F.sum("weight").alias("w")).orderBy(F.desc("w")).first()
+    assert top["dst_domain"] in {f"site{i}.example.com" for i in range(5)}
