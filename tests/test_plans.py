@@ -359,3 +359,26 @@ def test_domain_edges_single_exchange(docs):
     plan = plan_str(out)
     assert plan.count("Exchange") <= 2  # partial+final agg exchange only
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_lm_gram_counts_shuffle_pre_aggregated_rows_only(docs):
+    """LM training counting pass: ONE exchange, carrying the kernel's
+    per-batch (gram, cnt) combiner partials — never per-token rows.
+    HashAggregate above a single mapInPandas stage; a second exchange
+    would mean the combiner shape regressed."""
+    from dqc_spark.lmtrain import word_counts
+
+    p = plan_str(word_counts(docs, "text"))
+    assert p.count("Exchange") == 1
+    assert "MapInPandas" in p
+
+
+def test_anchor_term_counts_single_exchange(spark):
+    from dqc_spark.linkgraph import anchor_term_counts
+
+    df = spark.createDataFrame(
+        [("http://a.com/1", b'<a href="http://b.com/x">words here</a>')],
+        "url string, html binary")
+    p = plan_str(anchor_term_counts(df))
+    assert p.count("Exchange") == 1
+    assert "MapInPandas" in p
