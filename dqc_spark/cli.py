@@ -325,6 +325,12 @@ def main(argv=None) -> int:
     if c == "curate":
         from dqc_spark.pipeline import curate
 
+        if args.domain_ranks and args.min_domain_rank < 0:
+            # silently ignoring a supplied rank table would look like
+            # the reputation gate ran when it did not (review finding)
+            print("error: --domain-ranks requires --min-domain-rank",
+                  file=sys.stderr)
+            return 2
         pages = spark.read.parquet(args.input)
         cur = curate(
             pages,

@@ -65,11 +65,28 @@ _INNER_TAG = re.compile(r"<[^>]*>")
 _ANCHOR_WS = re.compile(r"\s+")
 
 
+def _resolve_href(raw: str, base_url: str | None) -> str | None:
+    """Shared url rules for link AND anchor extraction (one place, so
+    the two can't drift): entity-decode, skip fragment/script/mail
+    pseudo-links, resolve against the page url, http(s) absolutes
+    only.  None = not a followable link."""
+    href = _html.unescape(raw).strip()
+    if not href or href.startswith(("#", "javascript:", "mailto:")):
+        return None
+    try:
+        absu = urljoin(base_url or "", href)
+    except ValueError:
+        return None
+    if not absu.startswith(("http://", "https://")):
+        return None
+    return absu
+
+
 def extract_links_py(html_bytes: bytes | None,
                      base_url: str | None) -> list[str]:
-    """One page's outlinks: href values, entity-decoded, resolved
-    against ``base_url``, http(s) only, order-preserving dedup.
-    Shared verbatim by the kernel and the pytest oracle."""
+    """One page's outlinks: href values through ``_resolve_href``,
+    order-preserving dedup.  Shared verbatim by the kernel and the
+    pytest oracle."""
     if html_bytes is None:
         return []
     s = html_bytes.decode("utf-8", errors="replace")
@@ -77,16 +94,8 @@ def extract_links_py(html_bytes: bytes | None,
     seen: set[str] = set()
     for m in _HREF.finditer(s):
         raw = m.group(2) or m.group(3) or m.group(4) or ""
-        href = _html.unescape(raw).strip()
-        if not href or href.startswith(("#", "javascript:", "mailto:")):
-            continue
-        try:
-            absu = urljoin(base_url or "", href)
-        except ValueError:
-            continue
-        if not absu.startswith(("http://", "https://")):
-            continue
-        if absu not in seen:
+        absu = _resolve_href(raw, base_url)
+        if absu is not None and absu not in seen:
             seen.add(absu)
             out.append(absu)
     return out
@@ -106,14 +115,8 @@ def extract_anchors_py(html_bytes: bytes | None,
     out: list[tuple[str, str]] = []
     for m in _ANCHOR.finditer(s):
         raw = m.group(2) or m.group(3) or m.group(4) or ""
-        href = _html.unescape(raw).strip()
-        if not href or href.startswith(("#", "javascript:", "mailto:")):
-            continue
-        try:
-            absu = urljoin(base_url or "", href)
-        except ValueError:
-            continue
-        if not absu.startswith(("http://", "https://")):
+        absu = _resolve_href(raw, base_url)
+        if absu is None:
             continue
         text = _html.unescape(_INNER_TAG.sub(" ", m.group(5)))
         text = _ANCHOR_WS.sub(" ", text).strip()
@@ -240,9 +243,14 @@ def pagerank(
     spark = edges.sparkSession
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
-    e = edges.select(
+    # persisted: consumed by nodes (twice via the union), out_w and the
+    # norm join — when the caller's edge frame embeds a Python stage
+    # (domain_edges' href-extraction kernel, the curate self-prior
+    # path), each unpersisted consumer would re-run that whole stage
+    # (CLAUDE.md multi-consumer UDF rule; review finding)
+    e = track(edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
-        w.alias("__w"))
+        w.alias("__w")))
     nodes = track(
         e.select(F.col("__src").alias("node"))
         .union(e.select("__dst"))

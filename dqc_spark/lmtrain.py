@@ -27,13 +27,21 @@ Scale shape (what matters at 100 TB):
     real KenLM .arpa artifact would be serialized; the Spark-side
     topology (count → prune → broadcast) is identical.
 
-Tokenization is the repo-wide shared ``wordhash.ascii_tokens`` over
-lowercased text — byte-identical with the decontamination / substring
-/ TF-IDF kernels and the DuckDB differential oracles (see wordhash.py:
-python ``\\s`` vs engine ``\\s`` differ only on characters absent from
-the corpora).  The python reference trainer (``train_lm_py``) uses the
-identical tokenizer, so Spark-vs-python model equality is exact, and
-the produced dict feeds ``textmodels.perplexity`` unchanged.
+Tokenization — two deliberately different tokenizers (review finding):
+
+  * ``word_counts`` / ``bigram_counts`` (the SQL-oracled gram tables)
+    use the repo-wide shared ``wordhash.ascii_tokens`` over lowercased
+    text — byte-identical with the decontamination / substring /
+    TF-IDF kernels and the DuckDB differential oracles.
+  * ``train_bigram_lm`` / ``train_lm_py`` tokenize with
+    ``text.lower().split()`` — EXACTLY what ``textmodels.perplexity``
+    does at scoring time.  Training with the ASCII tokenizer would
+    store e.g. ``'good\\u00a0morning'`` as ONE token that the scorer
+    (which splits on any Unicode whitespace, NBSP included) can never
+    look up, systematically inflating ppl on NBSP-bearing web text.
+    Train-time and score-time vocabularies must agree; the oracle
+    tables must agree with DuckDB.  Both python/Spark twins of each
+    pair share their tokenizer, so model equality stays exact.
 
 Reference parity: the reference (data_quality_checker) has no model
 training; this is §2.5 training-data surface per the web-corpus north
@@ -61,8 +69,20 @@ __all__ = [
 ]
 
 
+def _scorer_tokens(text: str | None) -> list[str]:
+    """The EXACT token stream ``textmodels.perplexity`` sees at scoring
+    time (Unicode-whitespace split of lowercased text)."""
+    return (text or "").lower().split()
+
+
+def _oracle_tokens(text: str | None) -> list[str]:
+    """The DuckDB-matched spelling for the SQL-oracled gram tables."""
+    return ascii_tokens((text or "").lower())
+
+
 def _count_rows(
-    df: DataFrame, text_col: str, n: int, vocab: frozenset | None = None
+    df: DataFrame, text_col: str, n: int, vocab: frozenset | None = None,
+    tokenizer=_oracle_tokens,
 ) -> DataFrame:
     """Per-batch pre-aggregated (gram, cnt) partials from one Arrow
     kernel.  ``n=1`` emits words, ``n=2`` space-joined bigrams; with
@@ -79,7 +99,7 @@ def _count_rows(
         for pdf in batches:
             c: Counter = Counter()
             for text in pdf[text_col]:
-                toks = ascii_tokens((text or "").lower())
+                toks = tokenizer(text)
                 if n == 1:
                     c.update(toks)
                 elif vocab is None:
@@ -108,11 +128,12 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def bigram_counts(
     df: DataFrame, text_col: str = "text",
     vocab: frozenset | None = None,
+    tokenizer=_oracle_tokens,
 ) -> DataFrame:
     """(gram, n_occurrences) with ``gram`` the space-joined word pair;
     bigrams never cross document boundaries."""
     return (
-        _count_rows(df, text_col, 2, vocab)
+        _count_rows(df, text_col, 2, vocab, tokenizer=tokenizer)
         .groupBy("gram")
         .agg(F.sum("cnt").alias("n_occurrences"))
     )
@@ -154,11 +175,12 @@ def train_lm_py(
     k: float = 0.1,
 ) -> dict:
     """Python reference trainer — the exact-parity oracle for
-    ``train_bigram_lm`` (same tokenizer, same pruning, same dict)."""
+    ``train_bigram_lm`` (same scorer-matched tokenizer, same pruning,
+    same dict)."""
     uni: Counter = Counter()
     bi: Counter = Counter()
     for t in texts:
-        toks = ascii_tokens((t or "").lower())
+        toks = _scorer_tokens(t)
         uni.update(toks)
         bi.update(zip(toks, toks[1:]))
     return _prune(uni, bi, max_vocab, min_count, max_bigrams, k)
@@ -180,18 +202,34 @@ def train_bigram_lm(
     one kernel + one groupBy; the driver receives at most ``max_vocab``
     + ``max_bigrams`` rows, never corpus-sized data.  Vocabulary
     restriction happens INSIDE the bigram kernel via a broadcast
-    frozenset, so pruned-word pairs are dropped before the shuffle."""
-    wc = word_counts(df, text_col)
+    frozenset, so pruned-word pairs are dropped before the shuffle.
+
+    Tokenization is the scorer-matched ``text.lower().split()`` — see
+    the module docstring for why it must NOT be the oracle tokenizer."""
+    wc = (
+        _count_rows(df, text_col, 1, tokenizer=_scorer_tokens)
+        .groupBy(F.col("gram").alias("word"))
+        .agg(F.sum("cnt").alias("n_occurrences"))
+    )
     if max_vocab is not None:
         # TakeOrderedAndProject — no global sort materializes
         wc = wc.orderBy(F.desc("n_occurrences"), "word").limit(max_vocab)
     uni = Counter(
         {r["word"]: r["n_occurrences"] for r in wc.collect()})
     vocab = frozenset(uni)
-    bc = bigram_counts(df, text_col, vocab=vocab).filter(
+    bc = bigram_counts(df, text_col, vocab=vocab,
+                       tokenizer=_scorer_tokens).filter(
         F.col("n_occurrences") >= min_count)
     if max_bigrams is not None:
-        bc = bc.orderBy(F.desc("n_occurrences"), "gram").limit(max_bigrams)
+        # tiebreak on the (a, b) WORD PAIR, exactly like _prune's tuple
+        # sort — ordering the joined string diverges from the pair
+        # order when a token contains a sub-0x20 char (review finding);
+        # scorer tokens never contain whitespace, so the single-space
+        # split is total
+        parts = F.split(F.col("gram"), " ", 2)
+        bc = bc.orderBy(F.desc("n_occurrences"),
+                        parts.getItem(0), parts.getItem(1)
+                        ).limit(max_bigrams)
     bi = Counter()
     for r in bc.collect():
         a, b = r["gram"].split(" ", 1)
