@@ -336,6 +336,7 @@ TAIL_ORDER = [
     "pipeline_curate",
     "dedup_components",
     "quality_model_fit",
+    "dsir_select",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

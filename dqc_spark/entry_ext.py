@@ -1062,6 +1062,28 @@ def q_quality_model(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    # DSIR importance resampling end-to-end (rows-only: the two LM fits
+    # are iterative/engine-specific; weight parity + sampler exactness
+    # are pinned by tests/test_dsir.py).  Target LM = the English
+    # slice, raw LM = the whole pool; report the selected docs' lang
+    # mix — a stable 5-rowish summary where `en` dominating is the
+    # method working.
+    from dqc_spark.dsir import importance_weights, weighted_sample
+    from dqc_spark.lmtrain import train_bigram_lm
+
+    docs = _t(spark, sf, "documents")
+    target_lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    raw_lm = train_bigram_lm(docs)
+    w = importance_weights(docs, target_lm, raw_lm)
+    sel = weighted_sample(w, 100, "logw", ["doc_id"], seed=42)
+    return (
+        sel.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 def q_profile_documents(spark, sf):
     # deequ-style one-scan column profiler over documents (exact
     # distincts at this scale; approx=True is the 100 TB path)
@@ -1626,6 +1648,7 @@ def extra_queries():
         "profile_histogram_nchars": q_histogram_nchars,
         "eval_pr_curve": q_pr_curve,
         "quality_model_fit": q_quality_model,
+        "dsir_select": q_dsir_select,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
