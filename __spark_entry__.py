@@ -295,8 +295,6 @@ DRIVER_ORDER = [
     "olap_value_percentiles",
     "olap_sessionization",
     "olap_rich_idle_customers",
-    "setop_customers_with_orders",
-    "setop_customers_without_orders",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
     # canonicalization / domain-stats operators (full SQL oracles) ---
@@ -316,6 +314,13 @@ DRIVER_ORDER = [
     # ann_bruteforce_topk whose Arrow twin ann_topk_arrow is r2-green
     # and equality-pinned by pytest
     "graph_anchor_terms",
+    # --- new in round 3, part 3: DSIR importance resampling and
+    # distributed BPE training (both rows-only — iterative model fits;
+    # exactness pinned by tests/test_dsir.py / test_bpe.py).  Their
+    # slots came from the r1-green setop twins (demoted to the tail;
+    # still pinned by the local differential every round) ---
+    "dsir_select",
+    "text_bpe_token_counts",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -336,7 +341,8 @@ TAIL_ORDER = [
     "pipeline_curate",
     "dedup_components",
     "quality_model_fit",
-    "dsir_select",
+    "setop_customers_with_orders",
+    "setop_customers_without_orders",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -1084,6 +1084,30 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_bpe_token_counts(spark, sf):
+    # distributed BPE training (one combiner pass + driver merge loop)
+    # then trained-subword counting via one broadcast-ranks Arrow
+    # kernel.  Rows-only: merge training is iterative/engine-specific;
+    # Spark-vs-python model equality and encode parity are pinned by
+    # tests/test_bpe.py.  Per-lang subword totals summarize the
+    # end-to-end result in a stable ~5-row frame.
+    from dqc_spark.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(docs, n_merges=100, max_words=20_000)
+    counted = bpe_token_counts(docs, merges)
+    return (
+        docs.select("doc_id", "lang")
+        .join(counted.select("doc_id", "n_bpe_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("sum_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_profile_documents(spark, sf):
     # deequ-style one-scan column profiler over documents (exact
     # distincts at this scale; approx=True is the 100 TB path)
@@ -1649,6 +1673,7 @@ def extra_queries():
         "eval_pr_curve": q_pr_curve,
         "quality_model_fit": q_quality_model,
         "dsir_select": q_dsir_select,
+        "text_bpe_token_counts": q_bpe_token_counts,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
