@@ -292,7 +292,6 @@ DRIVER_ORDER = [
     "olap_top_customers_per_nation",
     "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
-    "olap_value_percentiles",
     "olap_sessionization",
     "olap_rich_idle_customers",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
@@ -321,6 +320,10 @@ DRIVER_ORDER = [
     # still pinned by the local differential every round) ---
     "dsir_select",
     "text_bpe_token_counts",
+    # C4-style line cleaning (full SQL oracle over a planted lined
+    # corpus); slot from the r1-green exact-percentiles twin (demoted
+    # to the tail — its approx variant stays in the window)
+    "text_c4_line_filter",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -343,6 +346,7 @@ TAIL_ORDER = [
     "quality_model_fit",
     "setop_customers_with_orders",
     "setop_customers_without_orders",
+    "olap_value_percentiles",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

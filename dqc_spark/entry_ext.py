@@ -1084,6 +1084,44 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_c4_line_filter(spark, sf):
+    # C4-style line cleaning + page gate (c4clean.py).  The synthetic
+    # docs are single-line and punctuation-free, so a lined corpus is
+    # derived (same construction in the oracle): three keepable
+    # sentence lines (. ? !), a short line, a javascript line, an
+    # unterminated line, plus curly-bracket / lorem-ipsum plants on
+    # doc_id % 11 / % 13 to exercise the page-level drops.
+    from dqc_spark.c4clean import c4_clean
+    from dqc_spark.gates import words_col
+
+    docs = _t(spark, sf, "documents")
+    w = words_col(F.col("text"))
+
+    def seg(start, n):
+        return F.concat_ws(" ", F.slice(w, start, n))
+
+    lined = F.concat_ws(
+        "\n",
+        F.concat(seg(1, 8), F.lit(".")),
+        seg(1, 3),
+        F.lit("Please enable javascript to continue viewing."),
+        F.concat(seg(9, 8), F.lit("?")),
+        seg(17, 8),
+        F.concat(seg(1, 6), F.lit("!")),
+    )
+    lined = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(lined, F.lit("\nif (x) { return; }")),
+    ).otherwise(lined)
+    lined = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(lined, F.lit("\nLorem ipsum dolor sit amet.")),
+    ).otherwise(lined)
+    src = docs.select("doc_id", lined.alias("text"))
+    out = c4_clean(src)
+    return out.select("doc_id", "clean_text", "n_sentences", "keep")
+
+
 def q_bpe_token_counts(spark, sf):
     # distributed BPE training (one combiner pass + driver merge loop)
     # then trained-subword counting via one broadcast-ranks Arrow
@@ -1674,6 +1712,7 @@ def extra_queries():
         "quality_model_fit": q_quality_model,
         "dsir_select": q_dsir_select,
         "text_bpe_token_counts": q_bpe_token_counts,
+        "text_c4_line_filter": q_c4_line_filter,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
@@ -1694,6 +1733,55 @@ _STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
 
 def extra_oracle_sql():
     return {
+        # lined corpus derived identically to q_c4_line_filter; line
+        # rules on the trim()-stripped line (explicit charset = the
+        # kernel's _STRIP_SET), survivors rejoined stripped; page gate
+        # checks the ORIGINAL lined text for lorem/curly markers
+        "text_c4_line_filter": r"""
+            WITH src AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), lined AS (
+              SELECT doc_id,
+                     array_to_string([
+                       array_to_string(w[1:8], ' ') || '.',
+                       array_to_string(w[1:3], ' '),
+                       'Please enable javascript to continue viewing.',
+                       array_to_string(w[9:16], ' ') || '?',
+                       array_to_string(w[17:24], ' '),
+                       array_to_string(w[1:6], ' ') || '!'
+                     ], chr(10))
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || 'if (x) { return; }' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+                        ELSE '' END AS text
+              FROM src
+            ), cleaned AS (
+              SELECT doc_id, text AS orig,
+                     array_to_string(
+                       list_filter(
+                         list_transform(
+                           string_split(text, chr(10)),
+                           l -> trim(l, ' ' || chr(9) || chr(13)
+                                     || chr(11) || chr(12))),
+                         s -> s <> ''
+                           AND len(regexp_split_to_array(s, '\s+')) >= 5
+                           AND regexp_matches(s, '[.!?"]$')
+                           AND NOT contains(lower(s), 'javascript')),
+                       chr(10)) AS clean_text
+              FROM lined
+            )
+            SELECT doc_id, clean_text,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+                        AS BIGINT) AS n_sentences,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+                    AND NOT contains(lower(orig), 'lorem ipsum')
+                    AND NOT contains(orig, '{')) AS keep
+            FROM cleaned
+        """,
         "dedup_exact_groups": """
             SELECT md5(text) AS text_hash, COUNT(*) AS n FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1
