@@ -153,6 +153,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain-ranks", default=None,
                    help="parquet with (node, rank): a precomputed "
                         "link-graph prior for --min-domain-rank")
+    p.add_argument("--c4-lines", action="store_true",
+                   help="C4-style line cleaning + page gate before "
+                        "scoring (terminal-punct >=5-word lines; drop "
+                        "lorem-ipsum/curly pages, <3 sentences)")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -355,6 +359,7 @@ def main(argv=None) -> int:
                           if args.domain_ranks else None),
             min_domain_rank=(args.min_domain_rank
                              if args.min_domain_rank >= 0 else None),
+            c4_line_clean=args.c4_lines,
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -208,6 +208,7 @@ def curate(
     domain_ranks: DataFrame | None = None,
     min_domain_rank: float | None = None,
     lm: dict | None = None,
+    c4_line_clean: bool = False,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -234,6 +235,12 @@ def curate(
       0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
          (linededup.py), BEFORE gating: de-boilerplated text is what
          the quality gates should score
+      0d. ``c4_line_clean`` — C4-style line cleaning (c4clean.py):
+         drop short / unterminated / javascript lines inside each page,
+         then drop pages under 3 surviving sentences or carrying
+         lorem-ipsum / curly-bracket markers.  After line dedup (the
+         dedup should see the raw boilerplate), before scoring (gates
+         should score the cleaned text).  Shuffle-free.
       1. ``annotate`` + keep-filter (gates/langid/ppl/scrub; 0 shuffles)
       1b. ``repetition_thresholds`` — Gopher A1.1 repetition gates
          (textstats.repetition_signals) on the kept scrubbed text;
@@ -346,6 +353,18 @@ def curate(
             with_key.join(lded.select("__ldk", "text_dedup"), on="__ldk")
             .withColumn(text_col, F.col("text_dedup"))
             .drop("text_dedup", "__ldk")
+        )
+
+    if c4_line_clean:
+        from dqc_spark.c4clean import c4_clean
+
+        cleaned = c4_clean(pages, text_col=text_col)
+        pages = (
+            # NULL-text pages fail the gate here exactly like every
+            # doc-level gate downstream (filter drops NULL predicates)
+            cleaned.filter(F.col("keep"))
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_sentences", "keep")
         )
 
     # ``lm``: a trained perplexity model (lmtrain.train_bigram_lm) for

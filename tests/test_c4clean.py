@@ -86,6 +86,56 @@ def test_page_pred_checks_original_not_cleaned(spark):
     assert row["keep"] is False
 
 
+def test_curate_c4_stage(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 60, n_partitions=2)
+    good_lines = [
+        "the quick brown fox jumps over the lazy dog today.",
+        "she said the old house was on the far green hill.",
+        "a small bird sang in the tall tree all morning long!",
+        "we walked down to the river and watched the water flow?",
+    ]
+    boiler = [
+        "click here",
+        "please enable javascript for the full site experience now.",
+        "home about contact privacy terms",
+    ]
+    raw = "\n".join(good_lines[:2] + boiler + good_lines[2:])
+    clean = "\n".join(good_lines)
+    code = clean + "\nif (x) { y; }"
+    # the default broadcast LM is trained on the pagesgen vocabulary, so
+    # hand-written English fails the ppl gate — score with an LM trained
+    # on the planted text instead (the CCNet trained-LM path)
+    from dqc_spark.lmtrain import train_lm_py
+
+    lm = train_lm_py([raw, code])
+    r = pages.first()
+
+    def mk(url, text):
+        return (url, r["warc_ts"], r["html"], text, "en")
+
+    planted = spark.createDataFrame(
+        [mk("http://planted.example.com/good", raw),
+         mk("http://planted.example.com/code", code)],
+        pages.schema)
+    corpus = pages.unionByName(planted)
+
+    off = curate(corpus, near_dup_threshold=None, lm=lm)
+    assert off.filter(F.col("url").like("%planted%")).count() == 2
+
+    on = curate(corpus, near_dup_threshold=None, c4_line_clean=True, lm=lm)
+    got = {row["url"]: row
+           for row in on.filter(F.col("url").like("%planted%")).collect()}
+    # boilerplate page survives WITH its lines cleaned; curly page dies
+    assert set(got) == {"http://planted.example.com/good"}
+    assert got["http://planted.example.com/good"]["text"] == clean
+    # the synthetic pages have no terminal punctuation at all -> the C4
+    # stage removes every line, so none survive the sentence gate
+    assert on.count() == 1
+
+
 def test_plan_is_shuffle_free(spark, pages):
     plan = c4_clean(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
