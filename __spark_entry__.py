@@ -282,7 +282,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "text_fingerprints",
     "text_top_ngrams",
     "text_langid_heuristic",
     "olap_events_hourly",
@@ -324,6 +323,10 @@ DRIVER_ORDER = [
     # corpus); slot from the r1-green exact-percentiles twin (demoted
     # to the tail — its approx variant stays in the window)
     "text_c4_line_filter",
+    # robots-meta noindex gate (full SQL oracle — three engines share
+    # the same pattern strings); slot from the r1-green
+    # text_fingerprints (demoted, still locally pinned)
+    "html_noindex",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -347,6 +350,7 @@ TAIL_ORDER = [
     "setop_customers_with_orders",
     "setop_customers_without_orders",
     "olap_value_percentiles",
+    "text_fingerprints",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

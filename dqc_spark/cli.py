@@ -157,6 +157,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="C4-style line cleaning + page gate before "
                         "scoring (terminal-punct >=5-word lines; drop "
                         "lorem-ipsum/curly pages, <3 sentences)")
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="respect robots-meta opt-outs: drop pages whose "
+                        "html carries a noindex/none directive")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -360,6 +363,7 @@ def main(argv=None) -> int:
             min_domain_rank=(args.min_domain_rank
                              if args.min_domain_rank >= 0 else None),
             c4_line_clean=args.c4_lines,
+            drop_noindex=args.drop_noindex,
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -1084,6 +1084,38 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_html_noindex(spark, sf):
+    # robots-meta noindex gate (htmlextract.noindex_pred): synthetic
+    # head plants one directive variant per doc_id % 7 — quoted /
+    # reversed-attr / unquoted / uppercase noindex|none (drops),
+    # nofollow-only / commented-out / absent (keeps).  The oracle
+    # builds the identical html and matches with the SAME pattern
+    # strings under DuckDB's RE2 — three engines, one source of truth.
+    from dqc_spark.htmlextract import noindex_pred
+
+    docs = _t(spark, sf, "documents")
+    meta = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 7 == 1,
+              F.lit("<meta content='NONE' name='ROBOTS'>"))
+        .when(F.col("doc_id") % 7 == 2,
+              F.lit('<meta name="robots" content="nofollow">'))
+        .when(F.col("doc_id") % 7 == 3,
+              F.lit('<!--<meta name="robots" content="noindex">-->'))
+        .when(F.col("doc_id") % 7 == 4,
+              F.lit("<META NAME=ROBOTS CONTENT=NOINDEX />"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", noindex_pred(html).alias("noindex")
+    )
+
+
 def q_c4_line_filter(spark, sf):
     # C4-style line cleaning + page gate (c4clean.py).  The synthetic
     # docs are single-line and punctuation-free, so a lined corpus is
@@ -1713,6 +1745,7 @@ def extra_queries():
         "dsir_select": q_dsir_select,
         "text_bpe_token_counts": q_bpe_token_counts,
         "text_c4_line_filter": q_c4_line_filter,
+        "html_noindex": q_html_noindex,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
@@ -1731,8 +1764,43 @@ def extra_queries():
 _STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
 
 
+def _noindex_oracle_sql() -> str:
+    """Same html construction as q_html_noindex; matching uses the
+    VERBATIM pattern strings from htmlextract (single source of truth
+    across Catalyst rlike, the python twin and DuckDB RE2)."""
+    from dqc_spark.htmlextract import NOINDEX_PATTERNS
+
+    p1, p2 = (p.replace("'", "''") for p in NOINDEX_PATTERNS)
+    return f"""
+        WITH built AS (
+          SELECT doc_id,
+                 '<html><head>' ||
+                 CASE doc_id % 7
+                   WHEN 0 THEN
+                     '<meta name="robots" content="noindex, nofollow">'
+                   WHEN 1 THEN '<meta content=''NONE'' name=''ROBOTS''>'
+                   WHEN 2 THEN '<meta name="robots" content="nofollow">'
+                   WHEN 3 THEN '<!--<meta name="robots" content="noindex">-->'
+                   WHEN 4 THEN '<META NAME=ROBOTS CONTENT=NOINDEX />'
+                   ELSE ''
+                 END || '</head><body><p>' || text || '</p></body></html>'
+                 AS html
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id,
+                 regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS s
+          FROM built
+        )
+        SELECT doc_id,
+               (regexp_matches(s, '{p1}') OR regexp_matches(s, '{p2}'))
+                 AS noindex
+        FROM stripped
+    """
+
+
 def extra_oracle_sql():
     return {
+        "html_noindex": _noindex_oracle_sql(),
         # lined corpus derived identically to q_c4_line_filter; line
         # rules on the trim()-stripped line (explicit charset = the
         # kernel's _STRIP_SET), survivors rejoined stripped; page gate

@@ -209,6 +209,7 @@ def curate(
     min_domain_rank: float | None = None,
     lm: dict | None = None,
     c4_line_clean: bool = False,
+    drop_noindex: bool = False,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -221,6 +222,11 @@ def curate(
          (urlops.domain_filter, suffix semantics); runs before
          everything: a shuffle-free codegen filter is the cheapest
          possible row reduction
+      0a''. ``drop_noindex`` — respect robots-meta opt-outs: drop pages
+         whose html carries ``<meta name="robots" content="noindex">``
+         (or "none"); pages without html / without a directive are
+         KEPT.  Pure-Catalyst regexps (htmlextract.noindex_pred),
+         shuffle-free, right behind the blocklist.
       0b'. ``min_domain_rank`` — link-graph reputation gate: drop pages
          whose domain's PageRank (linkgraph.py) falls below the
          threshold.  ``domain_ranks`` is a (node, rank) frame — pass
@@ -276,6 +282,14 @@ def curate(
         # cheapest possible row reduction, ahead of even the snapshot
         # anti-join
         pages = domain_filter(pages, blocked_domains, url_col=key_col)
+    if drop_noindex:
+        from dqc_spark.htmlextract import noindex_pred
+
+        if "html" not in pages.columns:
+            raise ValueError("drop_noindex needs an 'html' column")
+        # NULL html / no directive -> keep (absence is not an opt-out)
+        pages = pages.filter(
+            ~F.coalesce(noindex_pred("html"), F.lit(False)))
     if min_domain_rank is not None:
         from dqc_spark.linkgraph import domain_edges, pagerank
         from dqc_spark.urlops import domain_of
