@@ -226,7 +226,10 @@ def curation_stage_queries(spark) -> dict[str, float]:
     stage regressed' has a mechanical answer."""
     from pyspark.sql import functions as F
 
+    from dqc_spark.bpe import bpe_token_counts, train_bpe
+    from dqc_spark.c4clean import c4_clean
     from dqc_spark.decontam import decontaminate
+    from dqc_spark.dsir import importance_weights, weighted_sample
     from dqc_spark.linededup import dedup_lines
     from dqc_spark.linkgraph import domain_edges, pagerank
     from dqc_spark.lmtrain import train_bigram_lm
@@ -266,6 +269,14 @@ def curation_stage_queries(spark) -> dict[str, float]:
     )
     n_vecs = vecs.count()
 
+    # models for the DSIR / BPE stage timings are trained ONCE outside
+    # the thunks (training cost is measured by lm_train_20k /
+    # bpe_train_20k; the application thunks time only the kernels)
+    dsir_target_lm = train_bigram_lm(
+        pages.limit(2000), max_vocab=4096, min_count=2)
+    dsir_raw_lm = train_bigram_lm(pages, max_vocab=4096, min_count=2)
+    bpe_merges = train_bpe(pages, n_merges=50, max_words=20000)
+
     trials = min(TRIALS, 3)
     thunks = {
         "curate_line_dedup_20k": lambda: dedup_lines(
@@ -296,6 +307,22 @@ def curation_stage_queries(spark) -> dict[str, float]:
         "lm_train_20k": lambda: train_bigram_lm(
             pages, max_vocab=4096, min_count=2
         )["total"],
+        # C4 line cleaning: one Arrow kernel + Catalyst page gates
+        "curate_c4_clean_20k": lambda: c4_clean(pages)
+        .agg(F.sum(F.col("keep").cast("int"))).first(),
+        # DSIR: two broadcast-LM perplexities per doc in one kernel,
+        # then the Gumbel top-k TakeOrdered
+        "dsir_select_20k": lambda: weighted_sample(
+            importance_weights(pages, dsir_target_lm, dsir_raw_lm),
+            1000, "logw", ["url"],
+        ).count(),
+        # BPE: the distributed count pass + driver merge loop
+        "bpe_train_20k": lambda: len(
+            train_bpe(pages, n_merges=50, max_words=20000)),
+        # BPE encode: broadcast ranks + one memoized Arrow kernel
+        "bpe_encode_20k": lambda: bpe_token_counts(
+            pages, bpe_merges, key_col="url"
+        ).agg(F.sum("n_bpe_tokens")).first(),
         # link extraction + domain-edge groupBy over the pages' REAL
         # embedded outlinks (pagesgen v2)
         "graph_links_20k": lambda: domain_edges(pages).count(),
