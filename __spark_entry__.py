@@ -282,7 +282,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "text_top_ngrams",
     "text_langid_heuristic",
     "olap_events_hourly",
     "olap_events_windowed",
@@ -327,6 +326,9 @@ DRIVER_ORDER = [
     # the same pattern strings); slot from the r1-green
     # text_fingerprints (demoted, still locally pinned)
     "html_noindex",
+    # TrustRank (seed-restricted teleport; unrolled-CTE SQL oracle);
+    # slot from the r1-green text_top_ngrams (demoted, locally pinned)
+    "graph_trustrank",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -351,6 +353,7 @@ TAIL_ORDER = [
     "setop_customers_without_orders",
     "olap_value_percentiles",
     "text_fingerprints",
+    "text_top_ngrams",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

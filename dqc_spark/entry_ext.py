@@ -1619,10 +1619,14 @@ def q_graph_pagerank(spark, sf):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_unrolled_sql(n_iter: int, damping: float) -> str:
+def _pagerank_unrolled_sql(
+    n_iter: int, damping: float, seeds: tuple[str, ...] | None = None,
+) -> str:
     """The oracle is the textbook spelling, mechanically unrolled: one
     (dangling, contribution, rank) CTE triple per iteration — no
-    recursion (aggregates are not allowed in a recursive CTE term)."""
+    recursion (aggregates are not allowed in a recursive CTE term).
+    With ``seeds``, teleport AND dangling mass flow to the seed set
+    only (TrustRank), matching linkgraph.pagerank(teleport=...)."""
     ctes = [f"""
         e AS (
             SELECT 'd' || CAST(doc_id % 7 AS VARCHAR) AS src,
@@ -1640,7 +1644,30 @@ def _pagerank_unrolled_sql(n_iter: int, damping: float) -> str:
             FROM e JOIN outw ON e.src = outw.src
         ),
         r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    if seeds is not None:
+        sl = ", ".join(f"'{s}'" for s in seeds)
+        # swap the uniform r0 for the trust-vector start (the base
+        # block string ends with the r0 definition)
+        uniform_r0 = "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+        assert ctes[0].endswith(uniform_r0)
+        ctes[0] = ctes[0][: -len(uniform_r0)] + f"""tv AS (
+            SELECT node,
+                   CASE WHEN node IN ({sl})
+                        THEN 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE)
+                                    FROM nodes WHERE node IN ({sl}))
+                        ELSE 0.0 END AS t
+            FROM nodes
+        ),
+        r0 AS (SELECT node, t AS rank FROM tv)"""
     for k in range(1, n_iter + 1):
+        if seeds is None:
+            tele = f"(1 - {damping}) / (SELECT n FROM nn)"
+            dang = f"(SELECT dm FROM d{k}) / (SELECT n FROM nn)"
+            tv_join = ""
+        else:
+            tele = f"(1 - {damping}) * tv.t"
+            dang = f"(SELECT dm FROM d{k}) * tv.t"
+            tv_join = " JOIN tv ON tv.node = nodes.node"
         ctes.append(f"""
         d{k} AS (
             SELECT COALESCE(SUM(rank), 0) AS dm FROM r{k - 1}
@@ -1653,14 +1680,27 @@ def _pagerank_unrolled_sql(n_iter: int, damping: float) -> str:
         ),
         r{k} AS (
             SELECT nodes.node,
-                   (1 - {damping}) / (SELECT n FROM nn)
+                   {tele}
                    + {damping} * (COALESCE(c.c, 0)
-                                  + (SELECT dm FROM d{k})
-                                    / (SELECT n FROM nn)) AS rank
-            FROM nodes LEFT JOIN c{k} c ON nodes.node = c.dst
+                                  + {dang}) AS rank
+            FROM nodes LEFT JOIN c{k} c ON nodes.node = c.dst{tv_join}
         )""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+
+
+_TR_SEEDS = ("d0", "d3")
+
+
+def q_graph_trustrank(spark, sf):
+    # TrustRank over the same 7-node graph: teleport restricted to the
+    # seed domains (linkgraph.trustrank); oracle = the unrolled CTE
+    # chain with the seed-restricted teleport/dangling terms
+    from dqc_spark.linkgraph import trustrank
+
+    tr = trustrank(_pr_edges_df(spark, sf), list(_TR_SEEDS),
+                   n_iter=_PR_ITER, damping=_PR_DAMP)
+    return tr.select("node", F.round("rank", 6).alias("rank"))
 
 
 def q_url_domain_stats(spark, sf):
@@ -1758,6 +1798,7 @@ def extra_queries():
         "graph_domain_edges": q_graph_domain_edges,
         "graph_anchor_terms": q_graph_anchor_terms,
         "graph_pagerank": q_graph_pagerank,
+        "graph_trustrank": q_graph_trustrank,
     }
 
 
@@ -2779,6 +2820,8 @@ def extra_oracle_sql():
             GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_unrolled_sql(_PR_ITER, _PR_DAMP),
+        "graph_trustrank": _pagerank_unrolled_sql(
+            _PR_ITER, _PR_DAMP, seeds=_TR_SEEDS),
         # independent mechanism: unnest + groupBy per line/paragraph
         # (the corpus-shuffling spelling the Arrow kernel avoids);
         # ratios are int-derived identical doubles -> FLOOR (_trunc4)

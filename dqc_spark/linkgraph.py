@@ -49,6 +49,7 @@ __all__ = [
     "domain_edges",
     "anchor_term_counts",
     "pagerank",
+    "trustrank",
 ]
 
 _HREF = re.compile(
@@ -227,19 +228,28 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     checkpoint_every: int = 5,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` damped power iterations.
 
-    rank'(v) = (1-d)/N + d * (sum over in-edges u->v of
-    rank(u) * w(u,v) / out_weight(u)  +  dangling_mass / N)
+    rank'(v) = (1-d)·t(v) + d * (sum over in-edges u->v of
+    rank(u) * w(u,v) / out_weight(u)  +  dangling_mass · t(v))
 
-    Ranks sum to exactly 1 each round (dangling mass redistributed).
-    One driver action per round: the contribution frame is persisted
-    and its scalar total collected — the dangling mass falls out of the
-    invariant (dangling = 1 - linked mass, since every non-dangling
-    node's rank is fully distributed over its out-edges), so no second
-    per-round aggregate over the rank frame is needed, and the next
-    round's ranks chain lazily over the cached contributions."""
+    ``teleport`` personalizes t(v): a (node, weight) frame, normalized
+    over the nodes actually present in the graph (weights on absent
+    nodes are dropped; nodes without a weight get t=0 — random surfers
+    never jump there, which is exactly the TrustRank bias).  None keeps
+    the uniform t(v)=1/N (classic PageRank; that path is bit-identical
+    to the pre-teleport implementation).
+
+    Ranks sum to exactly 1 each round for ANY t summing to 1 (dangling
+    mass redistributed ∝ t).  One driver action per round: the
+    contribution frame is persisted and its scalar total collected —
+    the dangling mass falls out of the invariant (dangling = 1 - linked
+    mass, since every non-dangling node's rank is fully distributed
+    over its out-edges), so no second per-round aggregate over the rank
+    frame is needed, and the next round's ranks chain lazily over the
+    cached contributions."""
     spark = edges.sparkSession
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
@@ -266,8 +276,30 @@ def pagerank(
         .select("__src", "__dst", (F.col("__w") / F.col("__out"))
                 .alias("__p"))
     )
-    ranks = track(nodes.select("node", F.lit(1.0 / n).alias("rank")))
-    teleport = (1.0 - damping) / n
+    if teleport is None:
+        # bit-exact legacy arithmetic: scalar constants, no __t column
+        nodes_t = nodes.withColumn("__t", F.lit(1.0 / n))
+        tele_expr = F.lit((1.0 - damping) / n)
+        ranks0 = F.lit(1.0 / n)
+        dang_expr = None  # scalar dangling/n, filled per round
+    else:
+        tp = teleport.select(
+            F.col("node").cast("string").alias("node"),
+            F.col("weight").cast("double").alias("__tw"))
+        joined = nodes.join(tp, "node", "left").withColumn(
+            "__tw", F.coalesce(F.col("__tw"), F.lit(0.0)))
+        total = joined.agg(F.sum("__tw")).collect()[0][0]
+        if not total or total <= 0:
+            raise ValueError(
+                "teleport weights must be positive on at least one "
+                "node present in the graph")
+        nodes_t = joined.select(
+            "node", (F.col("__tw") / F.lit(float(total))).alias("__t"))
+        tele_expr = F.lit(1.0 - damping) * F.col("__t")
+        ranks0 = F.col("__t")
+        dang_expr = F.col("__t")
+    nodes_t = track(nodes_t)
+    ranks = track(nodes_t.select("node", ranks0.alias("rank")))
     prev_contrib = None
     for i in range(n_iter):
         contrib = track(
@@ -282,13 +314,16 @@ def pagerank(
         dangling = 1.0 - linked
         if prev_contrib is not None:  # safe: contrib is materialized
             prev_contrib.unpersist()
+        dang = (F.lit(dangling / n) if dang_expr is None
+                else F.lit(dangling) * dang_expr)
         new = (
-            nodes.join(contrib, nodes["node"] == contrib["__dst"], "left")
+            nodes_t.join(contrib, nodes_t["node"] == contrib["__dst"],
+                         "left")
             .select(
                 "node",
-                (F.lit(teleport) + F.lit(damping)
+                (tele_expr + F.lit(damping)
                  * (F.coalesce(F.col("__c"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("rank"),
+                    + dang)).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
@@ -302,3 +337,36 @@ def pagerank(
     if prev_contrib is not None:
         prev_contrib.unpersist()
     return ranks
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds,
+    src_col: str = "src_domain",
+    dst_col: str = "dst_domain",
+    weight_col: str | None = "weight",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al., VLDB 2004): PageRank whose teleport
+    is restricted to a hand-vetted seed set, so rank can only flow OUT
+    of trusted domains along links — spam farms that boost ordinary
+    PageRank by interlinking get no mass unless trusted domains
+    actually link toward them.  ``seeds`` is a list of node names
+    (uniform trust) or a (node, weight) DataFrame (biased trust); use
+    the result wherever a ``domain_ranks`` prior is accepted
+    (``curate(min_domain_rank=...)``)."""
+    if isinstance(seeds, (list, tuple, set)):
+        spark = edges.sparkSession
+        tp = spark.createDataFrame(
+            [(str(s), 1.0) for s in sorted(seeds)],
+            "node string, weight double")
+    else:
+        tp = seeds
+        if "weight" not in tp.columns:
+            tp = tp.withColumn("weight", F.lit(1.0))
+    return pagerank(
+        edges, src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+        damping=damping, n_iter=n_iter, checkpoint_every=checkpoint_every,
+        teleport=tp)

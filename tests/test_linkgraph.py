@@ -270,3 +270,108 @@ def test_generated_pages_carry_link_graph(spark):
     top = edges.groupBy("dst_domain").agg(
         F.sum("weight").alias("w")).orderBy(F.desc("w")).first()
     assert top["dst_domain"] in {f"site{i}.example.com" for i in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# trustrank (personalized teleport)
+# ---------------------------------------------------------------------------
+
+def trustrank_py(edges, seeds, damping=0.85, n_iter=10, weights=None):
+    """Independent dense model: power iteration with teleport AND
+    dangling mass restricted to the trust vector."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    t = [0.0] * n
+    if weights is None:
+        weights = {s: 1.0 for s in seeds}
+    tot = sum(w for s, w in weights.items() if s in idx)
+    for s, w in weights.items():
+        if s in idx:
+            t[idx[s]] = w / tot
+    out = [0.0] * n
+    for s, _, w in edges:
+        out[idx[s]] += w
+    ranks = list(t)
+    for _ in range(n_iter):
+        dangling = sum(r for i, r in enumerate(ranks) if out[i] == 0.0)
+        new = [(1 - damping) * t[i] + damping * dangling * t[i]
+               for i in range(n)]
+        for s, d, w in edges:
+            new[idx[d]] += damping * ranks[idx[s]] * (w / out[idx[s]])
+        ranks = new
+    return dict(zip(nodes, ranks))
+
+
+def test_trustrank_matches_python_model(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    got = {r["node"]: r["rank"]
+           for r in trustrank(df, ["a", "d"], n_iter=12).collect()}
+    want = trustrank_py(EDGES, ["a", "d"], n_iter=12)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-15), k
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_trustrank_uniform_teleport_equals_pagerank(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    all_nodes = sorted({e[0] for e in EDGES} | {e[1] for e in EDGES})
+    tr = {r["node"]: r["rank"]
+          for r in trustrank(df, all_nodes, n_iter=9).collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(df, n_iter=9).collect()}
+    for k in pr:
+        assert tr[k] == pytest.approx(pr[k], rel=1e-12), k
+
+
+def test_trustrank_starves_unreachable_spam(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    # trusted cluster a<->b; spam farm x<->y interlinks itself but no
+    # trusted domain links toward it: ordinary pagerank gives the farm
+    # mass via teleport, trustrank gives it exactly the damped dangling
+    # leakage — zero here (no dangling nodes)
+    edges = [("a", "b", 1.0), ("b", "a", 1.0),
+             ("x", "y", 5.0), ("y", "x", 5.0)]
+    df = spark.createDataFrame(
+        edges, "src_domain string, dst_domain string, weight double")
+    pr = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    tr = {r["node"]: r["rank"]
+          for r in trustrank(df, ["a"], n_iter=10).collect()}
+    assert pr["x"] > 0.2            # the farm self-boosts under pagerank
+    assert tr["x"] == pytest.approx(0.0, abs=1e-15)
+    assert tr["y"] == pytest.approx(0.0, abs=1e-15)
+    assert tr["a"] + tr["b"] == pytest.approx(1.0)
+
+
+def test_trustrank_weighted_seeds_and_absent_seed(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    # seed weights 3:1, plus a seed absent from the graph (dropped and
+    # renormalized over in-graph seeds)
+    tp = spark.createDataFrame(
+        [("a", 3.0), ("d", 1.0), ("ghost", 9.0)],
+        "node string, weight double")
+    got = {r["node"]: r["rank"]
+           for r in trustrank(df, tp, n_iter=8).collect()}
+    want = trustrank_py(EDGES, None, n_iter=8,
+                        weights={"a": 3.0, "d": 1.0, "ghost": 9.0})
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-15), k
+
+
+def test_trustrank_disjoint_seeds_raise(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    with pytest.raises(ValueError, match="teleport"):
+        trustrank(df, ["nope"], n_iter=3)
