@@ -282,7 +282,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "text_langid_heuristic",
     "olap_events_hourly",
     "olap_events_windowed",
     "olap_rollup_daily",
@@ -329,6 +328,9 @@ DRIVER_ORDER = [
     # TrustRank (seed-restricted teleport; unrolled-CTE SQL oracle);
     # slot from the r1-green text_top_ngrams (demoted, locally pinned)
     "graph_trustrank",
+    # per-source snapshot drift report (full SQL oracle); slot from the
+    # r1-green text_langid_heuristic (demoted, locally pinned)
+    "snapshot_drift_by_source",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -354,6 +356,7 @@ TAIL_ORDER = [
     "olap_value_percentiles",
     "text_fingerprints",
     "text_top_ngrams",
+    "text_langid_heuristic",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -1084,6 +1084,17 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_snapshot_drift(spark, sf):
+    # per-source drift report between two snapshots (snapshot_drift):
+    # prev = the corpus minus every third doc, cur = the full corpus —
+    # every source shows growth, exercising the full-outer + delta math
+    from dqc_spark.snapshot import snapshot_drift
+
+    docs = _t(spark, sf, "documents")
+    prev = docs.filter(F.col("doc_id") % 3 != 0)
+    return snapshot_drift(docs, prev, group_col="source")
+
+
 def q_html_noindex(spark, sf):
     # robots-meta noindex gate (htmlextract.noindex_pred): synthetic
     # head plants one directive variant per doc_id % 7 — quoted /
@@ -1786,6 +1797,7 @@ def extra_queries():
         "text_bpe_token_counts": q_bpe_token_counts,
         "text_c4_line_filter": q_c4_line_filter,
         "html_noindex": q_html_noindex,
+        "snapshot_drift_by_source": q_snapshot_drift,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
@@ -1842,6 +1854,31 @@ def _noindex_oracle_sql() -> str:
 def extra_oracle_sql():
     return {
         "html_noindex": _noindex_oracle_sql(),
+        "snapshot_drift_by_source": """
+            WITH cur AS (
+              SELECT COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
+                     COUNT(*) AS n_docs_cur,
+                     CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+                       AS n_chars_cur
+              FROM documents GROUP BY 1
+            ), prev AS (
+              SELECT COALESCE(CAST(source AS VARCHAR), '<null>') AS source,
+                     COUNT(*) AS n_docs_prev,
+                     CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+                       AS n_chars_prev
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+            )
+            SELECT COALESCE(cur.source, prev.source) AS source,
+                   COALESCE(n_docs_prev, 0) AS n_docs_prev,
+                   COALESCE(n_docs_cur, 0) AS n_docs_cur,
+                   COALESCE(n_chars_prev, 0) AS n_chars_prev,
+                   COALESCE(n_chars_cur, 0) AS n_chars_cur,
+                   COALESCE(n_docs_cur, 0) - COALESCE(n_docs_prev, 0)
+                     AS docs_delta,
+                   COALESCE(n_chars_cur, 0) - COALESCE(n_chars_prev, 0)
+                     AS chars_delta
+            FROM cur FULL OUTER JOIN prev ON cur.source = prev.source
+        """,
         # lined corpus derived identically to q_c4_line_filter; line
         # rules on the trim()-stripped line (explicit charset = the
         # kernel's _STRIP_SET), survivors rejoined stripped; page gate

@@ -268,3 +268,49 @@ def new_docs_bloom(
     maybes = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     rechecked = new_docs(maybes, prior, text_col)
     return certain_new.unionByName(rechecked)
+
+
+def snapshot_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group drift report between two corpus snapshots: doc counts
+    and char volumes side by side with deltas — the monitoring table an
+    ops run reads before trusting a new crawl ("did source X collapse /
+    explode since last month?").
+
+    Scale shape: two partial-aggregatable groupBys (group cardinality
+    rows each — sources/domains, ~5 orders below docs) + one full outer
+    join of those tiny aggregates.  Corpus text never shuffles; the
+    whole report is metadata-sized regardless of corpus size.
+
+    NULL groups are folded to the literal ``<null>`` BEFORE
+    aggregation: a full outer join never matches NULL keys to each
+    other (both engines agree), which would otherwise split one group
+    into two half-empty rows."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+
+    def stats(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy(g.alias(group_col)).agg(
+            F.count(F.lit(1)).alias(f"n_docs_{suffix}"),
+            F.coalesce(
+                F.sum(F.length(text_col)), F.lit(0)
+            ).cast("long").alias(f"n_chars_{suffix}"),
+        )
+
+    joined = stats(cur, "cur").join(
+        stats(prev, "prev"), on=group_col, how="full_outer")
+    z = F.lit(0).cast("long")
+    out = joined.select(
+        group_col,
+        *[F.coalesce(F.col(c), z).alias(c)
+          for c in ("n_docs_prev", "n_docs_cur",
+                    "n_chars_prev", "n_chars_cur")],
+    )
+    return out.select(
+        "*",
+        (F.col("n_docs_cur") - F.col("n_docs_prev")).alias("docs_delta"),
+        (F.col("n_chars_cur") - F.col("n_chars_prev")).alias("chars_delta"),
+    )
