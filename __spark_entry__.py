@@ -239,13 +239,16 @@ def q_distinct_not_in_set(spark, sf):
 # The driver's correctness gate records rows for the FIRST ~50 queries()
 # entries per round (CORRECTNESS_r01/r02 each stopped at exactly 50), so
 # the dict order below is the row budget.  Round-3 policy: the reference
-# check surface (18 rows, always in the window) + every entry WITHOUT a
-# CORRECTNESS_r02 row (28 — so after r3 every registered query has a
-# driver row in r2∪r3) + 4 flagship r2-green fills.  _TAIL holds the
-# r2-green remainder; their semantics are re-verified every round by
-# tools/oracle_check.py and pytest, so they spend no driver budget.
-# tests/test_entry_contract.py asserts the order lists and the
-# registered queries stay in sync.
+# check surface (18 rows, always in the window) + every entry with NO
+# prior driver row (round-2/3 additions first, then r1-green twins that
+# missed r2) — after r3 every registered query has a driver row in
+# r1∪r2∪r3, with brand-new operators never waiting a round.  The six
+# r1-green twins demoted for the round-3 additions (setops, exact
+# percentiles, fingerprints, top-ngrams, langid) keep their r1 rows and
+# stay pinned by the local differential.  _TAIL holds the rest; their
+# semantics are re-verified every round by tools/oracle_check.py and
+# pytest, so they spend no driver budget.  tests/test_entry_contract.py
+# asserts the order lists and the registered queries stay in sync.
 DRIVER_ORDER = [
     # reference check surface (check #1 covered by check_unique_violations;
     # this round its zero-row library twin check_unique_pass is ALSO in
