@@ -285,7 +285,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "olap_events_hourly",
     "olap_events_windowed",
     "olap_rollup_daily",
     "olap_lang_source_pivot",
@@ -334,6 +333,9 @@ DRIVER_ORDER = [
     # per-source snapshot drift report (full SQL oracle); slot from the
     # r1-green text_langid_heuristic (demoted, locally pinned)
     "snapshot_drift_by_source",
+    # Misra-Gries heavy hitters + exact rescore (full SQL oracle); slot
+    # from the r1-green olap_events_hourly (demoted, locally pinned)
+    "text_heavy_hitters_top10",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -360,6 +362,7 @@ TAIL_ORDER = [
     "text_fingerprints",
     "text_top_ngrams",
     "text_langid_heuristic",
+    "olap_events_hourly",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -1084,6 +1084,23 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_heavy_hitters(spark, sf):
+    # Misra-Gries candidates (<= 64 counters/partition) + exact rescore
+    # of candidates only, then top-10.  Equals the exact top-10 because
+    # the guarantee holds (every word with freq > n/65 is a candidate;
+    # the synthetic vocabulary is far smaller than that).  The oracle
+    # computes the exact top-10 the brute-force way.
+    from dqc_spark.heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf, "documents")
+    return (
+        heavy_hitters(docs, k=64, rescore=True)
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(10)
+        .select(F.col("gram").alias("word"), "n_occurrences")
+    )
+
+
 def q_snapshot_drift(spark, sf):
     # per-source drift report between two snapshots (snapshot_drift):
     # prev = the corpus minus every third doc, cur = the full corpus —
@@ -1798,6 +1815,7 @@ def extra_queries():
         "text_c4_line_filter": q_c4_line_filter,
         "html_noindex": q_html_noindex,
         "snapshot_drift_by_source": q_snapshot_drift,
+        "text_heavy_hitters_top10": q_heavy_hitters,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,
@@ -2027,6 +2045,20 @@ def extra_oracle_sql():
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                    AS fingerprint
             FROM documents
+        """,
+        # exact top-10 words, brute force — the Spark side reaches the
+        # same rows through the MG-candidates + rescore path, which is
+        # exact whenever the 10th frequency exceeds n/(k+1)
+        "text_heavy_hitters_top10": r"""
+            WITH w AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT unnest(toks) AS word FROM w
+            )
+            SELECT word, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+            ORDER BY n_occurrences DESC, word LIMIT 10
         """,
         "lm_word_counts": r"""
             WITH w AS (
