@@ -61,9 +61,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
@@ -106,7 +108,8 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
     spark.stop()
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} matched")
+    print(f"\n{ran - len(failures)}/{ran} matched"
+          + ("" if not only else f" (of {len(qs)} registered)"))
     return 1 if failures else 0
 
 
