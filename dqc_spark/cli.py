@@ -160,6 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-noindex", action="store_true",
                    help="respect robots-meta opt-outs: drop pages whose "
                         "html carries a noindex/none directive")
+    p.add_argument("--trust-seeds", default=None,
+                   help="comma-separated vetted domains: the self-built "
+                        "--min-domain-rank prior becomes TrustRank "
+                        "(teleport restricted to these seeds) instead "
+                        "of PageRank; incompatible with --domain-ranks")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -338,6 +343,15 @@ def main(argv=None) -> int:
             print("error: --domain-ranks requires --min-domain-rank",
                   file=sys.stderr)
             return 2
+        if args.trust_seeds and args.domain_ranks:
+            print("error: --trust-seeds is incompatible with "
+                  "--domain-ranks (the seeds parameterize the "
+                  "self-built prior)", file=sys.stderr)
+            return 2
+        if args.trust_seeds and args.min_domain_rank < 0:
+            print("error: --trust-seeds requires --min-domain-rank",
+                  file=sys.stderr)
+            return 2
         pages = spark.read.parquet(args.input)
         cur = curate(
             pages,
@@ -364,6 +378,8 @@ def main(argv=None) -> int:
                              if args.min_domain_rank >= 0 else None),
             c4_line_clean=args.c4_lines,
             drop_noindex=args.drop_noindex,
+            trust_seeds=(args.trust_seeds.split(",")
+                         if args.trust_seeds else None),
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

@@ -210,6 +210,7 @@ def curate(
     lm: dict | None = None,
     c4_line_clean: bool = False,
     drop_noindex: bool = False,
+    trust_seeds: list | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -291,17 +292,27 @@ def curate(
         pages = pages.filter(
             ~F.coalesce(noindex_pred("html"), F.lit(False)))
     if min_domain_rank is not None:
-        from dqc_spark.linkgraph import domain_edges, pagerank
+        from dqc_spark.linkgraph import domain_edges, pagerank, trustrank
         from dqc_spark.urlops import domain_of
 
         if domain_ranks is None:
             # self-prior: rank the corpus's own domain graph.  Requires
             # the raw html column (link extraction needs anchors).
+            # ``trust_seeds`` switches the prior to TrustRank (teleport
+            # restricted to the vetted domains — interlinked spam farms
+            # score zero unless a trusted domain links toward them).
             if "html" not in pages.columns:
                 raise ValueError(
                     "min_domain_rank without domain_ranks needs an "
                     "'html' column to build the link graph from")
-            domain_ranks = pagerank(domain_edges(pages, url_col=key_col))
+            edges = domain_edges(pages, url_col=key_col)
+            domain_ranks = (trustrank(edges, trust_seeds)
+                            if trust_seeds else pagerank(edges))
+        elif trust_seeds:
+            raise ValueError(
+                "trust_seeds only applies when curate computes the "
+                "prior itself; drop domain_ranks or pass "
+                "linkgraph.trustrank(...) output as domain_ranks")
         # left join + null-keep: the rank table covers linked domains
         # only; a never-linked domain is unknown, not spam.  The join
         # key is the registrable host — domain cardinality is ~5 orders

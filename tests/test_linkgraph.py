@@ -375,3 +375,45 @@ def test_trustrank_disjoint_seeds_raise(spark):
         EDGES, "src_domain string, dst_domain string, weight double")
     with pytest.raises(ValueError, match="teleport"):
         trustrank(df, ["nope"], n_iter=3)
+
+
+def test_curate_trust_seeds_prior(spark):
+    """trust_seeds switches the self-built prior to TrustRank: with a
+    threshold that keeps every pagerank'd domain, seeding trust on one
+    domain starves the never-linked-from-it rest."""
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+    from dqc_spark.urlops import domain_of
+
+    pages = generate_pages(spark, 60, n_partitions=3).persist()
+    domains = sorted(
+        r["d"] for r in
+        pages.select(domain_of("url").alias("d")).distinct().collect())
+    seed = domains[0]
+    base_n = curate(pages, near_dup_threshold=None).count()
+    # threshold 0 keeps everything under either prior (unknowns kept,
+    # ranks >= 0) — exercises the trustrank code path end to end
+    tr_all = curate(pages, near_dup_threshold=None, min_domain_rank=0.0,
+                    trust_seeds=[seed]).count()
+    assert tr_all == base_n
+    # a positive threshold under trustrank keeps only domains reachable
+    # from the seed (the seed itself at minimum); strictly fewer
+    # domains than the pagerank prior keeps at the same tiny threshold
+    tr = curate(pages, near_dup_threshold=None, min_domain_rank=1e-9,
+                trust_seeds=[seed]).persist()
+    tr_domains = {r["d"] for r in
+                  tr.select(domain_of("url").alias("d")).distinct().collect()}
+    pr_domains = {
+        r["d"] for r in
+        curate(pages, near_dup_threshold=None, min_domain_rank=1e-9)
+        .select(domain_of("url").alias("d")).distinct().collect()}
+    assert seed in tr_domains or not tr_domains  # seed survives if kept at all
+    assert tr_domains <= pr_domains
+    tr.unpersist()
+
+    with pytest.raises(ValueError, match="trust_seeds"):
+        ranks = spark.createDataFrame(
+            [(seed, 0.9)], "node string, rank double")
+        curate(pages, near_dup_threshold=None, min_domain_rank=0.5,
+               domain_ranks=ranks, trust_seeds=[seed]).count()
+    pages.unpersist()
