@@ -272,8 +272,10 @@ def curation_stage_queries(spark) -> dict[str, float]:
     # models for the DSIR / BPE stage timings are trained ONCE outside
     # the thunks (training cost is measured by lm_train_20k /
     # bpe_train_20k; the application thunks time only the kernels)
+    # repartition after limit(): limit collapses to ONE partition and
+    # the LM's two Arrow passes would run serial (CLAUDE.md rule)
     dsir_target_lm = train_bigram_lm(
-        pages.limit(2000), max_vocab=4096, min_count=2)
+        pages.limit(2000).repartition(8), max_vocab=4096, min_count=2)
     dsir_raw_lm = train_bigram_lm(pages, max_vocab=4096, min_count=2)
     bpe_merges = train_bpe(pages, n_merges=50, max_words=20000)
 

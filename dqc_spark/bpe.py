@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.lmtrain import _count_rows, _scorer_tokens
+from dqc_spark.lmtrain import _scorer_tokens, capped_word_freqs
 
 __all__ = [
     "train_bpe_py",
@@ -153,17 +153,9 @@ def train_bpe(
     for word counts, TakeOrdered cap, driver-side merge loop.  Output
     is the ordered merge list (rank = position), ready for
     ``bpe_token_counts`` / ``encode_py``."""
-    wc = (
-        _count_rows(df, text_col, 1, tokenizer=_scorer_tokens)
-        .groupBy(F.col("gram").alias("word"))
-        .agg(F.sum("cnt").alias("n"))
-    )
-    if max_words is not None:
-        # TakeOrderedAndProject — per-partition top-k heaps, no global
-        # sort; tie-break matches _cap_words' (count desc, word asc)
-        wc = wc.orderBy(F.desc("n"), "word").limit(max_words)
-    wf = {r["word"]: r["n"] for r in wc.collect()}
-    return _merge_loop(wf, n_merges, min_pair_count)
+    wf = capped_word_freqs(df, text_col, max_words,
+                           tokenizer=_scorer_tokens)
+    return _merge_loop(dict(wf), n_merges, min_pair_count)
 
 
 def encode_word(

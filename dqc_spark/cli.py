@@ -352,6 +352,17 @@ def main(argv=None) -> int:
             print("error: --trust-seeds requires --min-domain-rank",
                   file=sys.stderr)
             return 2
+        trust_seeds = None
+        if args.trust_seeds:
+            # strip + drop empties: 'a.com, b.com' must not yield the
+            # unmatched seed ' b.com' (half the trust mass vanishing
+            # silently), and a trailing comma must not inject ''
+            trust_seeds = [s.strip() for s in args.trust_seeds.split(",")
+                           if s.strip()]
+            if not trust_seeds:
+                print("error: --trust-seeds contains no domains",
+                      file=sys.stderr)
+                return 2
         pages = spark.read.parquet(args.input)
         cur = curate(
             pages,
@@ -378,8 +389,7 @@ def main(argv=None) -> int:
                              if args.min_domain_rank >= 0 else None),
             c4_line_clean=args.c4_lines,
             drop_noindex=args.drop_noindex,
-            trust_seeds=(args.trust_seeds.split(",")
-                         if args.trust_seeds else None),
+            trust_seeds=trust_seeds,
         )
         cur.write.mode("overwrite").parquet(args.output)
         n_in = pages.count()

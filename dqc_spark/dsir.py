@@ -130,8 +130,15 @@ def gumbel_keyed(
     deterministic from ``xxhash64(key_cols, seed)``.  Exposed separately
     so tests can brute-force the top-k over the identical keyed frame.
     NULL weights get NULL keys (sort last under ``desc``), so unscored
-    rows can never displace scored ones."""
-    key_cols = key_cols or [weight_col]
+    rows can never displace scored ones.
+
+    ``key_cols`` MUST identify rows uniquely: hashing the weight itself
+    would give every equal-weight row the same uniform (a degenerate,
+    layout-dependent sample), so there is deliberately no default."""
+    if not key_cols:
+        raise ValueError(
+            "key_cols must name unique row key column(s); seeding the "
+            "Gumbel draw from the weight would collapse ties")
     u = _uniform01(*key_cols, seed=seed)
     gk = F.col(weight_col) - F.log(-F.log(u))
     return df.withColumn(out_col, gk)
@@ -146,10 +153,10 @@ def weighted_sample(
 ) -> DataFrame:
     """``k`` rows without replacement, P(row) ∝ exp(weight_col), exact
     Efraimidis–Spirakis via Gumbel top-k.  ``key_cols`` seed the per-row
-    uniform (pass the unique document key; they also tie-break so the
-    result is fully deterministic).  One TakeOrderedAndProject — no
-    global sort, no RNG state, partition-count invariant."""
-    key_cols = key_cols or [weight_col]
+    uniform (REQUIRED: the unique document key — see ``gumbel_keyed``;
+    they also tie-break so the result is fully deterministic).  One
+    TakeOrderedAndProject — no global sort, no RNG state,
+    partition-count invariant."""
     keyed = gumbel_keyed(df, weight_col, key_cols, seed=seed)
     return (
         keyed.orderBy(F.desc("__gk"), *key_cols)

@@ -64,6 +64,7 @@ from dqc_spark.wordhash import ascii_tokens
 __all__ = [
     "word_counts",
     "bigram_counts",
+    "capped_word_freqs",
     "train_lm_py",
     "train_bigram_lm",
 ]
@@ -114,6 +115,29 @@ def _count_rows(
                  "cnt": pd.array(list(c.values()), dtype="int64")})
 
     return df.select(text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def capped_word_freqs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int | None = None,
+    tokenizer=_oracle_tokens,
+) -> Counter:
+    """Distributed word counts, capped to the ``max_words`` most
+    frequent, collected to a driver Counter — the shared
+    bounded-model-input block for LM training (here) and BPE training
+    (bpe.py).  The cap tie-break (count desc, word asc) is LOAD-BEARING
+    for exact Spark-vs-python parity in both consumers: one source of
+    truth, matching ``sorted(items, key=lambda kv: (-kv[1], kv[0]))``.
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    wc = (
+        _count_rows(df, text_col, 1, tokenizer=tokenizer)
+        .groupBy(F.col("gram").alias("word"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("n"), "word").limit(max_words)
+    return Counter({r["word"]: r["n"] for r in wc.collect()})
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -206,16 +230,8 @@ def train_bigram_lm(
 
     Tokenization is the scorer-matched ``text.lower().split()`` — see
     the module docstring for why it must NOT be the oracle tokenizer."""
-    wc = (
-        _count_rows(df, text_col, 1, tokenizer=_scorer_tokens)
-        .groupBy(F.col("gram").alias("word"))
-        .agg(F.sum("cnt").alias("n_occurrences"))
-    )
-    if max_vocab is not None:
-        # TakeOrderedAndProject — no global sort materializes
-        wc = wc.orderBy(F.desc("n_occurrences"), "word").limit(max_vocab)
-    uni = Counter(
-        {r["word"]: r["n_occurrences"] for r in wc.collect()})
+    uni = capped_word_freqs(df, text_col, max_vocab,
+                            tokenizer=_scorer_tokens)
     vocab = frozenset(uni)
     bc = bigram_counts(df, text_col, vocab=vocab,
                        tokenizer=_scorer_tokens).filter(

@@ -291,6 +291,10 @@ def curate(
         # NULL html / no directive -> keep (absence is not an opt-out)
         pages = pages.filter(
             ~F.coalesce(noindex_pred("html"), F.lit(False)))
+    if trust_seeds and min_domain_rank is None:
+        # silently ignoring the seeds would look like the reputation
+        # gate ran when it did not (same guard as the CLI's)
+        raise ValueError("trust_seeds requires min_domain_rank")
     if min_domain_rank is not None:
         from dqc_spark.linkgraph import domain_edges, pagerank, trustrank
         from dqc_spark.urlops import domain_of

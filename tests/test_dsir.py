@@ -123,3 +123,13 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark, docs, lms):
     plan = weighted_sample(w, 3, "logw", ["doc_id"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_key_cols_are_required(spark):
+    # seeding the Gumbel draw from the weight would give equal-weight
+    # rows identical keys — a degenerate, layout-dependent sample
+    df = spark.createDataFrame([(0, 1.0)], "doc_id bigint, logw double")
+    with pytest.raises(ValueError, match="key_cols"):
+        weighted_sample(df, 1)
+    with pytest.raises(ValueError, match="key_cols"):
+        gumbel_keyed(df)

@@ -27,8 +27,15 @@ def _texts():
     # distinct rare words 2x each
     words = (["the"] * 300 + ["of"] * 200 + ["and"] * 120
              + [f"w{i}" for i in range(150) for _ in range(2)])
-    # deterministic interleave so rare words surround the heavy ones
-    words.sort(key=lambda w: hash((w, words.count(w))) % 997)
+    # deterministic pseudo-random interleave so rare words surround the
+    # heavy ones (md5 over (position, word), NOT builtin hash(): str
+    # hashing is salted per process and would make a failing corpus
+    # unreproducible)
+    import hashlib
+
+    words = [w for _, w in sorted(
+        (hashlib.md5(f"{i}:{w}".encode()).hexdigest(), w)
+        for i, w in enumerate(words))]
     return [" ".join(words[i:i + 25]) for i in range(0, len(words), 25)]
 
 

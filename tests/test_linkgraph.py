@@ -417,3 +417,12 @@ def test_curate_trust_seeds_prior(spark):
         curate(pages, near_dup_threshold=None, min_domain_rank=0.5,
                domain_ranks=ranks, trust_seeds=[seed]).count()
     pages.unpersist()
+
+
+def test_curate_trust_seeds_without_rank_raises(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 10, n_partitions=1)
+    with pytest.raises(ValueError, match="min_domain_rank"):
+        curate(pages, near_dup_threshold=None, trust_seeds=["a.com"])
