@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NFC/control/whitespace canonicalization first")
     p.add_argument("--line-dedup-min-len", type=int, default=0,
                    help="corpus line dedup for lines >= N chars (0 = off)")
+    p.add_argument("--line-dedup-unit", default="line",
+                   choices=["line", "paragraph"],
+                   help="hash unit for --line-dedup-min-len: C4-style "
+                        "lines or CCNet-style blank-line paragraphs")
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet: decontaminate against its n-grams")
     p.add_argument("--mix-alpha", type=float, default=-1.0,
@@ -373,6 +377,7 @@ def main(argv=None) -> int:
             prior=(spark.read.parquet(args.prior) if args.prior else None),
             normalize_text=args.normalize,
             line_dedup_min_len=args.line_dedup_min_len or None,
+            line_dedup_unit=args.line_dedup_unit,
             benchmark=(spark.read.parquet(args.benchmark)
                        if args.benchmark else None),
             mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),

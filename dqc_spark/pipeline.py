@@ -211,6 +211,7 @@ def curate(
     c4_line_clean: bool = False,
     drop_noindex: bool = False,
     trust_seeds: list | None = None,
+    line_dedup_unit: str = "line",
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -241,7 +242,9 @@ def curate(
          (normalize.py) so every later hash sees canonical bytes
       0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
          (linededup.py), BEFORE gating: de-boilerplated text is what
-         the quality gates should score
+         the quality gates should score.  ``line_dedup_unit`` picks the
+         hash unit: "line" (C4) or "paragraph" (CCNet — blank-line
+         separated blocks, rebuilt with "\\n\\n")
       0d. ``c4_line_clean`` — C4-style line cleaning (c4clean.py):
          drop short / unterminated / javascript lines inside each page,
          then drop pages under 3 surviving sentences or carrying
@@ -375,8 +378,18 @@ def curate(
             )
             .dropDuplicates(["__ldk"])
         )
+        if line_dedup_unit == "line":
+            sep, join_sep = "\n", None
+        elif line_dedup_unit == "paragraph":
+            # regex split (blank-line runs), literal rejoin
+            sep, join_sep = r"\n{2,}", "\n\n"
+        else:
+            raise ValueError(
+                f"line_dedup_unit must be 'line' or 'paragraph', "
+                f"got {line_dedup_unit!r}")
         lded = dedup_lines(
-            with_key, "__ldk", text_col, min_dup_len=line_dedup_min_len
+            with_key, "__ldk", text_col,
+            min_dup_len=line_dedup_min_len, sep=sep, join_sep=join_sep,
         )
         pages = (
             with_key.join(lded.select("__ldk", "text_dedup"), on="__ldk")

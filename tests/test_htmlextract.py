@@ -178,3 +178,30 @@ def test_curate_drop_noindex(spark):
     with pytest.raises(ValueError, match="html"):
         curate(pages.drop("html"), near_dup_threshold=None,
                drop_noindex=True)
+
+
+def test_noindex_cross_dialect_fuzz(spark):
+    """The noindex gate's whole design is ONE set of pattern strings
+    evaluated by three regex engines; fuzz Java-rlike vs python-re over
+    adversarial fragments built from the tokens the patterns care
+    about."""
+    import random
+
+    from dqc_spark.htmlextract import noindex_py, noindex_pred
+
+    rng = random.Random(0)
+    tokens = [
+        "<meta ", ">", "/>", "name", "content", "robots", "ROBOTS",
+        "noindex", "NOINDEX", "none", "nofollow", "index", "=", " ",
+        '"', "'", ",", "<!--", "-->", "<p>", "descr", "x",
+    ]
+    frags = ["".join(rng.choice(tokens) for _ in range(rng.randint(1, 12)))
+             for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, f.encode()) for i, f in enumerate(frags)],
+        "i long, html binary")
+    got = {r["i"]: r["noindex"]
+           for r in df.select("i", noindex_pred("html").alias("noindex"))
+           .collect()}
+    for i, f in enumerate(frags):
+        assert got[i] is noindex_py(f.encode()), repr(f)

@@ -79,3 +79,51 @@ def test_dedup_lines_idempotent(spark):
     got1 = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
     got2 = {r["doc_id"]: r["text_dedup"] for r in again.collect()}
     assert got1 == got2
+
+
+def test_curate_paragraph_unit(spark):
+    """curate(line_dedup_unit='paragraph'): a boilerplate PARAGRAPH
+    whose individual lines are under min_dup_len survives in exactly
+    one document; line mode leaves it everywhere."""
+    from dqc_spark.lmtrain import train_lm_py
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+    from pyspark.sql import functions as F
+
+    banner = "the of\nand to\nin it"          # lines < 10 chars each
+    # every long line distinct per doc: line-mode dedup must not touch
+    # the unique paragraphs (shared long lines would get excised from
+    # the loser and push it under the 20-word gate)
+    uniq = [
+        f"she said it was the old house number {i} on the far hill\n"
+        f"and we walked down to the river {i} times in the morning\n"
+        f"for it was a long day of rest number {i}"
+        for i in range(2)
+    ]
+    texts = [banner + "\n\n" + u for u in uniq]
+    lm = train_lm_py(texts)
+    r = generate_pages(spark, 4, n_partitions=1).first()
+    pages = spark.createDataFrame(
+        [(f"http://planted.example.com/{i}", r["warc_ts"], r["html"],
+          t, "en") for i, t in enumerate(texts)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+    line_mode = curate(pages, near_dup_threshold=None, lm=lm,
+                       line_dedup_min_len=10).persist()
+    with_banner_line = line_mode.filter(
+        F.col("text").contains("the of\nand to")).count()
+    para_mode = curate(pages, near_dup_threshold=None, lm=lm,
+                       line_dedup_min_len=10,
+                       line_dedup_unit="paragraph").persist()
+    with_banner_para = para_mode.filter(
+        F.col("text").contains("the of\nand to")).count()
+    assert line_mode.count() == 2 and para_mode.count() == 2
+    assert with_banner_line == 2       # short lines escape line mode
+    assert with_banner_para == 1       # the paragraph hash catches it
+    line_mode.unpersist(); para_mode.unpersist()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="line_dedup_unit"):
+        curate(pages, near_dup_threshold=None,
+               line_dedup_min_len=10, line_dedup_unit="word").count()
