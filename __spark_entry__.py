@@ -287,7 +287,6 @@ DRIVER_ORDER = [
     "dedup_simhash_near_dups",
     "olap_events_windowed",
     "olap_rollup_daily",
-    "olap_lang_source_pivot",
     "olap_top_customers_per_nation",
     "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
@@ -336,6 +335,9 @@ DRIVER_ORDER = [
     # Misra-Gries heavy hitters + exact rescore (full SQL oracle); slot
     # from the r1-green olap_events_hourly (demoted, locally pinned)
     "text_heavy_hitters_top10",
+    # first-fit-decreasing packing (rows-only; python-parity pytest);
+    # slot from the r1-green olap_lang_source_pivot (demoted)
+    "pack_first_fit_bins",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -363,6 +365,7 @@ TAIL_ORDER = [
     "text_top_ngrams",
     "text_langid_heuristic",
     "olap_events_hourly",
+    "olap_lang_source_pivot",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -1084,6 +1084,32 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_pack_first_fit(spark, sf):
+    # first-fit-decreasing packing (rows-only: FFD is sequential
+    # per-group and not SQL-expressible; exact python parity + the
+    # never-overflow invariant are pinned by tests/test_sampling.py).
+    # Per-lang bin stats summarize the packing; max_fill <= 512 by
+    # construction is visible in the result.
+    from dqc_spark.sampling import pack_first_fit
+    from dqc_spark.textstats import whitespace_token_count
+
+    docs = _t(spark, sf, "documents")
+    packed = pack_first_fit(
+        docs.select("doc_id", "lang", "text"), "lang", "doc_id",
+        whitespace_token_count(F.col("text")), budget=512, n_subgroups=8)
+    fills = packed.groupBy("lang", "pack_group", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"))
+    return (
+        fills.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.max("fill").alias("max_fill"),
+            F.sum("fill").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_heavy_hitters(spark, sf):
     # Misra-Gries candidates (<= 64 counters/partition) + exact rescore
     # of candidates only, then top-10.  Equals the exact top-10 because
@@ -1816,6 +1842,7 @@ def extra_queries():
         "html_noindex": q_html_noindex,
         "snapshot_drift_by_source": q_snapshot_drift,
         "text_heavy_hitters_top10": q_heavy_hitters,
+        "pack_first_fit_bins": q_pack_first_fit,
         "text_hashed_tfidf": q_hashed_tfidf,
         "url_canonicalize": q_url_canonicalize,
         "url_domain_stats": q_url_domain_stats,

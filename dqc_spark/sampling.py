@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 __all__ = [
@@ -42,6 +43,8 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "pack_token_budget",
+    "first_fit_py",
+    "pack_first_fit",
     "chunk_text",
     "rolling_window_hashes",
     "cdc_chunk_spans",
@@ -165,6 +168,82 @@ def pack_token_budget(
     return df.withColumn("n_tokens", t).withColumn(
         "bin_id", F.floor(exclusive / F.lit(budget)).cast("bigint")
     )
+
+
+def first_fit_py(
+    items: list[tuple], budget: int,
+) -> dict:
+    """First-fit-decreasing over (key, tokens) pairs: sort by (tokens
+    desc, key asc), place each item in the first bin with room, open a
+    new bin otherwise.  Items larger than ``budget`` get a bin of their
+    own (flagging beats dropping — the caller decides).  Returns
+    {key: bin_id} with bin ids dense from 0 in opening order.  Shared
+    verbatim by the Spark kernel and the pytest oracle; classic bound:
+    bins <= 11/9 * OPT + 2/3."""
+    bins: list[int] = []  # remaining capacity per bin
+    out: dict = {}
+    for key, t in sorted(items, key=lambda kt: (-kt[1], kt[0])):
+        placed = None
+        for i, rem in enumerate(bins):
+            if rem >= t:
+                placed = i
+                break
+        if placed is None:
+            bins.append(budget)
+            placed = len(bins) - 1
+        bins[placed] -= t
+        out[key] = placed
+    return out
+
+
+def pack_first_fit(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    tokens_col: Column | str,
+    budget: int,
+    n_subgroups: int = 64,
+) -> DataFrame:
+    """Bin documents into <= ``budget``-token bins WITHOUT splitting or
+    overflowing (first-fit-decreasing) — the packer to use when a
+    document must land whole inside one context window; contrast
+    ``pack_token_budget``, whose running-sum bins let a document span
+    the boundary (bins overflow by up to one document).
+
+    Scale shape: FFD is inherently sequential, so each (stratum,
+    subgroup) packs independently in one ``applyInPandas`` group — the
+    portable md5 hash of the key salts documents into ``n_subgroups``
+    per stratum, bounding both the per-group state (|stratum|/S docs)
+    and the skew of a hot stratum.  One shuffle on (stratum, subgroup).
+    Waste vs global FFD is the per-subgroup tail — at most one
+    under-filled bin per subgroup, negligible when subgroups hold
+    thousands of documents.  Deterministic and partition-invariant:
+    group membership and the in-group order are pure functions of
+    (key, tokens).
+
+    Returns the input plus ``n_tokens``, ``pack_group`` and ``bin_id``
+    (dense from 0 within each (stratum, pack_group))."""
+    import pandas as pd
+
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    src = df.withColumn("n_tokens", t.cast("long")).withColumn(
+        "pack_group",
+        portable_hash_bucket(key_col, n_subgroups).cast("int"))
+    out_schema = T.StructType(
+        list(src.schema.fields)
+        + [T.StructField("bin_id", T.LongType())])
+    kcol = key_col
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        assign = first_fit_py(
+            list(zip(pdf[kcol], pdf["n_tokens"])), budget)
+        pdf = pdf.copy()
+        pdf["bin_id"] = pd.array(
+            [assign[k] for k in pdf[kcol]], dtype="int64")
+        return pdf
+
+    return src.groupBy(stratum_col, "pack_group").applyInPandas(
+        pack, out_schema)
 
 
 def chunk_text(

@@ -253,3 +253,64 @@ def test_cdc_min_len_zero_rejected():
 
     with _pytest.raises(ValueError, match="min_len"):
         cdc_chunk_spans("abc " * 100, min_len=0)
+
+
+# ---------------------------------------------------------------------------
+# first-fit packing
+# ---------------------------------------------------------------------------
+
+def test_first_fit_py_model():
+    from dqc_spark.sampling import first_fit_py
+
+    items = [("a", 6), ("b", 5), ("c", 4), ("d", 3), ("e", 2)]
+    got = first_fit_py(items, budget=10)
+    # FFD order: a(6) b(5) c(4) d(3) e(2)
+    # a->bin0(rem 4), b->bin1(rem 5), c->bin0(rem 0), d->bin1(rem 2),
+    # e->bin1(rem 0)
+    assert got == {"a": 0, "b": 1, "c": 0, "d": 1, "e": 1}
+    # oversize item gets its own bin rather than being dropped
+    over = first_fit_py([("x", 99), ("y", 1)], budget=10)
+    assert over["x"] != over["y"]
+
+
+def test_pack_first_fit_never_overflows(spark):
+    from dqc_spark.sampling import pack_first_fit
+
+    rows = [(f"d{i}", "en" if i % 2 else "de", 50 + (i * 37) % 400)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, "
+                               "n_tok bigint")
+    out = pack_first_fit(df, "lang", "doc_id", "n_tok", budget=512,
+                         n_subgroups=4).persist()
+    assert out.count() == 300
+    from pyspark.sql import functions as F
+    per_bin = (out.groupBy("lang", "pack_group", "bin_id")
+               .agg(F.sum("n_tokens").alias("tot")).collect())
+    assert all(r["tot"] <= 512 for r in per_bin)
+    out.unpersist()
+
+
+def test_pack_first_fit_matches_python_per_group(spark):
+    from dqc_spark.sampling import first_fit_py, pack_first_fit
+
+    rows = [(f"d{i}", "en", 30 + (i * 53) % 200) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, "
+                               "n_tok bigint")
+    out = pack_first_fit(df, "lang", "doc_id", "n_tok", budget=256,
+                         n_subgroups=3).persist()
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["pack_group"], []).append(r)
+    for pg, members in groups.items():
+        want = first_fit_py(
+            [(r["doc_id"], r["n_tokens"]) for r in members], 256)
+        for r in members:
+            assert r["bin_id"] == want[r["doc_id"]], (pg, r["doc_id"])
+    # partition-count invariance
+    out2 = {(r["doc_id"]): (r["pack_group"], r["bin_id"])
+            for r in pack_first_fit(df.repartition(7), "lang", "doc_id",
+                                    "n_tok", budget=256,
+                                    n_subgroups=3).collect()}
+    for r in out.collect():
+        assert out2[r["doc_id"]] == (r["pack_group"], r["bin_id"])
+    out.unpersist()
