@@ -286,7 +286,6 @@ DRIVER_ORDER = [
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
     "olap_events_windowed",
-    "olap_rollup_daily",
     "olap_top_customers_per_nation",
     "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
@@ -338,6 +337,9 @@ DRIVER_ORDER = [
     # first-fit-decreasing packing (rows-only; python-parity pytest);
     # slot from the r1-green olap_lang_source_pivot (demoted)
     "pack_first_fit_bins",
+    # int8-quantized ANN with exact rescore (full SQL oracle = the
+    # brute-force top-10); slot from the r1-green olap_rollup_daily
+    "ann_quantized_topk",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -366,6 +368,7 @@ TAIL_ORDER = [
     "text_langid_heuristic",
     "olap_events_hourly",
     "olap_lang_source_pivot",
+    "olap_rollup_daily",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -126,6 +126,18 @@ def q_ann_bruteforce_topk(spark, sf):
     return brute_force_topk(emb, q, k=10, round_to=4)
 
 
+def q_ann_quantized_topk(spark, sf):
+    # int8-quantized candidates + exact rescore (vecquant.py): the
+    # result provably equals the exact brute force whenever the true
+    # top-10 survives into the 50-candidate set (rounding error per
+    # element <= scale/2) — so the oracle IS the exact brute-force SQL
+    from dqc_spark.vecquant import ann_topk_quantized
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return ann_topk_quantized(emb, q, k=10, rescore_m=50, round_to=4)
+
+
 def q_ann_lsh_topk(spark, sf):
     # rows-only: approximate recall depends on the LSH draw
     from dqc_spark.similarity import lsh_topk
@@ -1821,6 +1833,7 @@ def extra_queries():
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "text_cdc_chunks": q_cdc_chunks,
         "ann_topk_arrow": q_ann_topk_arrow,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "pipeline_curate": q_pipeline_curate,
         "text_decontaminate": q_decontaminate,
@@ -2518,6 +2531,16 @@ def extra_oracle_sql():
             ) WHERE rn = 1
         """,
         "ann_topk_arrow": f"""
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID})), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # int8 candidates + exact rescore -> must equal brute force
+        "ann_quantized_topk": f"""
             SELECT vec_id,
                    ROUND(list_cosine_similarity(
                        CAST(embedding AS DOUBLE[]),

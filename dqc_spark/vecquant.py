@@ -1,0 +1,162 @@
+"""Int8 embedding quantization for ANN at corpus scale.
+
+A 64-dim float64 embedding is 512 bytes; its symmetric int8 form is 64
+bytes + two floats.  At 10^12 documents the embedding column dominates
+scan and shuffle IO for every ANN pass, so production vector systems
+(FAISS SQ8, ScaNN, Milvus) store quantized vectors and re-score a small
+candidate set at full precision.  Same two-pass shape as
+heavyhitters.rescore and ivf's nprobe: cheap-approximate to find
+candidates, exact on candidates only.
+
+  * ``quantize_embeddings`` — per-vector symmetric int8: scale =
+    max|x|/127 (a zero vector keeps scale 1.0 instead of dividing by
+    zero), plus the fp norm so approximate COSINE (not just dot) can be
+    ranked.  One Arrow kernel; the output row is (key, scale, norm,
+    64-byte binary) — 7x smaller than the float64 array at dim 64.
+  * ``quantized_topk`` — approximate cosine against a float query:
+    scale·(q_int8·query)/(norm·|query|), batched matmul in one kernel,
+    TakeOrderedAndProject top-m.  Per-element rounding error is
+    ≤ scale/2, so the approximate dot is within scale/2·Σ|query_i| of
+    the true dot — candidates at modest m contain the true top-k with
+    margin to spare.
+  * ``ann_topk_quantized`` — the two-pass: top-``rescore_m`` candidates
+    from the int8 index, then EXACT cosine on just those rows (an
+    ``isin`` pushdown + the existing Arrow matmul re-scorer).  Equals
+    the exact brute force whenever the true top-k survives into the
+    candidate set — pinned by tests and the driver oracle (the oracle
+    IS the exact brute-force SQL).
+
+Storage honesty: on this box the win is IO/shuffle bytes (the matmul
+still runs in float32 BLAS after a cast); on a cluster the scan-bytes
+reduction is the entire point.
+
+Reference parity: no vector surface in the reference
+(data_quality_checker); §2.5 training-data scope (ANN under the 100 TB
+lens).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dqc_spark.similarity import brute_force_topk_arrow
+
+__all__ = [
+    "quantize_py",
+    "dequantize_py",
+    "quantize_embeddings",
+    "quantized_topk",
+    "ann_topk_quantized",
+]
+
+
+def quantize_py(vec) -> tuple[float, float, bytes]:
+    """(scale, norm, int8 bytes) for one vector — shared by the batch
+    kernel (vectorized identically) and the pytest oracle."""
+    v = np.asarray(vec, dtype=np.float64)
+    scale = float(np.abs(v).max() / 127.0) if v.size else 1.0
+    if scale == 0.0:
+        scale = 1.0
+    q = np.clip(np.rint(v / scale), -127, 127).astype(np.int8)
+    return scale, float(np.linalg.norm(v)), q.tobytes()
+
+
+def dequantize_py(scale: float, qbytes: bytes) -> np.ndarray:
+    return np.frombuffer(qbytes, dtype=np.int8).astype(np.float64) * scale
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(key, scale, norm, qvec) — the compact ANN index rows."""
+    out_schema = T.StructType([
+        df.schema[key_col],
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("norm", T.DoubleType()),
+        T.StructField("qvec", T.BinaryType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            scales = np.abs(m).max(axis=1) / 127.0
+            scales[scales == 0.0] = 1.0
+            q = np.clip(np.rint(m / scales[:, None]), -127, 127).astype(
+                np.int8)
+            yield pd.DataFrame({
+                key_col: pdf[key_col],
+                "scale": scales,
+                "norm": np.linalg.norm(m, axis=1),
+                "qvec": [row.tobytes() for row in q],
+            })
+
+    return df.select(key_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def quantized_topk(
+    qdf: DataFrame,
+    query_vec: list[float],
+    m: int = 50,
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate-cosine top-m over a ``quantize_embeddings`` frame:
+    one Arrow matmul per batch, TakeOrderedAndProject merge."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(qv)) or 1.0
+
+    out_schema = T.StructType([
+        qdf.schema[key_col],
+        T.StructField("qscore", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([
+                np.frombuffer(b, dtype=np.int8) for b in pdf["qvec"]
+            ]).astype(np.float32)
+            norms = pdf["norm"].values.copy()
+            norms[norms == 0.0] = 1.0
+            scores = ((mat @ qv.astype(np.float32))
+                      * pdf["scale"].values / (norms * qn))
+            yield pd.DataFrame({key_col: pdf[key_col],
+                                "qscore": scores.astype(np.float64)})
+
+    scored = qdf.select(key_col, "scale", "norm", "qvec").mapInPandas(
+        kernel, out_schema)
+    return scored.orderBy(F.col("qscore").desc(), F.col(key_col)).limit(
+        int(m))
+
+
+def ann_topk_quantized(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore_m: int = 50,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-rescored quantized ANN: int8 candidates → exact cosine on
+    just those rows.  Pass ``quantized`` to reuse a stored
+    ``quantize_embeddings`` index (the at-scale path — the fp column is
+    scanned only for the ``rescore_m`` candidate rows via an ``isin``
+    pushdown)."""
+    if quantized is None:
+        quantized = quantize_embeddings(df, key_col, vec_col)
+    cand = [r[key_col]
+            for r in quantized_topk(quantized, query_vec, rescore_m,
+                                    key_col).collect()]
+    return brute_force_topk_arrow(
+        df.filter(F.col(key_col).isin(cand)), query_vec, k=k,
+        key_col=key_col, vec_col=vec_col, round_to=round_to)
