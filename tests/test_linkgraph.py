@@ -76,10 +76,14 @@ EDGES = [
 ]
 
 
-def test_pagerank_matches_python_model(spark):
+@pytest.mark.parametrize("thresh", [50_000, 0],
+                         ids=["driver-fastpath", "distributed"])
+def test_pagerank_matches_python_model(spark, thresh):
     df = spark.createDataFrame(
         EDGES, "src_domain string, dst_domain string, weight double")
-    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iter=12,
+                             driver_threshold=thresh).collect()}
     want = pagerank_py(EDGES, n_iter=12)
     assert set(got) == set(want)
     for k in want:
@@ -103,14 +107,27 @@ def test_pagerank_empty(spark):
 
 
 def test_pagerank_partition_invariance(spark):
+    # distributed path: the fast path is trivially layout-independent
     a = spark.createDataFrame(
         EDGES, "src_domain string, dst_domain string, weight double")
     ga = {r["node"]: r["rank"]
-          for r in pagerank(a.repartition(1), n_iter=7).collect()}
+          for r in pagerank(a.repartition(1), n_iter=7,
+                            driver_threshold=0).collect()}
     gb = {r["node"]: r["rank"]
-          for r in pagerank(a.repartition(9), n_iter=7).collect()}
+          for r in pagerank(a.repartition(9), n_iter=7,
+                            driver_threshold=0).collect()}
     for k in ga:
         assert ga[k] == pytest.approx(gb[k], rel=1e-12), k
+
+
+def test_pagerank_fastpath_equals_distributed(spark):
+    df = spark.createDataFrame(
+        EDGES, "src_domain string, dst_domain string, weight double")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, n_iter=9).collect()}
+    dist = {r["node"]: r["rank"]
+            for r in pagerank(df, n_iter=9, driver_threshold=0).collect()}
+    for k in dist:
+        assert fast[k] == pytest.approx(dist[k], rel=1e-12), k
 
 
 def test_end_to_end_prior(spark):
@@ -303,13 +320,16 @@ def trustrank_py(edges, seeds, damping=0.85, n_iter=10, weights=None):
     return dict(zip(nodes, ranks))
 
 
-def test_trustrank_matches_python_model(spark):
+@pytest.mark.parametrize("thresh", [50_000, 0],
+                         ids=["driver-fastpath", "distributed"])
+def test_trustrank_matches_python_model(spark, thresh):
     from dqc_spark.linkgraph import trustrank
 
     df = spark.createDataFrame(
         EDGES, "src_domain string, dst_domain string, weight double")
     got = {r["node"]: r["rank"]
-           for r in trustrank(df, ["a", "d"], n_iter=12).collect()}
+           for r in trustrank(df, ["a", "d"], n_iter=12,
+                              driver_threshold=thresh).collect()}
     want = trustrank_py(EDGES, ["a", "d"], n_iter=12)
     assert set(got) == set(want)
     for k in want:
