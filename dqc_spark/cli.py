@@ -164,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-noindex", action="store_true",
                    help="respect robots-meta opt-outs: drop pages whose "
                         "html carries a noindex/none directive")
+    p.add_argument("--stage-metrics", action="store_true",
+                   help="print per-stage surviving row counts (one "
+                        "extra count job per enabled stage)")
     p.add_argument("--trust-seeds", default=None,
                    help="comma-separated vetted domains: the self-built "
                         "--min-domain-rank prior becomes TrustRank "
@@ -395,8 +398,13 @@ def main(argv=None) -> int:
             c4_line_clean=args.c4_lines,
             drop_noindex=args.drop_noindex,
             trust_seeds=trust_seeds,
+            stage_metrics=(stage_metrics := {}
+                           if args.stage_metrics else None),
         )
         cur.write.mode("overwrite").parquet(args.output)
+        if stage_metrics is not None:
+            for stage, n in stage_metrics.items():
+                print(f"stage {stage}: {n} docs")
         n_in = pages.count()
         n_out = spark.read.parquet(args.output).count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")

@@ -212,6 +212,7 @@ def curate(
     drop_noindex: bool = False,
     trust_seeds: list | None = None,
     line_dedup_unit: str = "line",
+    stage_metrics: dict | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -274,26 +275,40 @@ def curate(
     packing) ``n_tokens``/``bin_id`` columns appended.  Stage order
     matters at scale: each stage shrinks the rows the next one shuffles,
     and the expensive near-dup pass runs only on quality-kept text.
+
+    ``stage_metrics``: pass a dict to receive per-stage surviving row
+    counts (the north-rule metrics surface at curation level — "which
+    stage ate my corpus" answered mechanically).  Each enabled stage
+    costs ONE extra count job, so this is an audit/debug mode, not the
+    default; production runs log the same numbers from the written
+    audit table instead.
     """
     from dqc_spark.components import keep_canonical
     from dqc_spark.dedup import dedup_exact, minhash_near_dups
     from dqc_spark.sampling import pack_token_budget, stratified_sample
 
+    def _mark(stage: str, df: DataFrame) -> DataFrame:
+        if stage_metrics is not None:
+            stage_metrics[stage] = df.count()
+        return df
+
+    pages = _mark("input", pages)
     if blocked_domains is not None:
         from dqc_spark.urlops import domain_filter
 
         # before everything: a pure codegen filter (no shuffle) is the
         # cheapest possible row reduction, ahead of even the snapshot
         # anti-join
-        pages = domain_filter(pages, blocked_domains, url_col=key_col)
+        pages = _mark("blocked_domains",
+            domain_filter(pages, blocked_domains, url_col=key_col))
     if drop_noindex:
         from dqc_spark.htmlextract import noindex_pred
 
         if "html" not in pages.columns:
             raise ValueError("drop_noindex needs an 'html' column")
         # NULL html / no directive -> keep (absence is not an opt-out)
-        pages = pages.filter(
-            ~F.coalesce(noindex_pred("html"), F.lit(False)))
+        pages = _mark("drop_noindex", pages.filter(
+            ~F.coalesce(noindex_pred("html"), F.lit(False))))
     if trust_seeds and min_domain_rank is None:
         # silently ignoring the seeds would look like the reputation
         # gate ran when it did not (same guard as the CLI's)
@@ -337,10 +352,11 @@ def curate(
                         float(min_domain_rank))))
             .drop("__pr_domain", "__rank_domain", "__domain_rank")
         )
+        pages = _mark("domain_rank_gate", pages)
     if prior is not None:
         from dqc_spark.snapshot import new_docs
 
-        pages = new_docs(pages, prior, text_col)
+        pages = _mark("prior_snapshot", new_docs(pages, prior, text_col))
     if normalize_text:
         from dqc_spark.normalize import normalized_col
 
@@ -396,6 +412,7 @@ def curate(
             .withColumn(text_col, F.col("text_dedup"))
             .drop("text_dedup", "__ldk")
         )
+        pages = _mark("line_dedup", pages)
 
     if c4_line_clean:
         from dqc_spark.c4clean import c4_clean
@@ -408,6 +425,7 @@ def curate(
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text", "n_sentences", "keep")
         )
+        pages = _mark("c4_line_clean", pages)
 
     # ``lm``: a trained perplexity model (lmtrain.train_bigram_lm) for
     # the high-ppl gate — the CCNet loop (train on a trusted slice,
@@ -424,6 +442,7 @@ def curate(
     kept = track(
         ann.filter(F.col("keep")).withColumn("doc_key", F.xxhash64(key_col))
     )
+    kept = _mark("quality_gates", kept)
     # URL uniqueness (north-rule check, applied as a curation step): a
     # re-crawled url appears with several texts — keep ONE row per key,
     # deterministic winner by content digest (min md5)
@@ -435,6 +454,7 @@ def curate(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    kept = _mark("url_dedup", kept)
     if repetition_thresholds:
         from dqc_spark.textstats import repetition_signals
 
@@ -453,15 +473,16 @@ def curate(
         for name, thr in repetition_thresholds.items():
             c = F.col(name) > F.lit(float(thr))
             pred = c if pred is None else (pred | c)
-        kept = kept.join(
+        kept = _mark("repetition_gate", kept.join(
             sig.filter(pred).select("doc_key"), on="doc_key",
-            how="left_anti")
-    kept = dedup_exact(kept, ["doc_key"], text_col="scrubbed_text")
+            how="left_anti"))
+    kept = _mark("exact_dedup",
+                 dedup_exact(kept, ["doc_key"], text_col="scrubbed_text"))
     if near_dup_threshold is not None:
         pairs = minhash_near_dups(
             kept, "doc_key", "scrubbed_text", threshold=near_dup_threshold
         )
-        kept = keep_canonical(kept, pairs, "doc_key")
+        kept = _mark("near_dup", keep_canonical(kept, pairs, "doc_key"))
     if benchmark is not None:
         from dqc_spark.decontam import decontaminate
         from dqc_spark.scrub import scrubbed_col
@@ -481,25 +502,27 @@ def curate(
         bench_prepped = bench_prepped.withColumn(
             text_col, scrubbed_col(F.col(text_col))
         )
-        kept = decontaminate(
+        kept = _mark("decontaminate", decontaminate(
             kept, bench_prepped, "doc_key", "scrubbed_text",
             n=decontam_ngram, max_frac=decontam_max_frac,
             bench_text_col=text_col,
-        )
+        ))
     kept = kept.withColumn(
         "domain", F.regexp_extract(key_col, r"^[a-z]+://([^/]+)", 1)
     )
     if domain_quota is not None:
-        kept = stratified_sample(kept, "domain", "doc_key", domain_quota)
+        kept = _mark("domain_quota",
+                     stratified_sample(kept, "domain", "doc_key", domain_quota))
     if mix_alpha is not None:
         from dqc_spark.mixing import temperature_sample
 
-        kept = temperature_sample(kept, "domain", "doc_key", mix_alpha)
+        kept = _mark("temperature_mix",
+                     temperature_sample(kept, "domain", "doc_key", mix_alpha))
     if pack_budget is not None:
         kept = pack_token_budget(
             kept, "lang", "doc_key", F.col("n_words"), pack_budget
         )
-    return kept
+    return _mark("final", kept)
 
 
 def document_gate_report(docs: DataFrame) -> DataFrame:

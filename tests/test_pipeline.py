@@ -360,3 +360,22 @@ def test_curate_repetition_gates(spark):
     with pytest.raises(ValueError, match="unknown repetition"):
         curate(corpus, near_dup_threshold=None,
                repetition_thresholds={"not_a_signal": 0.1}).count()
+
+
+def test_curate_stage_metrics(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 120, n_partitions=2)
+    metrics: dict = {}
+    out = curate(pages, near_dup_threshold=0.7, domain_quota=50,
+                 stage_metrics=metrics)
+    # enabled stages appear in execution order with monotonically
+    # non-increasing survivors; disabled stages are absent
+    assert list(metrics) == ["input", "quality_gates", "url_dedup",
+                             "exact_dedup", "near_dup", "domain_quota",
+                             "final"]
+    vals = list(metrics.values())
+    assert vals[0] == 120
+    assert all(a >= b for a, b in zip(vals, vals[1:])), metrics
+    assert metrics["final"] == out.count()
