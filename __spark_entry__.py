@@ -285,7 +285,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "olap_events_windowed",
     "olap_top_customers_per_nation",
     "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
@@ -340,6 +339,9 @@ DRIVER_ORDER = [
     # int8-quantized ANN with exact rescore (full SQL oracle = the
     # brute-force top-10); slot from the r1-green olap_rollup_daily
     "ann_quantized_topk",
+    # PR-curve threshold selection (full SQL oracle); slot from the
+    # r1-green olap_events_windowed (demoted, locally pinned)
+    "eval_threshold_choice",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
@@ -369,6 +371,7 @@ TAIL_ORDER = [
     "olap_events_hourly",
     "olap_lang_source_pivot",
     "olap_rollup_daily",
+    "olap_events_windowed",
     "text_hashed_tfidf",
     "ann_ivf_fullprobe",
     "text_decontaminate",

@@ -1291,6 +1291,31 @@ def q_pr_curve(spark, sf):
     )
 
 
+def q_threshold_choice(spark, sf):
+    # calibration decision over the PR curve: max-recall threshold with
+    # precision >= 0.45 (above the corpus base rate ~0.44, so a real
+    # cut must be chosen).  Cross-engine float safety: precision and
+    # recall are IDENTICAL doubles on both sides (ratios of the same
+    # exact ints), so the filter and the ordering agree bit-for-bit;
+    # FLOOR-4 only on output (CLAUDE.md rounding rule).
+    from dqc_spark.evalmetrics import choose_threshold, pr_curve
+
+    docs = _t(spark, sf, "documents")
+    c = pr_curve(
+        docs,
+        F.col("n_chars") / F.lit(1000.0),
+        F.when(F.col("lang") == "en", 1).otherwise(0),
+        buckets=20,
+    )
+    pick = choose_threshold(c, min_precision=0.45)
+    return pick.select(
+        _trunc4("threshold").alias("threshold"),
+        _trunc4("precision").alias("prec"),
+        _trunc4("recall").alias("rec"),
+        "cum_n",
+    )
+
+
 def q_session_window_native(spark, sf):
     # Spark's NATIVE session_window (gap-merged event-time windows, the
     # batch twin of the streaming state operator) pinned against the
@@ -1848,6 +1873,7 @@ def extra_queries():
         "profile_documents": q_profile_documents,
         "profile_histogram_nchars": q_histogram_nchars,
         "eval_pr_curve": q_pr_curve,
+        "eval_threshold_choice": q_threshold_choice,
         "quality_model_fit": q_quality_model,
         "dsir_select": q_dsir_select,
         "text_bpe_token_counts": q_bpe_token_counts,
@@ -2379,6 +2405,40 @@ def extra_oracle_sql():
                    FLOOR(CAST(c.cum_pos AS DOUBLE) / tot.tp * 10000)
                      / 10000 AS rec
             FROM cum c, tot
+        """,
+        # same CTE chain as eval_pr_curve + the selection rule: among
+        # precision >= 0.45 rows, max recall, tie to the LOWER threshold
+        "eval_threshold_choice": """
+            WITH s AS (
+              SELECT CAST(LEAST(19, GREATEST(0,
+                       FLOOR((n_chars / 1000.0) * 20 / 1.0))) AS INTEGER)
+                       AS bucket,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), per AS (
+              SELECT bucket, COUNT(*) AS n,
+                     CAST(SUM(y) AS BIGINT) AS n_pos
+              FROM s GROUP BY 1
+            ), cum AS (
+              SELECT p.bucket,
+                     CAST(SUM(u.n) AS BIGINT) AS cum_n,
+                     CAST(SUM(u.n_pos) AS BIGINT) AS cum_pos
+              FROM per p JOIN per u ON u.bucket >= p.bucket
+              GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp FROM per),
+            sel AS (
+              SELECT c.bucket * (1.0 / 20) AS threshold,
+                     CAST(c.cum_pos AS DOUBLE) / c.cum_n AS precision,
+                     CAST(c.cum_pos AS DOUBLE) / tot.tp AS recall,
+                     c.cum_n
+              FROM cum c, tot
+            )
+            SELECT FLOOR(threshold * 10000) / 10000 AS threshold,
+                   FLOOR(precision * 10000) / 10000 AS prec,
+                   FLOOR(recall * 10000) / 10000 AS rec,
+                   cum_n
+            FROM sel WHERE precision >= 0.45
+            ORDER BY recall DESC, threshold ASC LIMIT 1
         """,
         # identical bucket arithmetic: (x-lo)*20/(hi-lo) floored, width
         # = (hi-lo)/20 — all from exact integer bounds

@@ -101,3 +101,27 @@ def pr_curve(
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+def choose_threshold(
+    curve: DataFrame,
+    min_precision: float,
+) -> DataFrame:
+    """The calibration decision a quality-gate deployment actually
+    makes: among thresholds whose precision meets ``min_precision``,
+    pick the one keeping the most documents (max recall; ties broken
+    toward the LOWER threshold — equal recall at a looser cut means the
+    extra kept docs are all negatives the precision bound already
+    absorbed, and keeping more data never hurts recall).  One-row
+    DataFrame (threshold, precision, recall, cum_n) — empty when no
+    threshold qualifies, so callers must handle the no-solution case
+    explicitly rather than silently gating at NaN.
+
+    Pure Catalyst over the ~buckets-row curve frame; composes directly
+    with ``pr_curve``."""
+    return (
+        curve.filter(F.col("precision") >= F.lit(float(min_precision)))
+        .orderBy(F.desc("recall"), F.asc("threshold"))
+        .limit(1)
+        .select("threshold", "precision", "recall", "cum_n")
+    )

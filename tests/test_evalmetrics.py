@@ -85,3 +85,26 @@ def test_pr_curve_null_labels_count_as_negatives(spark):
     assert got[8]["n_pos"] == 0 and got[8]["cum_pos"] == 1
     assert got[8]["precision"] == pytest.approx(1 / 3)
     assert got[3]["cum_pos"] == 2 and got[3]["recall"] == 1.0
+
+
+def test_choose_threshold(spark):
+    from dqc_spark.evalmetrics import choose_threshold
+
+    rows = [
+        # (bucket, threshold, precision, recall, cum_n)
+        (0, 0.00, 0.40, 1.00, 100),
+        (1, 0.25, 0.50, 0.80, 70),
+        (2, 0.50, 0.50, 0.80, 60),   # same PR point, tighter cut
+        (3, 0.75, 0.90, 0.30, 20),
+    ]
+    curve = spark.createDataFrame(
+        rows, "bucket int, threshold double, precision double, "
+              "recall double, cum_n bigint")
+    # max recall meeting the bound; tie -> LOWER threshold (more data)
+    pick = choose_threshold(curve, 0.5).collect()
+    assert len(pick) == 1
+    assert pick[0]["threshold"] == 0.25 and pick[0]["recall"] == 0.80
+    # tighter bound moves the cut up
+    assert choose_threshold(curve, 0.9).collect()[0]["threshold"] == 0.75
+    # impossible bound -> EMPTY, not NaN
+    assert choose_threshold(curve, 0.99).count() == 0
