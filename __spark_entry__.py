@@ -285,11 +285,8 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "olap_top_customers_per_nation",
     "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
-    "olap_sessionization",
-    "olap_rich_idle_customers",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
     # canonicalization / domain-stats operators (full SQL oracles) ---
@@ -342,12 +339,25 @@ DRIVER_ORDER = [
     # PR-curve threshold selection (full SQL oracle); slot from the
     # r1-green olap_events_windowed (demoted, locally pinned)
     "eval_threshold_choice",
+    # --- new in round 3, part 4: BM25 lexical retrieval and SoftDeDup
+    # weights (both full SQL oracles) and SemDeDup cluster-local
+    # semantic dedup (rows-only; keep-set pinned by
+    # tests/test_semdedup.py).  Their slots came from the r1-green
+    # twins olap_top_customers_per_nation / olap_sessionization /
+    # olap_rich_idle_customers (all have r1 driver rows; demoted to the
+    # tail, still pinned by the local differential every round) ---
+    "text_bm25_topk",
+    "dedup_soft_weights",
+    "semantic_dedup_keep",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "olap_top_customers_per_nation",
+    "olap_sessionization",
+    "olap_rich_idle_customers",
     "ann_bruteforce_topk",
     "dedup_distinct_count",
     "dedup_approx_distinct",

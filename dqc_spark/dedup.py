@@ -62,6 +62,43 @@ def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> D
     return df.join(winners, on=key_cols, how="left_semi")
 
 
+def dedup_soft_weights(
+    df: DataFrame, key_col: str, text_col: str = "text"
+) -> DataFrame:
+    """SOFT dedup (the SoftDeDup alternative to dropping): every row is
+    kept, but gets a training weight of 1/|its exact-duplicate group|,
+    so each unique CONTENT contributes constant total mass to the loss
+    no matter how many crawls re-captured it.  Dropping all-but-one
+    (``dedup_exact``) discards crawl metadata and forces a winner; the
+    weighted form preserves every row for downstream joins and lets the
+    trainer decide.
+
+    Scale shape: counts per 16-byte digest via a partial-aggregatable
+    groupBy (never a window over the corpus — a hot digest with 10^6
+    copies would serialize a window partition), joined back on the
+    digest.  Shuffle carries (digest) and (digest, count); text never
+    moves.  weight = 1.0/n is an int-ratio double, bit-identical across
+    engines (oracle-hashable raw, no rounding needed).
+
+    Returns (key, n_copies, weight).  NULL texts form one group of
+    their own (the digest is coalesced to a marker — a bare equi-join
+    on md5(NULL)=NULL would silently DROP every NULL row, the
+    three-valued-logic trap CLAUDE.md pins for left_anti oracles).
+    """
+    src = df.select(
+        F.col(key_col).alias("__key"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__null__")).alias("__h"))
+    counts = src.groupBy("__h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        src.join(counts, "__h")
+        .select(
+            F.col("__key").alias(key_col),
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------

@@ -1806,6 +1806,49 @@ def q_url_domain_stats(spark, sf):
     )
 
 
+def q_bm25_topk(spark, sf):
+    # lexical retrieval over the corpus: pure-Catalyst BM25, posting
+    # stream filtered to the query terms BEFORE any shuffle.  Scores
+    # rounded to 4 (the only cross-engine divergence is per-doc SUM
+    # order; every per-(doc,term) partial is bit-identical)
+    from dqc_spark.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), ["hash", "join", "window"],
+        k=20, round_to=4)
+
+
+def q_dedup_soft_weights(spark, sf):
+    # SoftDeDup: keep every row, weight = 1/|exact-dup group|.  The
+    # corpus is planted with re-crawls (every 10th doc duplicated) and
+    # NULL-text captures (every 100th) so the weights are non-vacuous
+    # and the NULL-group path is exercised cross-engine.
+    from dqc_spark.dedup import dedup_soft_weights
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    nulls = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"))
+    return dedup_soft_weights(docs.union(dup).union(nulls), "doc_id")
+
+
+def q_semantic_dedup(spark, sf):
+    # SemDeDup over the embeddings table: seeded k-means centroids,
+    # cluster-local greedy cosine prune.  Decision-column form — one
+    # row per input vector with (cluster, keep) — so the rows-only
+    # driver check pins a count independent of what k-means produced;
+    # the keep-set semantics are pinned by tests/test_semdedup.py.
+    from dqc_spark.ivf import train_centroids
+    from dqc_spark.semdedup import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    cent = train_centroids(emb, k=8, max_iter=5)
+    return semantic_dedup(emb, cent, threshold=0.99).select(
+        "vec_id", "cluster", "keep")
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -1895,6 +1938,9 @@ def extra_queries():
         "graph_anchor_terms": q_graph_anchor_terms,
         "graph_pagerank": q_graph_pagerank,
         "graph_trustrank": q_graph_trustrank,
+        "text_bm25_topk": q_bm25_topk,
+        "dedup_soft_weights": q_dedup_soft_weights,
+        "semantic_dedup_keep": q_semantic_dedup,
     }
 
 
@@ -1937,6 +1983,73 @@ def _noindex_oracle_sql() -> str:
 
 def extra_oracle_sql():
     return {
+        # BM25: every per-(doc,term) partial is bit-identical across
+        # engines (int tf/df/dl; avgdl = int-sum/int-count; ln of an
+        # identical double; literal arithmetic spelled with the SAME
+        # associativity as the Catalyst expression) — only the per-doc
+        # SUM is order-dependent, absorbed by ROUND(.,4)
+        "text_bm25_topk": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(
+                         regexp_split_to_array(
+                             lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '')) AS dl,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+              FROM documents
+            ), scal AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+              WHERE tok IN ('hash', 'join', 'window')
+              GROUP BY doc_id, dl, tok
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1.0 + (scal.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                                / scal.avgdl))
+                   ), 4) AS score
+            FROM tf, scal, dfreq
+            WHERE tf.term = dfreq.term
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
+        """,
+        # soft dedup: weight = 1/n is an int-ratio double, identical
+        # bits both engines; the oracle spells the count as a window
+        # (independent mechanism vs Spark's groupBy + equi-join, and
+        # window partitioning groups NULL digests natively — Spark
+        # needs the coalesced marker)
+        "dedup_soft_weights": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 20000000, CAST(NULL AS VARCHAR)
+              FROM documents WHERE doc_id % 100 = 0
+            )
+            SELECT doc_id, n_copies,
+                   CAST(1.0 AS DOUBLE) / n_copies AS weight
+            FROM (
+              SELECT doc_id,
+                     COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+              FROM corpus
+            )
+        """,
         "html_noindex": _noindex_oracle_sql(),
         "snapshot_drift_by_source": """
             WITH cur AS (

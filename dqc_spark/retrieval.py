@@ -1,0 +1,174 @@
+"""BM25 ranked retrieval over the corpus — the lexical search primitive.
+
+A curation stack needs lexical search as much as vector search: dataset
+debugging ("show me the docs that mention X"), targeted decontamination
+sweeps, and hard-negative mining for embedding training are all BM25
+queries over the same corpus the pipeline curates.  This implements
+Okapi BM25 (Robertson & Zaragoza, FnTIR 2009) as a pure-Catalyst plan —
+no Python in the per-document path at all.
+
+Scale shape (the part that matters at 10^12 docs):
+
+  * Tokenization is JVM codegen: ``split`` + ``array_remove`` (both
+    built-ins, not HOF lambdas — see CLAUDE.md on interpreted HOFs).
+  * The exploded token stream is filtered to the query's terms BEFORE
+    any shuffle, so the only wide ops are a groupBy on
+    (doc, term) rows *that matched a query term* — for a 5-term query
+    that is a vanishing fraction of the corpus — and the final
+    TakeOrderedAndProject top-k (per-partition heads, driver merge of
+    k rows per partition; no global sort).
+  * Corpus statistics (N, avgdl) are ONE tiny aggregate broadcast back
+    as a literal join (the mixing.py scalar pattern); per-term document
+    frequencies are a groupBy over at most |query| rows per partition
+    (partial-aggregated) and re-enter via broadcast join.
+  * Document length comes from the SAME codegen tokenizer without
+    exploding: ``size(array_remove(split(...), ''))`` — one pass, no
+    second scan of the token stream.
+
+Scoring: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (the +1 form, so
+idf stays positive even when df > N/2), and
+
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Docs containing no query term score 0 and are omitted (standard
+retrieval semantics — the result is the posting intersection, never a
+corpus scan of non-matches).
+
+Cross-engine determinism (oracle_check): every per-(doc,term) partial
+is bit-identical across engines (int tf/df/dl, avgdl = int-sum / int
+count, ln of an identical double); only the final per-doc SUM is
+summation-order dependent, so the score is rounded to ``round_to``
+before the (score desc, key) ordering — the ann_topk pattern.
+
+Reference parity: no search surface in data_quality_checker; §2.5
+training-data scope (corpus tooling under the 100 TB lens).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_score_py", "bm25_topk"]
+
+_TOKEN_SEP = "[^a-z0-9]+"  # same class in Java regex and python re
+
+
+def bm25_score_py(
+    docs: list[tuple],
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Single-process reference model: {key: score} for every doc with
+    at least one query-term hit.  Shares the tokenizer regex with the
+    Spark plan; used by the pytest differential."""
+    import re
+
+    toks = {
+        key: [t for t in re.split(_TOKEN_SEP, (text or "").lower()) if t]
+        for key, text in docs
+    }
+    n = len(docs)
+    avgdl = (sum(len(t) for t in toks.values()) / n) if n else 0.0
+    terms = set(query_terms)
+    df_t = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    out: dict = {}
+    for key, t in toks.items():
+        score = 0.0
+        dl = len(t)
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0 or df_t[q] == 0:
+                continue
+            idf = math.log(1.0 + (n - df_t[q] + 0.5) / (df_t[q] + 0.5))
+            score += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl))
+        if score > 0.0:
+            out[key] = score
+    return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag of query terms.
+
+    Returns (key, score) ordered (score desc, key asc); ``round_to``
+    rounds the score first so cross-engine summation-order noise cannot
+    reorder near-ties (the oracle differential runs with 4).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+
+    # codegen tokenizer, used twice: once for dl (no explode), once for
+    # the posting stream (explode + immediate isin filter)
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                _TOKEN_SEP),
+        "",
+    )
+    base = df.select(F.col(key_col).alias("__key"),
+                     F.size(toks).alias("__dl"),
+                     toks.alias("__toks"))
+
+    # corpus scalars: ONE tiny agg; re-entering as literals via collect
+    # of a single row (metadata-sized, the mixing.py pattern)
+    n_docs, sum_dl = base.agg(
+        F.count(F.lit(1)), F.sum("__dl")).first()
+    if not n_docs:
+        return base.select(F.col("__key").alias(key_col),
+                           F.lit(0.0).alias("score")).limit(0)
+    avgdl = float(sum_dl) / float(n_docs)
+
+    # posting list restricted to the query's terms BEFORE the shuffle
+    tf = (
+        base.select("__key", "__dl",
+                    F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(terms))
+        .groupBy("__key", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    # per-term document frequency: partial-aggregated groupBy over the
+    # already-tiny posting frame, broadcast back onto it
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5)))
+    part = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .select(
+            "__key",
+            (
+                idf * F.col("__tf") * F.lit(k1 + 1.0)
+                / (F.col("__tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("__dl")
+                                  / F.lit(avgdl)))
+            ).alias("__s"),
+        )
+    )
+    score = F.sum("__s")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        part.groupBy("__key")
+        .agg(score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("__key"))
+        .limit(int(k))
+        .select(F.col("__key").alias(key_col), "score")
+    )

@@ -1,0 +1,120 @@
+"""SemDeDup — semantic deduplication via cluster-local cosine pruning.
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv 2303.09540): exact/near dedup misses
+*semantically* redundant pairs (same content re-phrased, boilerplate
+translations, templated rewrites).  The published recipe — and the one
+thing that makes all-pairs cosine tractable at corpus scale — is:
+
+  1. k-means the embeddings into k clusters (k chosen so a cluster is
+     thousands of points, not millions);
+  2. WITHIN each cluster only, prune documents whose cosine to an
+     already-kept cluster-mate exceeds ``threshold``.
+
+Cross-cluster pairs are never compared: the clustering is the blocking
+step, exactly like LSH bands block the minhash pass (`dedup.py`).  Work
+is O(sum c_i^2 · d) instead of O(n^2 · d), and each cluster prunes
+independently — embarrassingly parallel.
+
+Spark shape: reuses the IVF machinery (`ivf.py`) — seeded Spark-ML
+k-means on a hash sample for centroids, ONE Arrow matmul pass to assign
+clusters — then one ``applyInPandas`` group per cluster runs the greedy
+keep.  The shuffle carries (key, vector, cluster) once; the greedy is a
+single BLAS gram matrix + an O(c^2) scan per group.  At 10^12 docs the
+knobs are k (bounds c = n/k per group, the paper uses ~0.1% of n) and
+writing the assigned frame ``partitionBy("cluster")`` so re-runs with a
+new threshold skip the assign pass.
+
+Determinism: the keep set is a pure function of (centroids, vectors) —
+greedy order is sorted key, cluster assignment is argmax (first-max tie
+rule), so the result is partition-invariant (pinned by pytest along
+with a python-model parity differential and planted-near-dup recall).
+
+Reference parity: no vector surface in data_quality_checker; §2.5
+training-data scope (dedup family, alongside minhash/simhash/LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["semdedup_prune_py", "semantic_dedup"]
+
+
+def semdedup_prune_py(items: list[tuple], threshold: float) -> dict:
+    """Greedy cluster-local prune, the shared reference: iterate keys in
+    sorted order, keep a doc iff its max cosine to every already-KEPT
+    doc is below ``threshold``.  (Comparing against kept docs only —
+    not all earlier docs — is the SemDeDup rule: a dropped duplicate
+    must not shadow later documents.)  Returns {key: bool}."""
+    items = sorted(items, key=lambda kv: kv[0])
+    kept: list[np.ndarray] = []
+    out: dict = {}
+    for key, vec in items:
+        v = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(v)
+        vn = v / (n if n else 1.0)
+        dup = any(float(k @ vn) >= threshold for k in kept)
+        out[key] = not dup
+        if not dup:
+            kept.append(vn)
+    return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(key, cluster, keep) for EVERY input row — keep=False marks a
+    semantic duplicate of a kept cluster-mate.  Row count always equals
+    the input count (the decision column form, like ``gates.py``), so
+    callers filter or weight as they choose.
+
+    ``centroids``: a (k, dim) matrix from ``ivf.train_centroids`` (pass
+    ``sample_pct`` there at scale).  Vectors are compared L2-normalized;
+    zero vectors keep norm 1 (duplicate of each other only if threshold
+    <= 0 — they sit at the origin, cosine 0).
+    """
+    from dqc_spark.ivf import build_ivf_index
+
+    assigned = build_ivf_index(
+        df.select(key_col, vec_col), centroids, key_col=key_col,
+        vec_col=vec_col)
+
+    out_schema = T.StructType([
+        df.schema[key_col],
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+    thr = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        m = np.stack(pdf[vec_col].values).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mn = m / norms
+        # one BLAS gram matrix, then the O(c^2) greedy scan over it —
+        # same arithmetic as the per-pair reference, batched
+        g = mn @ mn.T
+        c = len(pdf)
+        keep = np.zeros(c, dtype=bool)
+        kept_ix: list[int] = []
+        for i in range(c):
+            if not kept_ix or float(g[i, kept_ix].max()) < thr:
+                keep[i] = True
+                kept_ix.append(i)
+        return pd.DataFrame({
+            key_col: pdf[key_col].values,
+            "cluster": pdf["cluster"].values,
+            "keep": keep,
+        })
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

@@ -1,0 +1,95 @@
+"""BM25 ranked retrieval (retrieval.py): python-model parity, scoring
+properties (tf saturation, idf rarity ordering, length normalization),
+determinism across partitioning, and edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.retrieval import bm25_score_py, bm25_topk
+
+DOCS = [
+    (0, "hash join hash join hash partition"),
+    (1, "sort merge join window window"),
+    (2, "hash"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "hash hash hash hash hash hash hash hash hash hash"),
+    (5, ""),
+    (6, None),
+    (7, "JOIN Hash, punctuation; separated—tokens!"),
+    (8, "window scan filter scan window scan"),
+]
+
+
+def _df(spark, docs=DOCS):
+    return spark.createDataFrame(docs, "doc_id bigint, text string")
+
+
+def test_matches_python_model(spark):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(_df(spark), ["hash", "join"], k=100).collect()
+    }
+    want = bm25_score_py(DOCS, ["hash", "join"])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12), k
+
+
+def test_nonmatching_docs_absent_and_topk_order(spark):
+    rows = bm25_topk(_df(spark), ["hash"], k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    # docs 3, 5, 6, 8 contain no 'hash' and must not appear at any k
+    assert not {3, 5, 6, 8} & set(ids)
+    # scores non-increasing, key-ascending within equal scores
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_tf_saturation_and_idf(spark):
+    # doc 4 is pure 'hash' spam: its per-term score saturates near
+    # (k1+1)*idf, so a doc matching BOTH query terms outranks it
+    rows = bm25_topk(_df(spark), ["hash", "join"], k=9).collect()
+    by_id = {r["doc_id"]: r["score"] for r in rows}
+    assert by_id[0] > by_id[4]
+    # rarer term scores higher at EQUAL tf and dl (idf is the only
+    # varying factor): 'rare' df=1 vs 'common' df=3, both tf=1 in doc 0
+    docs = [(0, "rare common"), (1, "common filler"), (2, "common stuff")]
+    mini = _df(spark, docs)
+    s_rare = bm25_topk(mini, ["rare"], k=3).collect()[0]["score"]
+    s_common = {r["doc_id"]: r["score"]
+                for r in bm25_topk(mini, ["common"], k=3).collect()}[0]
+    assert s_rare > s_common
+
+
+def test_case_and_punctuation_tokenization(spark):
+    # doc 7's 'JOIN Hash,' must match the lowercase query terms
+    got = {r["doc_id"]
+           for r in bm25_topk(_df(spark), ["join", "hash"], k=9).collect()}
+    assert 7 in got
+
+
+def test_partition_invariance_and_rounding(spark):
+    base = _df(spark)
+    a = bm25_topk(base, ["hash", "join"], k=5, round_to=4).collect()
+    b = bm25_topk(base.repartition(7), ["hash", "join"], k=5,
+                  round_to=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_empty_query_raises_and_empty_corpus(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_df(spark), [])
+    empty = _df(spark).filter(F.lit(False))
+    assert bm25_topk(empty, ["hash"], k=5).count() == 0
+
+
+def test_python_model_self_consistency():
+    # idf of a term present in every doc stays positive (the +1 form)
+    docs = [(i, "common word") for i in range(4)]
+    scores = bm25_score_py(docs, ["common"])
+    assert all(v > 0 for v in scores.values())
+    n, df_t = 4, 4
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    assert idf > 0

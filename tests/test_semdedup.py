@@ -1,0 +1,137 @@
+"""SemDeDup (semdedup.py): python-model parity per cluster, planted
+near-duplicate recall, threshold monotonicity, partition invariance,
+and the soft-dedup weights operator (dedup.py::dedup_soft_weights)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.dedup import dedup_soft_weights
+from dqc_spark.semdedup import semantic_dedup, semdedup_prune_py
+
+
+def _corpus(n=120, dim=16, seed=11, dup_every=5):
+    """Random unit-ish vectors; every ``dup_every``-th row is a tiny
+    perturbation of its predecessor (a planted semantic duplicate)."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    vecs = rng.normal(size=(n, dim))
+    planted = []
+    for i in range(1, n):
+        if i % dup_every == 0:
+            vecs[i] = vecs[i - 1] + rng.normal(size=dim) * 1e-3
+            planted.append(i)
+    return vecs, planted
+
+
+def _assign_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>")
+
+
+def _centroids(vecs, k=4):
+    # fixed deterministic centroids (first k rows, normalized) so the
+    # tests pin the PRUNE semantics, not Spark-ML k-means internals
+    c = np.asarray(vecs[:k], dtype=np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def test_matches_python_model_per_cluster(spark):
+    vecs, _ = _corpus()
+    cent = _centroids(vecs)
+    rows = semantic_dedup(_assign_df(spark, vecs), cent,
+                          threshold=0.9).collect()
+    assert len(rows) == len(vecs)  # decision-column form: no row lost
+    by_cluster: dict = {}
+    # recompute each cluster's membership exactly as build_ivf_index does
+    cn = cent
+    half = 0.5 * (cn * cn).sum(axis=1)
+    for i, v in enumerate(vecs):
+        vn = v / (np.linalg.norm(v) or 1.0)
+        cl = int(np.argmax(vn @ cn.T - half))
+        by_cluster.setdefault(cl, []).append((i, v))
+    want: dict = {}
+    for cl, items in by_cluster.items():
+        want.update(semdedup_prune_py(items, 0.9))
+    got = {r["vec_id"]: r["keep"] for r in rows}
+    assert got == want
+
+
+def test_planted_duplicates_dropped(spark):
+    vecs, planted = _corpus()
+    cent = _centroids(vecs)
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(_assign_df(spark, vecs), cent,
+                                   threshold=0.98).collect()}
+    # a perturbed copy is cosine ~0.999+ to its source; both land in the
+    # same cluster (argmax moves only at cluster boundaries), so at most
+    # a couple of boundary cases may survive
+    dropped = [i for i in planted if not got[i]]
+    assert len(dropped) >= len(planted) - 2
+    # and the sources themselves are kept (greedy keeps first-by-key)
+    assert all(got[i - 1] for i in dropped)
+
+
+def test_threshold_monotone_and_extremes(spark):
+    vecs, _ = _corpus(n=60)
+    cent = _centroids(vecs)
+    df = _assign_df(spark, vecs)
+    kept_hi = {r["vec_id"] for r in
+               semantic_dedup(df, cent, threshold=1.5).collect()
+               if r["keep"]}
+    kept_mid = {r["vec_id"] for r in
+                semantic_dedup(df, cent, threshold=0.95).collect()
+                if r["keep"]}
+    kept_lo = {r["vec_id"] for r in
+               semantic_dedup(df, cent, threshold=-1.1).collect()
+               if r["keep"]}
+    assert kept_hi == set(range(60))      # nothing reaches cosine 1.5
+    assert kept_mid.issubset(kept_hi)
+    # threshold below -1: everything is a dup of the first kept doc in
+    # its cluster -> exactly one survivor per nonempty cluster
+    assert len(kept_lo) == len(
+        {r["cluster"] for r in semantic_dedup(df, cent,
+         threshold=-1.1).collect()})
+
+
+def test_partition_invariance(spark):
+    vecs, _ = _corpus(n=80)
+    cent = _centroids(vecs)
+    a = sorted(map(tuple, semantic_dedup(
+        _assign_df(spark, vecs), cent, threshold=0.9).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        _assign_df(spark, vecs).repartition(13), cent,
+        threshold=0.9).collect()))
+    assert a == b
+
+
+def test_prune_py_dropped_doc_does_not_shadow():
+    # b duplicates a; c duplicates b but NOT a -> c must be KEPT
+    # (comparison is against kept docs only, the SemDeDup rule)
+    a = np.array([1.0, 0.0])
+    b = np.array([0.96, np.sqrt(1 - 0.96**2)])
+    c_ang = 2 * np.arccos(0.96)
+    c = np.array([np.cos(c_ang), np.sin(c_ang)])
+    out = semdedup_prune_py([("a", a), ("b", b), ("c", c)], 0.95)
+    assert out == {"a": True, "b": False, "c": True}
+
+
+# ---------------------------------------------------------------------------
+# soft dedup weights
+# ---------------------------------------------------------------------------
+
+
+def test_soft_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, None), (6, None)],
+        "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in dedup_soft_weights(
+        df, "doc_id").collect()}
+    assert len(rows) == 6  # every row kept, including NULL texts
+    assert [rows[i]["n_copies"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert rows[1]["weight"] == pytest.approx(1 / 3)
+    assert rows[4]["n_copies"] == 1 and rows[4]["weight"] == 1.0
+    # NULL texts form one group of their own
+    assert rows[5]["n_copies"] == 2 and rows[5]["weight"] == 0.5
+    # total mass == number of distinct contents (incl. the NULL group)
+    assert sum(r["weight"] for r in rows.values()) == pytest.approx(3.0)
