@@ -714,19 +714,20 @@ def q_media_features(spark, sf):
 
 
 def q_media_real_decode(spark, sf):
-    # REAL (non-stub) media decode: WAV and PPM blobs synthesized
+    # REAL (non-stub) media decode: WAV, PPM and PNG blobs synthesized
     # deterministically from doc_ids inside an Arrow kernel, then
     # featurized with decode_stub=False — every value below comes from
-    # an actual RIFF chunk walk / netpbm raster parse, not the digest
-    # fake.  Rows-only (binary synthesis is engine-specific); the
-    # duration/luminance slots are pinned exactly by test_mediacodec.
+    # an actual RIFF chunk walk / netpbm raster parse / PNG inflate +
+    # de-filter, not the digest fake.  Rows-only (binary synthesis is
+    # engine-specific); the duration/luminance slots are pinned exactly
+    # by test_mediacodec.
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from dqc_spark.mediacodec import encode_pnm, encode_wav
+    from dqc_spark.mediacodec import encode_png, encode_pnm, encode_wav
     from dqc_spark.multimodal import extract_features
 
     docs = _t(spark, sf, "documents").select("doc_id").limit(64)
@@ -743,12 +744,15 @@ def q_media_real_decode(spark, sf):
                     blob = encode_wav(
                         np.sin(2 * np.pi * (100 + d) * t), rate=8000
                     )
-                else:  # (4+d%3) x 4 gradient image
+                else:  # (4+d%3) x 4 gradient image; alternate container
                     w = 4 + d % 3
                     img = (
                         np.arange(4 * w * 3, dtype=np.int64) * (d + 1) % 256
                     ).astype(np.uint8).reshape(4, w, 3)
-                    blob = encode_pnm(img)
+                    # d%4==1 -> PNM, d%4==3 -> PNG (same pixels, so the
+                    # codec choice must not change the features)
+                    blob = (encode_pnm(img) if d % 4 == 1
+                            else encode_png(img))
                 out_keys.append(d)
                 out_media.append(blob)
             yield pd.DataFrame({"doc_id": out_keys, "media": out_media})

@@ -1,12 +1,14 @@
-"""Pure-python/numpy media codecs: RIFF/WAVE PCM audio and PNM images.
+"""Pure-python/numpy media codecs: WAV audio, PNM images, and PNG.
 
-No PIL/librosa/ffmpeg exists in this environment, but two real formats
-need neither: WAV is a RIFF chunk walk + ``np.frombuffer`` over PCM
-samples, and PPM/PGM (netpbm) is a whitespace-token header + a raster
-``np.frombuffer``.  These decoders are REAL — bytes in, samples/pixels
-out — and back the non-stub path of ``multimodal.extract_features`` /
-``resize_media``.  Both formats also have encoders here so tests can pin
-known bytes -> known features without external fixtures.
+No PIL/librosa/ffmpeg exists in this environment, but three real
+formats need neither: WAV is a RIFF chunk walk + ``np.frombuffer`` over
+PCM samples, PPM/PGM (netpbm) is a whitespace-token header + a raster
+``np.frombuffer``, and PNG (8-bit, non-interlaced) is a chunk walk +
+stdlib-zlib inflate + spec §6 scanline de-filtering.  These decoders
+are REAL — bytes in, samples/pixels out — and back the non-stub path of
+``multimodal.extract_features`` / ``resize_media``.  All three formats
+also have encoders here so tests can pin known bytes -> known features
+without external fixtures.
 
 Everything below is a plain function over ``bytes``/``np.ndarray`` —
 Spark never appears in this module, so the kernels are unit-testable in
@@ -15,13 +17,15 @@ in ``multimodal``.
 
 Format references (public): RIFF/WAVE as described in the multimedia
 programming interface spec (fmt/data chunks, 16-bit LE layout); netpbm
-man pages for P2/P3/P5/P6 headers.
+man pages for P2/P3/P5/P6 headers; the W3C PNG specification (RFC 2083)
+for chunk layout, filter types 0-4 and the Paeth predictor.
 """
 
 from __future__ import annotations
 
 import re
 import struct
+import zlib
 
 import numpy as np
 
@@ -254,17 +258,29 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows[:, None], cols[None, :]]
 
 
-def image_features(data: bytes, n_hist: int = 8) -> dict:
-    """Real image features from PNM bytes: dimensions, per-channel
-    mean/std, mean luminance, mean gradient magnitude (edge energy),
-    and an ``n_hist``-bin luminance histogram (mass-normalized)."""
+def _decode_image(data: bytes) -> tuple[np.ndarray, float]:
+    """(pixels (h, w, {1,3}), maxval) for any really-decodable image
+    format.  PNG alpha is stripped (features describe the color
+    raster); PNM normalizes by the header's ACTUAL maxval — netpbm
+    allows any value in [1, 65535] (e.g. maxval 15 from pbmtools), and
+    assuming full-scale from the dtype would scale every feature by
+    maxval_assumed/maxval_actual."""
+    if data[:8] == PNG_SIG:
+        img = decode_png(data)
+        if img.shape[2] in (2, 4):  # gray+alpha / RGBA -> drop alpha
+            img = img[:, :, :-1]
+        return img, 255.0
     raw = decode_pnm(data)
-    # normalize by the header's ACTUAL maxval — netpbm allows any value
-    # in [1, 65535] (e.g. maxval 15 from pbmtools); assuming full-scale
-    # 255/65535 from the dtype would scale every feature by
-    # maxval_assumed/maxval_actual
     (_, _, maxval_hdr), _ = _pnm_tokens(data, 3)
-    maxval = float(max(1, maxval_hdr))
+    return raw, float(max(1, maxval_hdr))
+
+
+def image_features(data: bytes, n_hist: int = 8) -> dict:
+    """Real image features from PNM or PNG bytes: dimensions,
+    per-channel mean/std, mean luminance, mean gradient magnitude (edge
+    energy), and an ``n_hist``-bin luminance histogram
+    (mass-normalized)."""
+    raw, maxval = _decode_image(data)
     img = raw.astype(np.float64)
     h, w, ch = img.shape
     # luminance: Rec.601 weights for RGB, identity for gray
@@ -290,16 +306,149 @@ def image_features(data: bytes, n_hist: int = 8) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C PNG spec — stdlib zlib + numpy, no PIL)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (height, width, channels) uint8.
+
+    A REAL decoder: chunk walk (IHDR/PLTE/IDAT*/IEND), zlib inflate,
+    scanline de-filtering for all five filter types (None/Sub/Up/
+    Average/Paeth, per the PNG spec §6), palette expansion.  Scope is
+    bit depth 8, non-interlaced — the overwhelmingly common web case;
+    16-bit, sub-byte depths and Adam7 raise ValueError (honest reject,
+    never a wrong pixel).  Sub de-filtering is a vectorized per-lane
+    cumsum (mod-256 distributes over the prefix sum); Average/Paeth
+    carry a true sequential dependency per pixel and use the scalar
+    loop the spec defines.  CRCs are not verified (features pipeline,
+    not archival validation).
+    """
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln  # body + length/type/CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported, got {depth}")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if w < 1 or h < 1:
+        raise ValueError("bad PNG dimensions")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from None
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        f, cur = int(ftypes[y]), lines[y]
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub: prefix sum per byte lane
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 255
+        elif f == 2:  # Up
+            cur = (cur + prev) & 255
+        elif f == 3:  # Average
+            cur = cur.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            cur = cur.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur.astype(np.int64)
+    img = recon.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        if int(img.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 -> PNG bytes (filter 0 rows,
+    one zlib IDAT, correct CRCs) — the test/round-trip twin of
+    ``decode_png`` and the re-encode step of ``resize_media``."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError("channels must be 1, 2, 3 or 4")
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    raster = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dispatch: bytes -> fixed-length feature vector (the multimodal kernel)
 # ---------------------------------------------------------------------------
 
 
 def sniff_decodable(data: bytes) -> str | None:
-    """Which REAL decoder applies: 'wav', 'pnm', or None."""
+    """Which REAL decoder applies: 'wav', 'pnm', 'png', or None."""
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:2] in _PNM_CHANNELS:
         return "pnm"
+    if data[:8] == PNG_SIG:
+        return "png"
     return None
 
 
@@ -313,7 +462,7 @@ def feature_vector(data: bytes, out_dim: int) -> np.ndarray | None:
     if kind == "wav":
         f = audio_features(data)
         vec = [f["duration_s"], f["rms"], f["peak"], f["zcr"], *f["bands"]]
-    elif kind == "pnm":
+    elif kind in ("pnm", "png"):
         f = image_features(data)
         vec = [
             float(np.log1p(f["width"])),

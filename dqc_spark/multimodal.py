@@ -4,11 +4,12 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 mapInPandas partitioning, metadata extraction from binary headers.
 
 Decode is REAL for the formats a pure numpy decoder can handle —
-RIFF/WAVE PCM audio and netpbm PPM/PGM images (``mediacodec.py``):
-``extract_features`` computes genuine duration/RMS/spectral-band (audio)
-and luminance/edge/histogram (image) features, and ``resize_media`` does
-a genuine nearest-neighbor resample for PNM.  Formats that need
-PIL/librosa/ffmpeg (JPEG, PNG, MP3, WebM — not in this container) fall
+RIFF/WAVE PCM audio, netpbm PPM/PGM images, and 8-bit non-interlaced
+PNG (``mediacodec.py``): ``extract_features`` computes genuine
+duration/RMS/spectral-band (audio) and luminance/edge/histogram (image)
+features, and ``resize_media`` does a genuine nearest-neighbor resample
+for PNM/PNG.  Formats that need PIL/librosa/ffmpeg (JPEG, MP3, WebM —
+not in this container) fall
 back per ``decode_stub``: ``True`` (default) substitutes a deterministic
 fake feature vector derived from the bytes; ``False`` raises
 NotImplementedError at the point where a real decoder would plug in.
@@ -113,9 +114,10 @@ def extract_features(
             return vec.tolist()
         if not decode_stub:
             raise NotImplementedError(
-                "no pure-python decoder for this format (JPEG/PNG/MP3/"
-                "WebM need PIL/librosa/ffmpeg — not in this container); "
-                "pass decode_stub=True for the deterministic fake"
+                "no pure-python decoder for this format (JPEG/MP3/WebM "
+                "need PIL/librosa/ffmpeg — not in this container; WAV, "
+                "PNM and PNG decode for real); pass decode_stub=True "
+                "for the deterministic fake"
             )
         return _fake_decode(raw, out_dim).tolist()
 
@@ -154,7 +156,14 @@ def resize_media(
     bounded Arrow batches, binary-in/binary-out schema, per-row target
     metadata.
     """
-    from dqc_spark.mediacodec import decode_pnm, encode_pnm, resize_nearest
+    from dqc_spark.mediacodec import (
+        PNG_SIG,
+        decode_png,
+        decode_pnm,
+        encode_png,
+        encode_pnm,
+        resize_nearest,
+    )
 
     out_schema = T.StructType(
         [
@@ -171,20 +180,26 @@ def resize_media(
             "height": str(height),
             "src_bytes": str(len(raw)),
         }
+        codec = None
         if raw[:2] in (b"P2", b"P3", b"P5", b"P6"):
+            codec = ("pnm", decode_pnm, encode_pnm)
+        elif raw[:8] == PNG_SIG:
+            codec = ("png", decode_png, encode_png)
+        if codec is not None:
+            name, dec, enc = codec
             try:
-                img = decode_pnm(raw)
+                img = dec(raw)
             except ValueError:
                 img = None
             if img is not None:
-                out = encode_pnm(resize_nearest(img, width, height))
+                out = enc(resize_nearest(img, width, height))
                 meta["channels"] = str(img.shape[2])
-                meta["codec"] = "pnm"
+                meta["codec"] = name
                 return out, meta
         if not decode_stub:
             raise NotImplementedError(
-                "real resize for non-PNM formats requires PIL — not in "
-                "this container; pass decode_stub=True for the "
+                "real resize for non-PNM/PNG formats requires PIL — not "
+                "in this container; pass decode_stub=True for the "
                 "deterministic fake"
             )
         digest = hashlib.sha256(raw).digest()

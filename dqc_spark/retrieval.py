@@ -133,10 +133,15 @@ def bm25_topk(
                            F.lit(0.0).alias("score")).limit(0)
     avgdl = float(sum_dl) / float(n_docs)
 
-    # posting list restricted to the query's terms BEFORE the shuffle
+    # posting list restricted to the query's terms BEFORE the shuffle;
+    # the arrays_overlap prefilter skips the explode entirely for docs
+    # containing no query term — at corpus scale that is almost every
+    # row, so the exploded stream is proportional to the MATCHES, not
+    # the corpus token count
+    term_arr = F.array(*[F.lit(t) for t in terms])
     tf = (
-        base.select("__key", "__dl",
-                    F.explode("__toks").alias("__term"))
+        base.filter(F.arrays_overlap("__toks", term_arr))
+        .select("__key", "__dl", F.explode("__toks").alias("__term"))
         .filter(F.col("__term").isin(terms))
         .groupBy("__key", "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))

@@ -7,8 +7,10 @@ import pytest
 
 from dqc_spark.mediacodec import (
     audio_features,
+    decode_png,
     decode_pnm,
     decode_wav,
+    encode_png,
     encode_pnm,
     encode_wav,
     feature_vector,
@@ -129,7 +131,12 @@ def test_feature_vector_dispatch():
     ppm = encode_pnm(np.zeros((4, 4, 3), np.uint8))
     assert sniff_decodable(wav) == "wav"
     assert sniff_decodable(ppm) == "pnm"
-    assert sniff_decodable(b"\x89PNG\r\n\x1a\n123") is None
+    # PNG magic now routes to the real decoder; a corrupt body raises
+    # ValueError there (multimodal catches it and falls back per
+    # decode_stub — pinned in test_dedup_similarity plumbing tests)
+    assert sniff_decodable(b"\x89PNG\r\n\x1a\n123") == "png"
+    with pytest.raises(ValueError):
+        feature_vector(b"\x89PNG\r\n\x1a\n123", 8)
     v = feature_vector(wav, 12)
     assert v.shape == (12,) and v.dtype == np.float32
     assert v[0] == pytest.approx(0.1, abs=1e-3)  # duration slot
@@ -180,3 +187,197 @@ def test_spark_resize_media_real_pnm(spark):
     assert resized.shape == (2, 3, 3)
     assert np.array_equal(resized, resize_nearest(img, 3, 2))
     assert out["media_meta"]["codec"] == "pnm"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Test-side FORWARD filtering (spec §6 encoder direction) so the
+    decoder's inverse is checked against an independent construction,
+    not against itself."""
+    h, w, ch = img.shape
+    bpp = ch
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int64)
+        line = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 255
+        out += bytes([ftype]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def _png_wrap(w, h, ctype, raster, extra=b""):
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR",
+                    struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + extra
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b""))
+
+
+def _rand_img(h, w, ch, seed=3):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    for ch in (1, 2, 3, 4):
+        img = _rand_img(5, 7, ch)
+        assert np.array_equal(decode_png(encode_png(img)), img), ch
+    # 2-D input becomes grayscale
+    g = _rand_img(4, 4, 1)[:, :, 0]
+    assert np.array_equal(decode_png(encode_png(g))[:, :, 0], g)
+
+
+def test_png_all_filter_types_decode():
+    # every filter type, checked against the independent FORWARD filter
+    img = _rand_img(6, 5, 3, seed=9)
+    for ftype in range(5):
+        data = _png_wrap(5, 6, 2, _png_forward_filter(img, ftype))
+        assert np.array_equal(decode_png(data), img), f"filter {ftype}"
+    # mixed filters: cycle 0..4 over rows (the realistic encoder case),
+    # built in one pass because filters 1-4 depend on the previous row
+    h, w, ch = 10, 4, 3
+    big = _rand_img(h, w, ch, seed=10)
+    raster = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    bpp = ch
+    for y in range(h):
+        f = y % 5
+        cur = big[y].reshape(-1).astype(np.int64)
+        line = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            else:
+                pred = [0, a, b, (a + b) >> 1][f]
+            line[i] = (cur[i] - pred) & 255
+        raster += bytes([f]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    assert np.array_equal(
+        decode_png(_png_wrap(w, h, 2, raster)), big)
+
+
+def test_png_palette():
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raster = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+    data = _png_wrap(2, 2, 3, raster, extra=chunk(b"PLTE", palette))
+    img = decode_png(data)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[0, 1]) == (0, 255, 0)
+    assert tuple(img[1, 0]) == (0, 0, 255)
+    # palette index past the table is a clean reject
+    bad_raster = b"\x00" + bytes([7, 0]) + b"\x00" + bytes([0, 0])
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_wrap(2, 2, 3, bad_raster,
+                             extra=chunk(b"PLTE", palette)))
+
+
+def test_png_rejects():
+    import struct
+    import zlib as _z
+
+    img = _rand_img(3, 3, 3)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + good)
+    # interlaced: flip the interlace byte inside IHDR
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR"
+           + ihdr + struct.pack(">I", _z.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bad + good[8 + 25:])
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+    bad16 = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr16))
+             + b"IHDR" + ihdr16
+             + struct.pack(">I", _z.crc32(b"IHDR" + ihdr16)))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad16 + good[8 + 25:])
+    # corrupt deflate body (raw garbage IDAT, not zlib-wrapped)
+    raw_idat = (struct.pack(">I", 7) + b"IDAT" + b"garbage"
+                + struct.pack(">I", _z.crc32(b"IDATgarbage")))
+    ihdr_ok = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    hdr = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + ihdr_ok + struct.pack(">I", _z.crc32(b"IHDR" + ihdr_ok)))
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(hdr + raw_idat)
+    # raster size mismatch
+    with pytest.raises(ValueError, match="raster size"):
+        decode_png(_png_wrap(5, 5, 2, b"\x00" * 10))
+
+
+def test_png_image_features_and_dispatch():
+    img = np.full((4, 8, 3), 128, np.uint8)
+    f = image_features(encode_png(img))
+    assert (f["width"], f["height"], f["channels"]) == (8, 4, 3)
+    assert f["luminance"] == pytest.approx(128 / 255, abs=1e-6)
+    assert f["edge_energy"] == 0.0
+    # alpha is stripped before features
+    rgba = np.dstack([img, np.full((4, 8), 7, np.uint8)])
+    f2 = image_features(encode_png(rgba))
+    assert f2["channels"] == 3
+    assert f2["luminance"] == pytest.approx(128 / 255, abs=1e-6)
+    # dispatch: real vector from PNG bytes
+    assert sniff_decodable(encode_png(img)) == "png"
+    v = feature_vector(encode_png(img), 12)
+    assert v.shape == (12,)
+    assert v[0] == pytest.approx(np.log1p(8), abs=1e-4)
+
+
+def test_spark_resize_media_real_png(spark):
+    from dqc_spark.multimodal import resize_media
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    df = spark.createDataFrame(
+        [("u1", bytearray(encode_png(img)))], "url string, media binary"
+    )
+    out = resize_media(df, 3, 2, decode_stub=False).collect()[0]
+    resized = decode_png(bytes(out["media"]))
+    assert resized.shape == (2, 3, 3)
+    assert np.array_equal(resized, resize_nearest(img, 3, 2))
+    assert out["media_meta"]["codec"] == "png"
