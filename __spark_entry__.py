@@ -285,7 +285,6 @@ DRIVER_ORDER = [
     "ann_lsh_topk",
     "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
-    "olap_local_supplier_revenue",
     "olap_late_shipment_priority",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
@@ -349,12 +348,17 @@ DRIVER_ORDER = [
     "text_bm25_topk",
     "dedup_soft_weights",
     "semantic_dedup_keep",
+    # cross-source duplicate-overlap matrix (full SQL oracle); slot
+    # from the r1-green olap_local_supplier_revenue (demoted, locally
+    # pinned)
+    "snapshot_source_overlap",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "olap_local_supplier_revenue",
     "olap_top_customers_per_nation",
     "olap_sessionization",
     "olap_rich_idle_customers",

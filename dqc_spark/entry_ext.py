@@ -1853,6 +1853,21 @@ def q_semantic_dedup(spark, sf):
         "vec_id", "cluster", "keep")
 
 
+def q_source_overlap(spark, sf):
+    # cross-source duplicate-overlap matrix over a corpus with planted
+    # mirror/archive sources (the real corpus has no cross-source exact
+    # dups, so the unplanted result would be vacuous)
+    from dqc_spark.snapshot import source_overlap
+
+    docs = _t(spark, sf, "documents")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.lit("mirror").alias("source"), "text")
+    archive = docs.filter(F.col("doc_id") % 21 == 0).select(
+        F.lit("archive").alias("source"), "text")
+    corpus = docs.select("source", "text").union(mirror).union(archive)
+    return source_overlap(corpus)
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -1945,6 +1960,7 @@ def extra_queries():
         "text_bm25_topk": q_bm25_topk,
         "dedup_soft_weights": q_dedup_soft_weights,
         "semantic_dedup_keep": q_semantic_dedup,
+        "snapshot_source_overlap": q_source_overlap,
     }
 
 
@@ -2053,6 +2069,29 @@ def extra_oracle_sql():
                      COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
               FROM corpus
             )
+        """,
+        # overlap matrix: DISTINCT (source, digest) then a digest
+        # self-join — the oracle spells DISTINCT + ANSI join directly;
+        # Spark's dropDuplicates + alias-join is the independent plan
+        "snapshot_source_overlap": """
+            WITH corpus AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT 'archive', text FROM documents
+              WHERE doc_id % 21 = 0
+            ), pairs AS (
+              SELECT DISTINCT
+                     COALESCE(CAST(source AS VARCHAR), '<null>') AS src,
+                     COALESCE(md5(text), '__null__') AS h
+              FROM corpus
+            )
+            SELECT a.src AS source_a, b.src AS source_b,
+                   COUNT(*) AS n_shared
+            FROM pairs a JOIN pairs b
+              ON a.h = b.h AND a.src < b.src
+            GROUP BY 1, 2
         """,
         "html_noindex": _noindex_oracle_sql(),
         "snapshot_drift_by_source": """

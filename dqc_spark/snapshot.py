@@ -314,3 +314,47 @@ def snapshot_drift(
         (F.col("n_docs_cur") - F.col("n_docs_prev")).alias("docs_delta"),
         (F.col("n_chars_cur") - F.col("n_chars_prev")).alias("chars_delta"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every unordered pair
+    of sources, how many distinct CONTENTS appear in both — the
+    pre-mixing monitoring table ("is crawl B just a mirror of crawl A",
+    "how much of the news slice is syndicated wire copy").  High
+    overlap between two sources means their combined token budget
+    double-counts the shared mass unless a dedup stage runs between
+    them (`dedup_exact` / `dedup_soft_weights`).
+
+    Scale shape: distinct (source, digest) pairs first — a
+    partial-aggregatable dropDuplicates over 16-byte digests, shrinking
+    every hot re-crawl to one row per source BEFORE the join — then a
+    digest self-join restricted to ``source_a < source_b`` and one
+    pair-count groupBy.  Per-digest join fanout is bounded by
+    (#sources choose 2), not by copy counts; text never shuffles.  NULL
+    sources fold to '<null>' pre-agg (same rule as ``snapshot_drift``)
+    so the equi-join cannot drop them; NULL texts form one content
+    group via the coalesced digest.
+
+    Returns (source_a, source_b, n_shared) with source_a < source_b.
+    """
+    pairs = (
+        df.select(
+            F.coalesce(F.col(source_col).cast("string"),
+                       F.lit("<null>")).alias("__src"),
+            F.coalesce(F.md5(F.col(text_col)),
+                       F.lit("__null__")).alias("__h"),
+        )
+        .dropDuplicates(["__src", "__h"])
+    )
+    a = pairs.select(F.col("__src").alias("source_a"), "__h")
+    b = pairs.select(F.col("__src").alias("source_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

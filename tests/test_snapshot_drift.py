@@ -62,3 +62,41 @@ def test_plan_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "doc_id" in line:
             assert "LogicalRDD" in line, line
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix(spark):
+    from dqc_spark.snapshot import source_overlap
+
+    rows = [
+        ("a", "shared-1"), ("a", "shared-2"), ("a", "only-a"),
+        ("b", "shared-1"), ("b", "shared-2"), ("b", "shared-3"),
+        ("c", "shared-3"), ("c", "only-c"),
+        # duplicate copies within one source must not inflate the count
+        ("b", "shared-1"),
+        # NULL source folds to '<null>'; NULL text is one content group
+        (None, "shared-1"), (None, None), ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap(df).collect()}
+    assert got == {
+        ("a", "b"): 2,            # shared-1, shared-2
+        ("b", "c"): 1,            # shared-3
+        ("<null>", "a"): 2,       # shared-1 + the NULL-text content
+        ("<null>", "b"): 1,       # shared-1
+    }
+
+
+def test_source_overlap_empty_and_disjoint(spark):
+    from dqc_spark.snapshot import source_overlap
+
+    disjoint = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "source string, text string")
+    assert source_overlap(disjoint).count() == 0
+    empty = disjoint.limit(0)
+    assert source_overlap(empty).count() == 0
