@@ -237,6 +237,9 @@ def curation_stage_queries(spark) -> dict[str, float]:
     from dqc_spark.mixing import temperature_sample
     from dqc_spark.ordering import training_order
     from dqc_spark.similarity import hyperplane_signatures
+    from dqc_spark.ivf import train_centroids
+    from dqc_spark.retrieval import bm25_topk
+    from dqc_spark.semdedup import semantic_dedup
     from dqc_spark.substrdedup import dedup_substrings
     from dqc_spark.textstats import repetition_signals
     from dqc_spark.textvectors import hashed_tfidf
@@ -279,6 +282,11 @@ def curation_stage_queries(spark) -> dict[str, float]:
         pages.limit(2000).repartition(8), max_vocab=4096, min_count=2)
     dsir_raw_lm = train_bigram_lm(pages, max_vocab=4096, min_count=2)
     bpe_merges = train_bpe(pages, n_merges=50, max_words=20000)
+    # centroids for the semdedup stage trained once outside the thunk
+    # (k-means fit cost is not the stage being measured); k=64 bounds
+    # cluster size to ~1.5k of the 100k vectors
+    sd_centroids = train_centroids(
+        vecs, k=64, max_iter=5, sample_pct=10, key_col="vec_id")
 
     trials = min(TRIALS, 3)
     thunks = {
@@ -331,6 +339,16 @@ def curation_stage_queries(spark) -> dict[str, float]:
             pages.withColumn("n_tok", F.size(F.split("text", r"\s+"))),
             "source", "url", "n_tok", budget=4096,
         ).agg(F.count_distinct("source", "pack_group", "bin_id")).first(),
+        # BM25: pure-Catalyst posting build + topk over the 20k slice
+        # (arrays_overlap prefilter, per-term df broadcast)
+        "bm25_topk_20k": lambda: bm25_topk(
+            pages, ["people", "number", "sound"], k=10, key_col="url",
+        ).count(),
+        # SemDeDup over 100k real vectors: one Arrow assign matmul +
+        # per-cluster gram-matrix greedy (k=64 -> ~1.5k-vector groups)
+        f"semdedup_{n_vecs // 1000}k": lambda: semantic_dedup(
+            vecs, sd_centroids, threshold=0.99
+        ).agg(F.sum(F.col("keep").cast("int"))).first(),
         # link extraction + domain-edge groupBy over the pages' REAL
         # embedded outlinks (pagesgen v2)
         "graph_links_20k": lambda: domain_edges(pages).count(),

@@ -233,9 +233,13 @@ def _pagerank_np(edge_rows, damping, n_iter, tp_rows=None) -> dict:
     n = len(nodes)
     src = np.array([idx[s] for s, _, _ in edge_rows], dtype=np.int64)
     dst = np.array([idx[d] for _, d, _ in edge_rows], dtype=np.int64)
-    w = np.array([float(x) for _, _, x in edge_rows], dtype=np.float64)
+    # NULL weight == contributes nothing, mirroring the distributed
+    # loop where F.sum skips it and the NULL ratio drops the edge
+    w = np.array([0.0 if x is None else float(x) for _, _, x in edge_rows],
+                 dtype=np.float64)
     out = np.zeros(n)
     np.add.at(out, src, w)
+    out[out == 0.0] = 1.0  # all-NULL/zero out-degree: src is dangling
     p = w / out[src]
     if tp_rows is None:
         t = np.full(n, 1.0 / n)
@@ -316,18 +320,31 @@ def pagerank(
     # ONE cheap count decides the path: distinct edges bound nodes
     # (n <= 2E), so no distinct-nodes shuffle job is spent deciding
     n_edges = e.count()
+    # output schema preserves the caller's node dtype (string domains,
+    # long ids, ...) on every path — a hardcoded "node string" made the
+    # fast path crash for long-keyed graphs (review finding)
+    out_schema = T.StructType([
+        T.StructField("node", e.schema["__src"].dataType),
+        T.StructField("rank", T.DoubleType()),
+    ])
     if n_edges == 0:  # empty-graph short-circuit: no scheduler rounds
-        return spark.createDataFrame([], "node string, rank double")
+        return spark.createDataFrame([], out_schema)
     if n_edges <= driver_threshold * 10:
         edge_rows = [(r["__src"], r["__dst"], r["__w"])
                      for r in e.collect()]
-        tp_rows = (None if teleport is None else
-                   [(r[0], r[1]) for r in teleport.select(
-                       F.col("node").cast("string"),
-                       F.col("weight").cast("double")).collect()])
-        ranks_np = _pagerank_np(edge_rows, damping, n_iter, tp_rows)
-        return spark.createDataFrame(
-            sorted(ranks_np.items()), "node string, rank double")
+        # NULL endpoints have join-dropout semantics in the distributed
+        # loop that a dict-keyed numpy mirror cannot reproduce — run
+        # the distributed path for those graphs instead of diverging
+        if all(s is not None and d is not None
+               for s, d, _ in edge_rows):
+            tp_rows = (None if teleport is None else
+                       [(r[0], r[1]) for r in teleport.select(
+                           F.col("node"),
+                           F.col("weight").cast("double")).collect()])
+            ranks_np = _pagerank_np(edge_rows, damping, n_iter, tp_rows)
+            return spark.createDataFrame(
+                sorted(ranks_np.items(), key=lambda kv: str(kv[0])),
+                out_schema)
     nodes = track(
         e.select(F.col("__src").alias("node"))
         .union(e.select("__dst"))
@@ -348,8 +365,10 @@ def pagerank(
         ranks0 = F.lit(1.0 / n)
         dang_expr = None  # scalar dangling/n, filled per round
     else:
+        # node dtype flows through untouched (string domains or long
+        # ids alike); only the weight is normalized to double
         tp = teleport.select(
-            F.col("node").cast("string").alias("node"),
+            F.col("node"),
             F.col("weight").cast("double").alias("__tw"))
         joined = nodes.join(tp, "node", "left").withColumn(
             "__tw", F.coalesce(F.col("__tw"), F.lit(0.0)))
@@ -425,9 +444,11 @@ def trustrank(
     (``curate(min_domain_rank=...)``)."""
     if isinstance(seeds, (list, tuple, set)):
         spark = edges.sparkSession
+        # infer the node dtype from the seed values instead of forcing
+        # string — a long-keyed graph's seeds must stay longs or the
+        # teleport lookup matches nothing (review finding)
         tp = spark.createDataFrame(
-            [(str(s), 1.0) for s in sorted(seeds)],
-            "node string, weight double")
+            [(s, 1.0) for s in sorted(seeds)], ["node", "weight"])
     else:
         tp = seeds
         if "weight" not in tp.columns:

@@ -338,6 +338,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         pos += 12 + ln  # body + length/type/CRC
         if typ == b"IHDR":
+            if len(body) != 13:  # struct.error would escape the
+                raise ValueError("bad IHDR length")  # ValueError contract
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -360,11 +362,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("bad PNG dimensions")
     ch = _PNG_CHANNELS[ctype]
     stride = w * ch
+    expect = h * (stride + 1)
+    # BOUNDED inflate: a web crawl feeds untrusted bytes, and a tiny
+    # IDAT can deflate-bomb to gigabytes — cap decompression at the
+    # raster size the header promises (+1 to detect oversize) instead
+    # of materializing the whole stream before checking
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from None
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expect or d.unconsumed_tail:
         raise ValueError("PNG raster size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]

@@ -279,16 +279,35 @@ def curate(
     ``stage_metrics``: pass a dict to receive per-stage surviving row
     counts (the north-rule metrics surface at curation level — "which
     stage ate my corpus" answered mechanically).  Each enabled stage
-    costs ONE extra count job, so this is an audit/debug mode, not the
-    default; production runs log the same numbers from the written
+    costs one extra count job PLUS a persist of the marked frame (the
+    count is a second consumer — an unpersisted UDF-stage frame would
+    re-run its whole Python stage for the downstream consumer, the
+    CLAUDE.md multi-consumer rule), so this is an audit/debug mode, not
+    the default; production runs log the same numbers from the written
     audit table instead.
     """
+    from dqc_spark.cache import track as _mtrack
     from dqc_spark.components import keep_canonical
     from dqc_spark.dedup import dedup_exact, minhash_near_dups
     from dqc_spark.sampling import pack_token_budget, stratified_sample
 
+    if line_dedup_unit not in ("line", "paragraph"):
+        # validated up front, not inside the min_len branch — otherwise
+        # a typo'd unit passes silently whenever dedup is off
+        # (review finding)
+        raise ValueError(
+            f"line_dedup_unit must be 'line' or 'paragraph', "
+            f"got {line_dedup_unit!r}")
+    if line_dedup_unit != "line" and line_dedup_min_len is None:
+        # same guard as trust_seeds: a non-default unit with the stage
+        # disabled would LOOK like paragraph dedup ran when it did not
+        raise ValueError(
+            "line_dedup_unit='paragraph' has no effect without "
+            "line_dedup_min_len (the stage is disabled)")
+
     def _mark(stage: str, df: DataFrame) -> DataFrame:
         if stage_metrics is not None:
+            df = _mtrack(df)
             stage_metrics[stage] = df.count()
         return df
 
@@ -396,13 +415,9 @@ def curate(
         )
         if line_dedup_unit == "line":
             sep, join_sep = "\n", None
-        elif line_dedup_unit == "paragraph":
+        else:  # 'paragraph' (validated at function entry)
             # regex split (blank-line runs), literal rejoin
             sep, join_sep = r"\n{2,}", "\n\n"
-        else:
-            raise ValueError(
-                f"line_dedup_unit must be 'line' or 'paragraph', "
-                f"got {line_dedup_unit!r}")
         lded = dedup_lines(
             with_key, "__ldk", text_col,
             min_dup_len=line_dedup_min_len, sep=sep, join_sep=join_sep,

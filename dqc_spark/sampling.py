@@ -235,6 +235,13 @@ def pack_first_fit(
     kcol = key_col
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["n_tokens"].isna().any():
+            # NaN poisons the FFD sort (all comparisons False ->
+            # partition-dependent order) and fails the Arrow long cast
+            # downstream — reject loudly, the caller coalesces
+            raise ValueError(
+                "pack_first_fit: NULL token count (coalesce the "
+                "tokens column before packing)")
         assign = first_fit_py(
             list(zip(pdf[kcol], pdf["n_tokens"])), budget)
         pdf = pdf.copy()

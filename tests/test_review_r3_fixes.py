@@ -129,3 +129,115 @@ def test_line_dedup_key_injective(spark):
     n_control = run(control)
     assert n_control >= 2  # gates keep both texts (guard vacuousness)
     assert run(collide) == n_control  # collision-shaped keys drop nothing
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-2 review findings
+# ---------------------------------------------------------------------------
+
+
+def test_png_malformed_ihdr_raises_valueerror_not_struct_error():
+    import struct
+    import zlib as _z
+
+    from dqc_spark.mediacodec import decode_png
+
+    # IHDR whose length field promises 5 bytes: struct.error would
+    # escape the ValueError contract and abort the whole Spark job
+    body = b"\x00\x00\x00\x05"
+    bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(body)) + b"IHDR"
+           + body + struct.pack(">I", _z.crc32(b"IHDR" + body)))
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad)
+
+
+def test_png_decompression_bomb_rejected_bounded():
+    import struct
+    import zlib as _z
+
+    from dqc_spark.mediacodec import decode_png
+
+    # header promises 2x2 RGB (19 raster bytes) but the IDAT inflates
+    # to 10 MB — the bounded inflate must reject at ~expect bytes, not
+    # materialize the bomb
+    def chunk(typ, b):
+        return (struct.pack(">I", len(b)) + typ + b
+                + struct.pack(">I", _z.crc32(typ + b)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = _z.compress(b"\x00" * (10 * 1024 * 1024))
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="raster size"):
+        decode_png(data)
+
+
+def test_pagerank_fast_path_long_node_ids(spark):
+    from dqc_spark.linkgraph import pagerank, trustrank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)],
+        "src_domain long, dst_domain long, weight double")
+    fast = pagerank(edges, weight_col="weight", n_iter=6)
+    assert dict(fast.dtypes)["node"] == "bigint"
+    f = {r["node"]: r["rank"] for r in fast.collect()}
+    slow = {r["node"]: r["rank"]
+            for r in pagerank(edges, weight_col="weight", n_iter=6,
+                              driver_threshold=0).collect()}
+    assert set(f) == {1, 2, 3} and set(slow) == {1, 2, 3}
+    for k in f:
+        assert f[k] == pytest.approx(slow[k], abs=1e-9)
+    # trustrank seeds keep the node dtype too (str() coercion matched
+    # nothing on long-keyed graphs)
+    t = {r["node"]: r["rank"]
+         for r in trustrank(edges, seeds=[1], weight_col="weight",
+                            n_iter=6).collect()}
+    assert t[1] > t[2] > 0
+
+
+def test_pagerank_null_endpoint_and_weight(spark):
+    from dqc_spark.linkgraph import pagerank
+
+    # NULL weight: edge contributes nothing but still registers nodes;
+    # identical between fast and distributed paths
+    edges_nw = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", None), ("b", "c", 1.0)],
+        "src_domain string, dst_domain string, weight double")
+    f = {r["node"]: r["rank"]
+         for r in pagerank(edges_nw, weight_col="weight",
+                           n_iter=4).collect()}
+    s = {r["node"]: r["rank"]
+         for r in pagerank(edges_nw, weight_col="weight", n_iter=4,
+                           driver_threshold=0).collect()}
+    assert set(f) == set(s) == {"a", "b", "c"}
+    for k in f:
+        assert f[k] == pytest.approx(s[k], abs=1e-9)
+    # NULL endpoint: the fast path bails to the distributed loop
+    # (join-dropout semantics) instead of crashing in sorted()
+    edges_null = spark.createDataFrame(
+        [("a", "b", 1.0), (None, "b", 1.0)],
+        "src_domain string, dst_domain string, weight double")
+    out = pagerank(edges_null, weight_col="weight", n_iter=2).collect()
+    assert len(out) >= 2
+
+
+def test_pack_first_fit_null_tokens_rejected(spark):
+    from dqc_spark.sampling import pack_first_fit
+
+    df = spark.createDataFrame(
+        [("s", "k1", 10), ("s", "k2", None)],
+        "source string, url string, n_tok long")
+    with pytest.raises(Exception, match="NULL token count"):
+        pack_first_fit(df, "source", "url", "n_tok", budget=100).count()
+
+
+def test_curate_line_dedup_unit_validated_up_front(spark):
+    from dqc_spark.pipeline import curate
+
+    df = spark.createDataFrame([("k", "text")], "key string, text string")
+    with pytest.raises(ValueError, match="line_dedup_unit"):
+        curate(df, key_col="key", line_dedup_unit="word")
+    # paragraph unit with the dedup stage DISABLED must not silently
+    # no-op
+    with pytest.raises(ValueError, match="no effect"):
+        curate(df, key_col="key", line_dedup_unit="paragraph")
