@@ -283,7 +283,6 @@ DRIVER_ORDER = [
     "olap_moving_avg",
     "olap_value_percentiles_approx",
     "ann_lsh_topk",
-    "embedding_near_dups_exact",
     "dedup_simhash_near_dups",
     "olap_late_shipment_priority",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
@@ -352,12 +351,18 @@ DRIVER_ORDER = [
     # from the r1-green olap_local_supplier_revenue (demoted, locally
     # pinned)
     "snapshot_source_overlap",
+    # interpolated Kneser-Ney scoring over a Spark-trained LM
+    # (rows-only; 1e-12 normalization + parity pins in test_kn.py);
+    # slot from the r1-green embedding_near_dups_exact (demoted,
+    # locally pinned)
+    "text_kn_perplexity",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "embedding_near_dups_exact",
     "olap_local_supplier_revenue",
     "olap_top_customers_per_nation",
     "olap_sessionization",

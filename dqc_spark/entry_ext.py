@@ -1868,6 +1868,25 @@ def q_source_overlap(spark, sf):
     return source_overlap(corpus)
 
 
+def q_kn_perplexity(spark, sf):
+    # the full CCNet-authentic loop: bigram tables trained distributed
+    # (lmtrain), interpolated-KN derivation on the driver (continuation
+    # counts from the SAME tables, no re-scan), scoring through the
+    # unchanged broadcast-UDF path.  Rows-only (model floats are
+    # engine-specific); KN semantics pinned to 1e-12 normalization and
+    # python-parity by tests/test_kn.py.
+    from dqc_spark.lmtrain import train_bigram_lm
+    from dqc_spark.perplexity import with_perplexity
+    from dqc_spark.textmodels import build_kn
+
+    docs = _t(spark, sf, "documents")
+    lm = train_bigram_lm(docs.limit(300).repartition(8),
+                         max_vocab=2048, min_count=1)
+    kn = build_kn(lm)
+    return with_perplexity(docs, lm=kn).select(
+        "doc_id", F.round("ppl", 4).alias("ppl_kn"))
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -1961,6 +1980,7 @@ def extra_queries():
         "dedup_soft_weights": q_dedup_soft_weights,
         "semantic_dedup_keep": q_semantic_dedup,
         "snapshot_source_overlap": q_source_overlap,
+        "text_kn_perplexity": q_kn_perplexity,
     }
 
 

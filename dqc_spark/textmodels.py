@@ -170,9 +170,103 @@ def build_lm() -> dict:
     }
 
 
+def build_kn(lm: dict, discount: float = 0.75) -> dict:
+    """Derive an interpolated Kneser-Ney bigram model (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1999 — the smoothing KenLM implements)
+    from any add-k LM dict (``build_lm`` or a Spark-trained
+    ``lmtrain.train_bigram_lm``).  KN replaces the unigram fallback
+    with the CONTINUATION probability — "san" is frequent but only ever
+    follows "the"-like contexts poorly, so P_cont('francisco') is low
+    even though c('francisco') is high — which is why CCNet-class
+    quality filters prefer it to additive smoothing.
+
+    Derived tables (all from the existing bigram counts, no re-scan of
+    the corpus):
+      n1plus[a]    = |{b : c(ab) > 0}|  (distinct right types per context)
+      cont[b]      = |{a : c(ab) > 0}|  (distinct left contexts per word)
+      ctx_total[a] = Σ_b c(ab)          (context denominator — NOT the
+                     unigram count: they differ at document boundaries
+                     and under bigram pruning, and only the bigram-sum
+                     denominator makes the distribution normalize)
+      types        = total distinct bigrams
+
+    P(b|a) = max(c(ab) - D, 0)/ctx_total[a]
+             + D·n1plus[a]/ctx_total[a] · P_cont(b)
+    P_cont(b) = (cont[b] + 1) / (types + vocab)   (add-one so unseen
+    words keep nonzero mass).  Σ_b∈vocab P(b|a) == 1 EXACTLY for every
+    context — including pruned/unseen ones, which back off to P_cont
+    entirely — pinned to 1e-12 by test.
+
+    Caveat: bigram keys are NUL-joined strings; a token containing a
+    literal NUL (stripped upstream by the normalizer/scrubber) would
+    mis-attribute its continuation counts.  Returns a dict with
+    ``kind='kn'`` — ``perplexity`` dispatches on it, so every consumer
+    (scoring UDFs, DSIR, CCNet buckets) accepts a KN model unchanged.
+    """
+    n1plus: Counter = Counter()
+    cont: Counter = Counter()
+    ctx_total: Counter = Counter()
+    for key, c in lm["bigrams"].items():
+        a, b = key.split("\x00", 1)
+        n1plus[a] += 1
+        cont[b] += 1
+        ctx_total[a] += c
+    return {
+        "kind": "kn",
+        "bigrams": lm["bigrams"],
+        "n1plus": dict(n1plus),
+        "cont": dict(cont),
+        "ctx_total": dict(ctx_total),
+        "types": len(lm["bigrams"]),
+        "vocab": lm["vocab"],
+        "discount": float(discount),
+    }
+
+
+def kn_perplexity(text: str, kn: dict, logcache: dict | None = None) -> float:
+    """Per-document perplexity under an interpolated-KN model
+    (``build_kn``).  Same contract as ``perplexity``: deterministic,
+    1e9 for empty docs, optional bit-exact log memoization."""
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return 1e9
+    bi = kn["bigrams"]
+    n1p, cont, ctx = kn["n1plus"], kn["cont"], kn["ctx_total"]
+    d, types, vocab = kn["discount"], kn["types"], kn["vocab"]
+    cont_den = types + vocab
+
+    def logp_pair(a: str, b: str) -> float:
+        pc = (cont.get(b, 0) + 1.0) / cont_den
+        ca = ctx.get(a, 0)
+        if ca == 0:
+            # unseen context, or one whose bigrams were all pruned:
+            # full backoff (a zero lambda would make p = 0 -> log crash)
+            return math.log(pc)
+        cab = bi.get(f"{a}\x00{b}", 0)
+        return math.log(
+            max(cab - d, 0.0) / ca + (d * n1p[a] / ca) * pc)
+
+    logp = math.log((cont.get(tokens[0], 0) + 1.0) / cont_den)
+    if logcache is None:
+        for a, b in zip(tokens, tokens[1:]):
+            logp += logp_pair(a, b)
+    else:
+        get = logcache.get
+        for ab in zip(tokens, tokens[1:]):
+            v = get(ab)
+            if v is None:
+                v = logp_pair(*ab)
+                logcache[ab] = v
+            logp += v
+    return math.exp(-logp / len(tokens))
+
+
 def perplexity(text: str, lm: dict, logcache: dict | None = None) -> float:
-    """Per-document bigram perplexity with add-k smoothing.  Higher =
-    less natural-language-like.  Deterministic, shared with the golden
+    """Per-document bigram perplexity with add-k smoothing (or
+    interpolated KN when ``lm`` carries ``kind='kn'`` — see
+    ``build_kn``; the dispatch keeps every scoring consumer
+    model-agnostic).  Higher = less natural-language-like.
+    Deterministic, shared with the golden
     oracle so Spark-vs-local is a pure distribution differential.
 
     ``logcache`` (optional) memoizes the per-bigram log term across
@@ -181,6 +275,8 @@ def perplexity(text: str, lm: dict, logcache: dict | None = None) -> float:
     operations in the identical order (the cache stores the finished
     ``math.log`` value), so results are bit-equal with or without it —
     pinned by tests/test_pipeline.py::test_perplexity_cache_is_exact."""
+    if lm.get("kind") == "kn":
+        return kn_perplexity(text, lm, logcache)
     tokens = (text or "").lower().split()
     if not tokens:
         return 1e9
