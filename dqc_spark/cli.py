@@ -204,6 +204,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="overlap n-gram size (13 is the common eval guard)")
     p.add_argument("--max-frac", type=float, default=0.5)
 
+    p = sub.add_parser("search",
+                       help="BM25 lexical search over a corpus")
+    p.add_argument("--data", required=True, help="docs parquet path")
+    p.add_argument("--query", required=True,
+                   help="space-separated query terms")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+
+    p = sub.add_parser("source-overlap",
+                       help="cross-source duplicate-overlap matrix")
+    p.add_argument("--data", required=True, help="docs parquet path")
+    p.add_argument("--source-column", default="source")
+    p.add_argument("--text-column", default="text")
+
     p = sub.add_parser("snapshot-new",
                        help="keep only docs unseen in a prior snapshot")
     p.add_argument("--input", required=True, help="new snapshot parquet")
@@ -455,6 +470,32 @@ def main(argv=None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = docs.count(), spark.read.parquet(args.output).count()
         print(f"decontaminate: {n_in} -> {n_out} docs at {args.output}")
+        return 0
+    if c == "search":
+        from dqc_spark.retrieval import bm25_topk
+
+        docs = spark.read.parquet(args.data)
+        hits = bm25_topk(
+            docs, args.query.split(), k=args.k,
+            key_col=args.key_column, text_col=args.text_column,
+            round_to=4,
+        ).collect()
+        for r in hits:
+            print(f"{r['score']:>10.4f}  {r[args.key_column]}")
+        print(f"search: {len(hits)} hits for {args.query!r}")
+        return 0
+    if c == "source-overlap":
+        from pyspark.sql import functions as F
+
+        from dqc_spark.snapshot import source_overlap
+
+        docs = spark.read.parquet(args.data)
+        rows = source_overlap(
+            docs, args.source_column, args.text_column
+        ).orderBy(F.desc("n_shared"), "source_a", "source_b").collect()
+        for r in rows:
+            print(f"{r['n_shared']:>8}  {r['source_a']} ~ {r['source_b']}")
+        print(f"source-overlap: {len(rows)} overlapping pairs")
         return 0
     if c == "snapshot-new":
         from dqc_spark.snapshot import new_docs, new_docs_bloom

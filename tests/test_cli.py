@@ -148,3 +148,28 @@ def test_cli_blocked_domains_file_paths(spark, tmp_path):
     # a typo'd path errors instead of silently matching nothing
     with pytest.raises(Exception):
         _parse_blocked(spark, str(tmp_path / "nope" / "domains")).collect()
+
+
+def test_cli_search(capsys, spark, db_path, docs_parquet):
+    rc, out = _run(capsys, ["--db-path", db_path, "search",
+                            "--data", docs_parquet,
+                            "--query", "quick brown fox", "--k", "3"])
+    assert rc == 0
+    assert "search: 2 hits" in out  # docs 0 and 2 contain the terms
+    # top hit is doc 2 (same tf, shorter effective noise) or doc 0 —
+    # both listed, scores printed desc
+    lines = [ln for ln in out.splitlines() if "  " in ln and "search" not in ln]
+    scores = [float(ln.split()[0]) for ln in lines]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_source_overlap(capsys, spark, db_path, tmp_path):
+    p = str(tmp_path / "src_docs.parquet")
+    rows = [("a", "same text"), ("b", "same text"), ("b", "only b"),
+            ("c", "other text")]
+    spark.createDataFrame(rows, "source string, text string").write.parquet(p)
+    rc, out = _run(capsys, ["--db-path", db_path, "source-overlap",
+                            "--data", p])
+    assert rc == 0
+    assert "1  a ~ b" in out
+    assert "source-overlap: 1 overlapping pairs" in out
