@@ -283,7 +283,6 @@ DRIVER_ORDER = [
     "olap_moving_avg",
     "olap_value_percentiles_approx",
     "ann_lsh_topk",
-    "dedup_simhash_near_dups",
     "olap_late_shipment_priority",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
@@ -356,12 +355,18 @@ DRIVER_ORDER = [
     # slot from the r1-green embedding_near_dups_exact (demoted,
     # locally pinned)
     "text_kn_perplexity",
+    # batched BM25 (full SQL oracle; per-query equality with the
+    # single-query form pinned by pytest); slot from the r1-green
+    # dedup_simhash_near_dups (demoted, locally pinned + hamming
+    # pytest)
+    "text_bm25_batch",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "dedup_simhash_near_dups",
     "embedding_near_dups_exact",
     "olap_local_supplier_revenue",
     "olap_top_customers_per_nation",

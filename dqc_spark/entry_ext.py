@@ -1822,6 +1822,21 @@ def q_bm25_topk(spark, sf):
         k=20, round_to=4)
 
 
+def q_bm25_batch(spark, sf):
+    # batched retrieval: one corpus pass amortized over three queries;
+    # per-query scores provably equal the single-query form (pytest).
+    # rank cast to long so the dtype matches DuckDB's ROW_NUMBER
+    from dqc_spark.retrieval import bm25_topk_batch
+
+    out = bm25_topk_batch(
+        _t(spark, sf, "documents"),
+        {"q_hash": ["hash", "join"],
+         "q_window": ["window", "scan"],
+         "q_mixed": ["merge", "sort", "filter"]},
+        k=10, round_to=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_dedup_soft_weights(spark, sf):
     # SoftDeDup: keep every row, weight = 1/|exact-dup group|.  The
     # corpus is planted with re-crawls (every 10th doc duplicated) and
@@ -1981,6 +1996,7 @@ def extra_queries():
         "semantic_dedup_keep": q_semantic_dedup,
         "snapshot_source_overlap": q_source_overlap,
         "text_kn_perplexity": q_kn_perplexity,
+        "text_bm25_batch": q_bm25_batch,
     }
 
 
@@ -2066,6 +2082,59 @@ def extra_oracle_sql():
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id
             LIMIT 20
+        """,
+        # batched BM25: same per-partial bit-identity argument as
+        # text_bm25_topk; the per-query top-k is ROW_NUMBER over the
+        # ROUNDED score (both engines rank identical doubles)
+        "text_bm25_batch": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(
+                         regexp_split_to_array(
+                             lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '')) AS dl,
+                     list_filter(
+                         regexp_split_to_array(
+                             lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+              FROM documents
+            ), scal AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+              WHERE tok IN ('filter', 'hash', 'join', 'merge', 'scan',
+                            'sort', 'window')
+              GROUP BY doc_id, dl, tok
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), qexp(query_id, term) AS (
+              VALUES ('q_hash', 'hash'), ('q_hash', 'join'),
+                     ('q_window', 'scan'), ('q_window', 'window'),
+                     ('q_mixed', 'filter'), ('q_mixed', 'merge'),
+                     ('q_mixed', 'sort')
+            ), scored AS (
+              SELECT qexp.query_id, tf.doc_id,
+                     ROUND(SUM(
+                         ln(1.0 + (scal.n - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5))
+                         * tf.tf * (1.2 + 1.0)
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                                  / scal.avgdl))
+                     ), 4) AS score
+              FROM tf, scal, dfreq, qexp
+              WHERE tf.term = dfreq.term AND tf.term = qexp.term
+              GROUP BY qexp.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         # soft dedup: weight = 1/n is an int-ratio double, identical
         # bits both engines; the oracle spells the count as a window

@@ -51,7 +51,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_score_py", "bm25_topk"]
+__all__ = ["bm25_score_py", "bm25_topk", "bm25_topk_batch"]
 
 _TOKEN_SEP = "[^a-z0-9]+"  # same class in Java regex and python re
 
@@ -176,4 +176,108 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("__key"))
         .limit(int(k))
         .select(F.col("__key").alias(key_col), "score")
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: dict,
+    k: int = 10,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-``k`` per query for a BATCH of queries — the shape retrieval
+    actually runs at corpus scale (hard-negative mining, eval-set
+    sweeps, dataset debugging dashboards fire thousands of queries, and
+    one scan amortized across all of them beats one scan each).
+
+    ``queries``: {query_id: [terms...]}.  ONE pass builds the posting
+    stream for the UNION of all query terms (same arrays_overlap
+    prefilter + explode-then-isin as ``bm25_topk``); per-(query, term)
+    weights join in via a broadcast of the tiny query expansion; the
+    per-query top-k is a row_number window partitioned BY QUERY — the
+    partition holds one query's matches only (never the corpus), so no
+    single-partition bottleneck exists for a bounded query batch.
+
+    Statistics note: df(t) and avgdl are corpus-global, identical to
+    the single-query form — scores for a query here equal
+    ``bm25_topk`` with that query alone (pinned by pytest).
+
+    Returns (query_id, key, score, rank) with rank 1..k per query.
+    """
+    if not queries:
+        raise ValueError("bm25_topk_batch needs at least one query")
+    norm_q = {qid: sorted({t.lower() for t in terms})
+              for qid, terms in queries.items()}
+    if any(not terms for terms in norm_q.values()):
+        raise ValueError("every query needs at least one term")
+    all_terms = sorted(set().union(*norm_q.values()))
+
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                _TOKEN_SEP),
+        "",
+    )
+    base = df.select(F.col(key_col).alias("__key"),
+                     F.size(toks).alias("__dl"),
+                     toks.alias("__toks"))
+    n_docs, sum_dl = base.agg(
+        F.count(F.lit(1)), F.sum("__dl")).first()
+    if not n_docs:
+        return (base.select(
+            F.lit("").alias("query_id"), F.col("__key").alias(key_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank")).limit(0))
+    avgdl = float(sum_dl) / float(n_docs)
+
+    term_arr = F.array(*[F.lit(t) for t in all_terms])
+    tf = (
+        base.filter(F.arrays_overlap("__toks", term_arr))
+        .select("__key", "__dl", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(all_terms))
+        .groupBy("__key", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    # the query expansion table: one row per (query, term), broadcast
+    spark = df.sparkSession
+    qexp = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(norm_q.items())
+         for t in terms],
+        "query_id string, __term string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5)))
+    part = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(qexp), "__term")
+        .select(
+            "query_id",
+            "__key",
+            (
+                idf * F.col("__tf") * F.lit(k1 + 1.0)
+                / (F.col("__tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("__dl")
+                                  / F.lit(avgdl)))
+            ).alias("__s"),
+        )
+    )
+    score = F.sum("__s")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col("__key")))
+    return (
+        part.groupBy("query_id", "__key")
+        .agg(score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", F.col("__key").alias(key_col),
+                "score", "rank")
     )

@@ -93,3 +93,51 @@ def test_python_model_self_consistency():
     n, df_t = 4, 4
     idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
     assert idf > 0
+
+
+# ---------------------------------------------------------------------------
+# batch BM25
+# ---------------------------------------------------------------------------
+
+
+def test_batch_equals_single_query(spark):
+    from dqc_spark.retrieval import bm25_topk_batch
+
+    queries = {"qa": ["hash", "join"], "qb": ["window"]}
+    batch = bm25_topk_batch(_df(spark), queries, k=9, round_to=6)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"]))
+    for qid, terms in queries.items():
+        single = bm25_topk(_df(spark), terms, k=9, round_to=6).collect()
+        want = [(r["doc_id"], r["score"], i + 1)
+                for i, r in enumerate(single)]
+        assert sorted(got[qid], key=lambda x: x[2]) == want, qid
+
+
+def test_batch_rank_contract_and_k(spark):
+    from dqc_spark.retrieval import bm25_topk_batch
+
+    rows = bm25_topk_batch(
+        _df(spark), {"q": ["hash"]}, k=2).collect()
+    assert len(rows) == 2
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_batch_validation_and_partition_invariance(spark):
+    import pytest as _pytest
+
+    from dqc_spark.retrieval import bm25_topk_batch
+
+    with _pytest.raises(ValueError):
+        bm25_topk_batch(_df(spark), {})
+    with _pytest.raises(ValueError):
+        bm25_topk_batch(_df(spark), {"q": []})
+    a = sorted(map(tuple, bm25_topk_batch(
+        _df(spark), {"q1": ["hash"], "q2": ["join", "window"]},
+        k=5, round_to=4).collect()))
+    b = sorted(map(tuple, bm25_topk_batch(
+        _df(spark).repartition(7), {"q1": ["hash"], "q2": ["join", "window"]},
+        k=5, round_to=4).collect()))
+    assert a == b
