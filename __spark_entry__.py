@@ -283,7 +283,6 @@ DRIVER_ORDER = [
     "olap_moving_avg",
     "olap_value_percentiles_approx",
     "ann_lsh_topk",
-    "olap_late_shipment_priority",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
     # canonicalization / domain-stats operators (full SQL oracles) ---
@@ -360,12 +359,17 @@ DRIVER_ORDER = [
     # dedup_simhash_near_dups (demoted, locally pinned + hamming
     # pytest)
     "text_bm25_batch",
+    # deterministic train/val/test split (full SQL oracle); slot from
+    # the r1-green olap_late_shipment_priority (demoted, locally
+    # pinned)
+    "sample_split_corpus",
 ]
 
 # r2-green entries rotated out for round 3: every one has a CORRECTNESS
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "olap_late_shipment_priority",
     "dedup_simhash_near_dups",
     "embedding_near_dups_exact",
     "olap_local_supplier_revenue",

@@ -1822,6 +1822,16 @@ def q_bm25_topk(spark, sf):
         k=20, round_to=4)
 
 
+def q_split_corpus(spark, sf):
+    # deterministic 80/10/10 split: pure function of the key, zero
+    # shuffle; thresholds are integer-quantized hash buckets so both
+    # engines compare identical integers
+    from dqc_spark.sampling import split_corpus
+
+    return split_corpus(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+
+
 def q_bm25_batch(spark, sf):
     # batched retrieval: one corpus pass amortized over three queries;
     # per-query scores provably equal the single-query form (pytest).
@@ -1997,6 +2007,7 @@ def extra_queries():
         "snapshot_source_overlap": q_source_overlap,
         "text_kn_perplexity": q_kn_perplexity,
         "text_bm25_batch": q_bm25_batch,
+        "sample_split_corpus": q_split_corpus,
     }
 
 
@@ -2082,6 +2093,20 @@ def extra_oracle_sql():
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id
             LIMIT 20
+        """,
+        # split: both engines compare IDENTICAL integers (md5-prefix
+        # bucket vs integer-quantized thresholds — the CLAUDE.md rule)
+        "sample_split_corpus": """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT % 1000000 AS b
+              FROM documents
+            )
         """,
         # batched BM25: same per-partial bit-identity argument as
         # text_bm25_topk; the per-query top-k is ROW_NUMBER over the

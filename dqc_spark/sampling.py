@@ -41,6 +41,7 @@ from pyspark.sql import Window as W
 __all__ = [
     "portable_hash_bucket",
     "hash_sample",
+    "split_corpus",
     "stratified_sample",
     "pack_token_budget",
     "first_fit_py",
@@ -70,6 +71,48 @@ def hash_sample(
     bucket < rate_pct.  Pure filter — no shuffle, reproducible across
     cluster sizes and engines."""
     return df.filter(portable_hash_bucket(key_col, buckets) < rate_pct)
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    weights: dict | None = None,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test split: adds a ``split``
+    column assigning every row to exactly one named slice with the
+    given weights (default 80/10/10).  The decision is a pure function
+    of the KEY — reproducible across runs, cluster sizes, engines, and
+    corpus growth (a doc keeps its split when new docs arrive, so eval
+    sets stay uncontaminated as the corpus is re-curated; the property
+    hash-sampling has and random() never will).
+
+    Scale shape: one codegen hash + a CASE chain, zero shuffle, zero
+    python.  Thresholds are INTEGER-quantized cumulative weights over
+    ``buckets`` (the CLAUDE.md cross-engine rule: comparing raw float
+    thresholds flips rows at boundaries between engines); quantization
+    error is < len(weights)/buckets of corpus mass.  Weights need not
+    sum to 1 — they are normalized; order follows the dict (python 3.7+
+    insertion order), with the LAST slice absorbing the rounding tail.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if len(weights) < 2:
+        raise ValueError("split_corpus needs at least two slices")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(v < 0 for v in weights.values()):
+        raise ValueError("split weights must be non-negative, sum > 0")
+    names = list(weights)
+    # integer cumulative thresholds; last slice takes the remainder
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        edges.append(int(round(cum * buckets)))
+    b = portable_hash_bucket(key_col, buckets)
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(b < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
 
 
 def stratified_sample(

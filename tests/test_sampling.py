@@ -314,3 +314,52 @@ def test_pack_first_fit_matches_python_per_group(spark):
     for r in out.collect():
         assert out2[r["doc_id"]] == (r["pack_group"], r["bin_id"])
     out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus splits
+# ---------------------------------------------------------------------------
+
+
+def test_split_corpus_disjoint_exhaustive_and_proportional(spark):
+    from dqc_spark.sampling import split_corpus
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000  # every row in exactly one slice
+    assert set(counts) == {"train", "val", "test"}
+    # hash-uniformity: within a few percent of the nominal weights
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_corpus_stable_under_growth_and_partitioning(spark):
+    from dqc_spark.sampling import split_corpus
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"]
+         for r in split_corpus(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(big.repartition(13), "doc_id").collect()}
+    # a doc keeps its split when the corpus grows — eval stays eval
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_split_corpus_custom_weights_and_validation(spark):
+    import pytest as _pytest
+
+    from dqc_spark.sampling import split_corpus
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, "doc_id", {"a": 3, "b": 1})  # unnormalized
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["a"] / 2000 - 0.75) < 0.04
+    with _pytest.raises(ValueError):
+        split_corpus(df, "doc_id", {"only": 1.0})
+    with _pytest.raises(ValueError):
+        split_corpus(df, "doc_id", {"a": -1, "b": 2})
