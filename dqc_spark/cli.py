@@ -172,6 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--min-domain-rank prior becomes TrustRank "
                         "(teleport restricted to these seeds) instead "
                         "of PageRank; incompatible with --domain-ranks")
+    p.add_argument("--split", default=None,
+                   help="emit a deterministic 'split' column, e.g. "
+                        "'train=0.8,val=0.1,test=0.1' (pure function "
+                        "of the key: docs keep their slice across "
+                        "re-curations)")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -415,6 +420,12 @@ def main(argv=None) -> int:
             trust_seeds=trust_seeds,
             stage_metrics=(stage_metrics := {}
                            if args.stage_metrics else None),
+            split_weights=(
+                {k.strip(): float(v)
+                 for k, v in (kv.split("=", 1)
+                              for kv in args.split.split(","))}
+                if args.split else None
+            ),
         )
         cur.write.mode("overwrite").parquet(args.output)
         if stage_metrics is not None:

@@ -213,10 +213,16 @@ def curate(
     trust_seeds: list | None = None,
     line_dedup_unit: str = "line",
     stage_metrics: dict | None = None,
+    split_weights: dict | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
-    quota -> (mix) -> pack.
+    quota -> (mix) -> pack -> (split).
+
+    ``split_weights`` (optional, LAST stage): emit a deterministic
+    ``split`` column via ``sampling.split_corpus`` — assigned after
+    every filter so slice composition matches hashing the final corpus,
+    and a doc that survives a re-curation keeps its slice.
 
     The composition a training-data run actually executes, each stage an
     operator tested on its own (parenthesized stages default OFF):
@@ -537,6 +543,14 @@ def curate(
         kept = pack_token_budget(
             kept, "lang", "doc_key", F.col("n_words"), pack_budget
         )
+    if split_weights is not None:
+        # LAST stage on purpose: the split is a pure function of the
+        # key, so assigning it after every filter keeps each slice's
+        # composition identical to hashing the final corpus — and a doc
+        # that survives a re-curation keeps its slice (eval stays eval)
+        from dqc_spark.sampling import split_corpus
+
+        kept = split_corpus(kept, key_col, split_weights)
     return _mark("final", kept)
 
 

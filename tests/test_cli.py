@@ -173,3 +173,17 @@ def test_cli_source_overlap(capsys, spark, db_path, tmp_path):
     assert rc == 0
     assert "1  a ~ b" in out
     assert "source-overlap: 1 overlapping pairs" in out
+
+
+def test_cli_curate_split(capsys, spark, db_path, tmp_path):
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages_split.parquet")
+    out_p = str(tmp_path / "curated_split.parquet")
+    generate_pages(spark, 80, n_partitions=2).write.parquet(src)
+    rc, out = _run(capsys, [
+        "--db-path", db_path, "curate", "--input", src, "--output", out_p,
+        "--near-dup-threshold", "-1", "--split", "train=0.9,val=0.1"])
+    assert rc == 0
+    splits = {r["split"] for r in spark.read.parquet(out_p).collect()}
+    assert splits <= {"train", "val"} and "train" in splits

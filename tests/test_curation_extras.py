@@ -315,3 +315,22 @@ def test_compression_ratios(spark):
     assert got[1]["compression_ratio"] < 0.05 < got[2]["compression_ratio"]
     assert got[3]["compression_ratio"] == 0.0 and got[3]["n_bytes"] == 0
     assert got[4]["n_bytes"] == 0  # NULL -> empty
+
+
+def test_curate_split_weights_stage(spark):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+    from dqc_spark.sampling import split_corpus
+
+    pages = generate_pages(spark, 120, n_partitions=4)
+    out = curate(pages, near_dup_threshold=None, domain_quota=None,
+                 split_weights={"train": 0.8, "val": 0.2})
+    rows = out.select("url", "split").collect()
+    assert rows and set(r["split"] for r in rows) <= {"train", "val"}
+    # the split equals hashing the final keys directly (pure function)
+    direct = {r["url"]: r["split"] for r in split_corpus(
+        out.select("url"), "url", {"train": 0.8, "val": 0.2}).collect()}
+    assert all(direct[r["url"]] == r["split"] for r in rows)
+    # default: no split column
+    assert "split" not in curate(pages, near_dup_threshold=None,
+                                 domain_quota=None).columns
