@@ -271,6 +271,9 @@ DRIVER_ORDER = [
     "check_pair_equal",
     "check_distinct_in_set",
     "check_column_exists",
+    # cross-split near-dup leakage (rows-only, planted pairs; slot from
+    # the r1-green ann_lsh_topk — demoted, recall-pinned by pytest)
+    "eval_split_leakage",
     # --- the entries with no r2 driver row (r1-green twins rotated
     # back in + the round-2 additions that were parked in the tail;
     # check_unique_pass — a zero-row twin of the in-window
@@ -282,7 +285,6 @@ DRIVER_ORDER = [
     "olap_cheapest_part_per_brand",
     "olap_moving_avg",
     "olap_value_percentiles_approx",
-    "ann_lsh_topk",
     # --- new this round: REAL WAV/PNM decode (rows-only), the
     # ExactSubstr-style substring dedup (full SQL oracle), and the URL
     # canonicalization / domain-stats operators (full SQL oracles) ---
@@ -369,6 +371,7 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    "ann_lsh_topk",
     "olap_late_shipment_priority",
     "dedup_simhash_near_dups",
     "embedding_near_dups_exact",

@@ -186,3 +186,46 @@ def decontaminate(
         docs, bench, key_col, text_col, n, bench_text_col
     ).filter(F.col("contam_frac") < max_frac)
     return docs.join(keep.select(key_col), on=key_col, how="left_semi")
+
+
+def split_leakage(
+    df: DataFrame,
+    key_col: str,
+    split_col: str = "split",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs STRADDLING a split boundary — the eval
+    integrity check n-gram decontamination cannot do: ``decontaminate``
+    needs the eval text's exact n-grams, while a paraphrased or
+    lightly-edited copy of a training document sitting in the test
+    slice shares few exact 13-grams but a high MinHash Jaccard.  Run it
+    after ``split_corpus``/``curate(split_weights=)`` before trusting
+    any eval number.
+
+    Composition: the existing banded-LSH near-dup pass over the WHOLE
+    corpus (capped buckets, persisted signatures — dedup.py's scale
+    shape survives unchanged), then the tiny pair frame joins the
+    (key, split) labels and keeps cross-split pairs only.  Cost is one
+    near-dup pass; the label joins touch pair-count rows.
+
+    Returns (key_a, split_a, key_b, split_b, est_jaccard).
+    """
+    from dqc_spark.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(
+        df, key_col, text_col=text_col, threshold=threshold,
+        num_perm=num_perm, bands=bands)
+    lab = df.select(F.col(key_col), F.col(split_col))
+    la = lab.select(F.col(key_col).alias("key_a"),
+                    F.col(split_col).alias("split_a"))
+    lb = lab.select(F.col(key_col).alias("key_b"),
+                    F.col(split_col).alias("split_b"))
+    return (
+        pairs.join(la, "key_a")
+        .join(lb, "key_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("key_a", "split_a", "key_b", "split_b", "est_jaccard")
+    )

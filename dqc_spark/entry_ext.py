@@ -1822,6 +1822,25 @@ def q_bm25_topk(spark, sf):
         k=20, round_to=4)
 
 
+def q_split_leakage(spark, sf):
+    # eval-integrity check: near-dup pairs straddling the train/val
+    # boundary.  Leakage is planted (every 40th doc cloned into val
+    # with a one-token edit — high Jaccard, different exact n-grams);
+    # rows-only (MinHash estimates are engine-specific), pair semantics
+    # pinned by tests/test_semdedup.py::test_split_leakage*.
+    from dqc_spark.decontam import split_leakage
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.withColumn(
+        "split",
+        F.when(F.col("doc_id") % 10 < 8, "train").otherwise("val"))
+    leaked = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 50000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked")).alias("text"),
+        F.lit("val").alias("split"))
+    return split_leakage(base.union(leaked), "doc_id")
+
+
 def q_split_corpus(spark, sf):
     # deterministic 80/10/10 split: pure function of the key, zero
     # shuffle; thresholds are integer-quantized hash buckets so both
@@ -2008,6 +2027,7 @@ def extra_queries():
         "text_kn_perplexity": q_kn_perplexity,
         "text_bm25_batch": q_bm25_batch,
         "sample_split_corpus": q_split_corpus,
+        "eval_split_leakage": q_split_leakage,
     }
 
 

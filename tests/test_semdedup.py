@@ -135,3 +135,39 @@ def test_soft_weights(spark):
     assert rows[5]["n_copies"] == 2 and rows[5]["weight"] == 0.5
     # total mass == number of distinct contents (incl. the NULL group)
     assert sum(r["weight"] for r in rows.values()) == pytest.approx(3.0)
+
+
+# ---------------------------------------------------------------------------
+# cross-split leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_detects_planted_pair(spark):
+    from dqc_spark.decontam import split_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " one", "train"),
+        (2, base + " one extra", "val"),      # near-dup of 1, cross-split
+        (3, "completely different content about spark shuffles", "train"),
+        (4, base + " one tweak", "train"),    # near-dup of 1, SAME split
+        (5, "unrelated validation document text entirely", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = split_leakage(df, "doc_id", threshold=0.5).collect()
+    pairs = {frozenset((r["key_a"], r["key_b"])) for r in got}
+    assert frozenset((1, 2)) in pairs
+    # same-split near-dup (1,4) must NOT be reported
+    assert frozenset((1, 4)) not in pairs
+    for r in got:
+        assert r["split_a"] != r["split_b"]
+        assert r["est_jaccard"] >= 0.5
+
+
+def test_split_leakage_clean_corpus_empty(spark):
+    from dqc_spark.decontam import split_leakage
+
+    rows = [(1, "alpha beta gamma delta epsilon", "train"),
+            (2, "zeta eta theta iota kappa", "val")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    assert split_leakage(df, "doc_id", threshold=0.5).count() == 0
