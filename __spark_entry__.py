@@ -371,6 +371,12 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    # rows-only twin of the in-window semantic_dedup_keep (same prune
+    # kernel, hashed-TF-IDF vectors instead of the embeddings table);
+    # decision semantics pytest-pinned, counts checked by the local
+    # differential every round — the window budget goes to entries
+    # with no prior driver row
+    "semantic_dedup_text",
     "ann_lsh_topk",
     "olap_late_shipment_priority",
     "dedup_simhash_near_dups",

@@ -1822,6 +1822,17 @@ def q_bm25_topk(spark, sf):
         k=20, round_to=4)
 
 
+def q_semantic_dedup_text(spark, sf):
+    # model-free SemDeDup: hashed-TF-IDF vectors -> the same k-means
+    # blocking + cluster-local prune, no embedding table involved.
+    # Decision-column form: rows == input count regardless of k-means.
+    from dqc_spark.semdedup import semantic_dedup_text
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return semantic_dedup_text(docs, "doc_id", n_clusters=8,
+                               threshold=0.95)
+
+
 def q_split_leakage(spark, sf):
     # eval-integrity check: near-dup pairs straddling the train/val
     # boundary.  Leakage is planted (every 40th doc cloned into val
@@ -2028,6 +2039,7 @@ def extra_queries():
         "text_bm25_batch": q_bm25_batch,
         "sample_split_corpus": q_split_corpus,
         "eval_split_leakage": q_split_leakage,
+        "semantic_dedup_text": q_semantic_dedup_text,
     }
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["semdedup_prune_py", "semantic_dedup"]
+__all__ = ["semdedup_prune_py", "semantic_dedup", "semantic_dedup_text"]
 
 
 def semdedup_prune_py(items: list[tuple], threshold: float) -> dict:
@@ -118,3 +118,45 @@ def semantic_dedup(
         })
 
     return assigned.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
+def semantic_dedup_text(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    max_iter: int = 5,
+    seed: int = 7,
+    sample_pct: int | None = None,
+) -> DataFrame:
+    """Model-free SemDeDup over raw TEXT: no embedding model required.
+    Signed hashed-TF-IDF vectors (`textvectors.hashed_tfidf` — the
+    hashing trick, unit-norm) stand in for learned embeddings; the
+    k-means blocking + cluster-local greedy prune is byte-identical to
+    ``semantic_dedup``.  TF-IDF cosine catches template/boilerplate
+    rewrites and shuffled near-copies that exact/minhash dedup miss at
+    high thresholds, without shipping a model to executors.
+
+    One extra persist: the vector frame embeds an Arrow kernel and
+    feeds THREE consumers (k-means fit, assign pass, prune) — the
+    CLAUDE.md multi-consumer rule.
+
+    Returns (key, cluster, keep) — same decision-column contract.
+    """
+    from dqc_spark.cache import track
+    from dqc_spark.ivf import train_centroids
+    from dqc_spark.textvectors import hashed_tfidf
+
+    # hashed_tfidf emits a fixed ("key", "embedding") schema — restore
+    # the caller's key name so the decision frame joins back naturally
+    vecs = track(
+        hashed_tfidf(df, key_col, text_col=text_col, dim=dim)
+        .withColumnRenamed("key", key_col))
+    cent = train_centroids(
+        vecs, vec_col="embedding", k=n_clusters, max_iter=max_iter,
+        seed=seed, sample_pct=sample_pct, key_col=key_col)
+    return semantic_dedup(
+        vecs, cent, key_col=key_col, vec_col="embedding",
+        threshold=threshold)

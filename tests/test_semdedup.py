@@ -171,3 +171,40 @@ def test_split_leakage_clean_corpus_empty(spark):
             (2, "zeta eta theta iota kappa", "val")]
     df = spark.createDataFrame(rows, "doc_id long, text string, split string")
     assert split_leakage(df, "doc_id", threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# model-free text SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_text_prunes_bag_of_words_rewrites(spark):
+    from dqc_spark.semdedup import semantic_dedup_text
+
+    texts = {
+        1: "spark shuffles data between executors during wide stages",
+        # word-shuffled copy of 1: identical bag-of-words -> TF-IDF
+        # cosine 1.0, while its exact digest and word ORDER differ
+        2: "wide executors during data shuffles spark stages between",
+        3: "completely unrelated cooking recipe with flour and sugar",
+        4: "another different document about database indexing trees",
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["keep"]
+           for r in semantic_dedup_text(df, "doc_id", n_clusters=2,
+                                        threshold=0.95).collect()}
+    assert len(got) == 4          # decision-column contract
+    assert got[1] and not got[2]  # the rewrite is pruned, source kept
+    assert got[3] and got[4]
+
+
+def test_semantic_dedup_text_empty_and_null_docs(spark):
+    from dqc_spark.semdedup import semantic_dedup_text
+
+    df = spark.createDataFrame(
+        [(1, "real content words here"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = semantic_dedup_text(df, "doc_id", n_clusters=2,
+                               threshold=0.9).collect()
+    assert len(rows) == 3  # zero vectors survive the plumbing
