@@ -101,16 +101,39 @@ def semantic_dedup(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         mn = m / norms
-        # one BLAS gram matrix, then the O(c^2) greedy scan over it —
-        # same arithmetic as the per-pair reference, batched
-        g = mn @ mn.T
         c = len(pdf)
         keep = np.zeros(c, dtype=bool)
         kept_ix: list[int] = []
-        for i in range(c):
-            if not kept_ix or float(g[i, kept_ix].max()) < thr:
-                keep[i] = True
-                kept_ix.append(i)
+        # BLOCKED greedy: a full c x c gram matrix is O(c^2) memory —
+        # 20 GB for a 50k-vector mega-cluster (junk/zero vectors DO
+        # collapse into one cluster at corpus scale).  Per block of B
+        # rows: one BLAS matmul against the kept-so-far matrix (the
+        # cross-block dependencies) + the block's own B x B gram (the
+        # intra-block ones).  Memory O(c*d + B*c), identical keep set
+        # to the one-gram form (the greedy consumes the same numbers
+        # in the same order — pinned by the python-parity test).
+        B = 2048
+        for lo in range(0, c, B):
+            hi = min(lo + B, c)
+            blk = mn[lo:hi]
+            # only the MAX cosine vs earlier-kept matters, so the
+            # (block x kept) product reduces chunk-by-chunk into one
+            # running-max vector — peak extra memory O(B * chunk)
+            prior_max = np.full(hi - lo, -np.inf)
+            for klo in range(0, len(kept_ix), 8192):
+                sub = mn[kept_ix[klo:klo + 8192]]
+                np.maximum(prior_max, (blk @ sub.T).max(axis=1),
+                           out=prior_max)
+            g_blk = blk @ blk.T
+            blk_kept: list[int] = []  # block-local indices kept
+            for j in range(hi - lo):
+                dup = prior_max[j] >= thr or (
+                    bool(blk_kept)
+                    and float(g_blk[j, blk_kept].max()) >= thr)
+                if not dup:
+                    keep[lo + j] = True
+                    blk_kept.append(j)
+                    kept_ix.append(lo + j)
         return pd.DataFrame({
             key_col: pdf[key_col].values,
             "cluster": pdf["cluster"].values,

@@ -208,3 +208,28 @@ def test_semantic_dedup_text_empty_and_null_docs(spark):
     rows = semantic_dedup_text(df, "doc_id", n_clusters=2,
                                threshold=0.9).collect()
     assert len(rows) == 3  # zero vectors survive the plumbing
+
+
+def test_blocked_prune_matches_one_gram_greedy(spark):
+    # 5000 vectors forced into ONE cluster (single centroid) so the
+    # prune spans multiple 2048-row blocks; the keep set must equal the
+    # naive one-gram greedy computed independently here
+    rng = np.random.Generator(np.random.Philox(key=[99, 0]))
+    vecs = rng.normal(size=(5000, 8))
+    for i in range(0, 5000, 7):  # plant dups so kept != everything
+        vecs[i] = vecs[(i * 31) % 5000] + rng.normal(size=8) * 1e-4
+    cent = np.ones((1, 8)) / np.sqrt(8.0)
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(_assign_df(spark, vecs), cent,
+                                   threshold=0.95).collect()}
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    g = mn @ mn.T
+    kept: list = []
+    want = {}
+    for i in range(len(mn)):
+        ok = not kept or float(g[i, kept].max()) < 0.95
+        want[i] = ok
+        if ok:
+            kept.append(i)
+    assert got == want
+    assert 100 < sum(want.values()) < 5000  # non-vacuous both ways
