@@ -264,6 +264,24 @@ def _parse_blocked(spark, spec: str | None):
     return [d.strip() for d in spec.split(",") if d.strip()]
 
 
+def _parse_kv_floats(spec: str) -> dict:
+    """'name=0.8,other=0.1' -> {'name': 0.8, 'other': 0.1} — shared by
+    --repetition-gates and --split (one parser, one error surface)."""
+    out = {}
+    for kv in spec.split(","):
+        if "=" not in kv:
+            raise SystemExit(
+                f"error: expected name=value, got {kv.strip()!r}")
+        k, v = kv.split("=", 1)
+        try:
+            out[k.strip()] = float(v)
+        except ValueError:
+            raise SystemExit(
+                f"error: {k.strip()!r} needs a numeric value, "
+                f"got {v.strip()!r}") from None
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name=f"dqc-{args.cmd}")
@@ -406,9 +424,7 @@ def main(argv=None) -> int:
             mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
             blocked_domains=_parse_blocked(spark, args.blocked_domains),
             repetition_thresholds=(
-                {k.strip(): float(v)
-                 for k, v in (kv.split("=", 1)
-                              for kv in args.repetition_gates.split(","))}
+                _parse_kv_floats(args.repetition_gates)
                 if args.repetition_gates else None
             ),
             domain_ranks=(spark.read.parquet(args.domain_ranks)
@@ -420,12 +436,8 @@ def main(argv=None) -> int:
             trust_seeds=trust_seeds,
             stage_metrics=(stage_metrics := {}
                            if args.stage_metrics else None),
-            split_weights=(
-                {k.strip(): float(v)
-                 for k, v in (kv.split("=", 1)
-                              for kv in args.split.split(","))}
-                if args.split else None
-            ),
+            split_weights=(_parse_kv_floats(args.split)
+                           if args.split else None),
         )
         cur.write.mode("overwrite").parquet(args.output)
         if stage_metrics is not None:

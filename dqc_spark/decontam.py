@@ -226,6 +226,11 @@ def split_leakage(
     return (
         pairs.join(la, "key_a")
         .join(lb, "key_b")
-        .filter(F.col("split_a") != F.col("split_b"))
+        # null-SAFE inequality: a plain != goes three-valued on NULL
+        # split labels and silently HIDES pairs involving unlabeled
+        # docs — exactly the rows an integrity gate must surface (a
+        # NULL-labeled near-dup of a train doc is potential leakage
+        # until someone labels it)
+        .filter(~F.col("split_a").eqNullSafe(F.col("split_b")))
         .select("key_a", "split_a", "key_b", "split_b", "est_jaccard")
     )

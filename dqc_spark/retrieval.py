@@ -93,6 +93,72 @@ def bm25_score_py(
     return out
 
 
+def _bm25_term_partials(
+    df: DataFrame,
+    terms: list[str],
+    key_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame | None:
+    """The scoring core BOTH retrieval forms share: one frame of
+    per-(doc, matched-term) BM25 partials (__key, __term, __s) — or
+    None for an empty corpus.  Keeping this in ONE place is what makes
+    the pytest-pinned batch==single score equality structural rather
+    than two copies that must stay bit-identical by discipline.
+
+    Plan shape: codegen tokenizer used twice (dl without exploding, the
+    posting stream with an ``arrays_overlap`` prefilter so docs with no
+    query term never explode), one tiny corpus-scalar agg re-entering
+    as literals, per-term df broadcast back onto the posting frame."""
+    terms = sorted(terms)
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                _TOKEN_SEP),
+        "",
+    )
+    base = df.select(F.col(key_col).alias("__key"),
+                     F.size(toks).alias("__dl"),
+                     toks.alias("__toks"))
+
+    # corpus scalars: ONE tiny agg; re-entering as literals via collect
+    # of a single row (metadata-sized, the mixing.py pattern)
+    n_docs, sum_dl = base.agg(
+        F.count(F.lit(1)), F.sum("__dl")).first()
+    if not n_docs:
+        return None
+    avgdl = float(sum_dl) / float(n_docs)
+
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.filter(F.arrays_overlap("__toks", term_arr))
+        .select("__key", "__dl", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(terms))
+        .groupBy("__key", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5)))
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .select(
+            "__key",
+            "__term",
+            (
+                idf * F.col("__tf") * F.lit(k1 + 1.0)
+                / (F.col("__tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("__dl")
+                                  / F.lit(avgdl)))
+            ).alias("__s"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -112,61 +178,10 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
-
-    # codegen tokenizer, used twice: once for dl (no explode), once for
-    # the posting stream (explode + immediate isin filter)
-    toks = F.array_remove(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                _TOKEN_SEP),
-        "",
-    )
-    base = df.select(F.col(key_col).alias("__key"),
-                     F.size(toks).alias("__dl"),
-                     toks.alias("__toks"))
-
-    # corpus scalars: ONE tiny agg; re-entering as literals via collect
-    # of a single row (metadata-sized, the mixing.py pattern)
-    n_docs, sum_dl = base.agg(
-        F.count(F.lit(1)), F.sum("__dl")).first()
-    if not n_docs:
-        return base.select(F.col("__key").alias(key_col),
-                           F.lit(0.0).alias("score")).limit(0)
-    avgdl = float(sum_dl) / float(n_docs)
-
-    # posting list restricted to the query's terms BEFORE the shuffle;
-    # the arrays_overlap prefilter skips the explode entirely for docs
-    # containing no query term — at corpus scale that is almost every
-    # row, so the exploded stream is proportional to the MATCHES, not
-    # the corpus token count
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    tf = (
-        base.filter(F.arrays_overlap("__toks", term_arr))
-        .select("__key", "__dl", F.explode("__toks").alias("__term"))
-        .filter(F.col("__term").isin(terms))
-        .groupBy("__key", "__dl", "__term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    # per-term document frequency: partial-aggregated groupBy over the
-    # already-tiny posting frame, broadcast back onto it
-    dfreq = tf.groupBy("__term").agg(
-        F.count(F.lit(1)).alias("__df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5)))
-    part = (
-        tf.join(F.broadcast(dfreq), "__term")
-        .select(
-            "__key",
-            (
-                idf * F.col("__tf") * F.lit(k1 + 1.0)
-                / (F.col("__tf")
-                   + F.lit(k1) * (F.lit(1.0 - b)
-                                  + F.lit(b) * F.col("__dl")
-                                  / F.lit(avgdl)))
-            ).alias("__s"),
-        )
-    )
+    part = _bm25_term_partials(df, terms, key_col, text_col, k1, b)
+    if part is None:  # empty corpus
+        return df.select(F.col(key_col),
+                         F.lit(0.0).alias("score")).limit(0)
     score = F.sum("__s")
     if round_to is not None:
         score = F.round(score, round_to)
@@ -216,56 +231,21 @@ def bm25_topk_batch(
         raise ValueError("every query needs at least one term")
     all_terms = sorted(set().union(*norm_q.values()))
 
-    toks = F.array_remove(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                _TOKEN_SEP),
-        "",
-    )
-    base = df.select(F.col(key_col).alias("__key"),
-                     F.size(toks).alias("__dl"),
-                     toks.alias("__toks"))
-    n_docs, sum_dl = base.agg(
-        F.count(F.lit(1)), F.sum("__dl")).first()
-    if not n_docs:
-        return (base.select(
-            F.lit("").alias("query_id"), F.col("__key").alias(key_col),
-            F.lit(0.0).alias("score"), F.lit(0).alias("rank")).limit(0))
-    avgdl = float(sum_dl) / float(n_docs)
-
-    term_arr = F.array(*[F.lit(t) for t in all_terms])
-    tf = (
-        base.filter(F.arrays_overlap("__toks", term_arr))
-        .select("__key", "__dl", F.explode("__toks").alias("__term"))
-        .filter(F.col("__term").isin(all_terms))
-        .groupBy("__key", "__dl", "__term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-    )
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
-    # the query expansion table: one row per (query, term), broadcast
+    core = _bm25_term_partials(df, all_terms, key_col, text_col, k1, b)
+    if core is None:  # empty corpus
+        return df.select(
+            F.lit("").alias("query_id"), F.col(key_col),
+            F.lit(0.0).alias("score"), F.lit(0).alias("rank")).limit(0)
+    # the query expansion table: one row per (query, term), broadcast;
+    # df(t) and avgdl inside the shared partials are corpus-global, so
+    # a query's scores here equal bm25_topk with that query alone
     spark = df.sparkSession
     qexp = spark.createDataFrame(
         [(qid, t) for qid, terms in sorted(norm_q.items())
          for t in terms],
         "query_id string, __term string")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5)))
-    part = (
-        tf.join(F.broadcast(dfreq), "__term")
-        .join(F.broadcast(qexp), "__term")
-        .select(
-            "query_id",
-            "__key",
-            (
-                idf * F.col("__tf") * F.lit(k1 + 1.0)
-                / (F.col("__tf")
-                   + F.lit(k1) * (F.lit(1.0 - b)
-                                  + F.lit(b) * F.col("__dl")
-                                  / F.lit(avgdl)))
-            ).alias("__s"),
-        )
-    )
+    part = core.join(F.broadcast(qexp), "__term").select(
+        "query_id", "__key", "__s")
     score = F.sum("__s")
     if round_to is not None:
         score = F.round(score, round_to)

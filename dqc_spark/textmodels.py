@@ -203,6 +203,12 @@ def build_kn(lm: dict, discount: float = 0.75) -> dict:
     ``kind='kn'`` — ``perplexity`` dispatches on it, so every consumer
     (scoring UDFs, DSIR, CCNet buckets) accepts a KN model unchanged.
     """
+    if not 0.0 < discount <= 1.0:
+        # D=0 makes an unseen bigram under a seen context p=0 (log
+        # crash); D>1 breaks the max(c-D,0) telescope and with it the
+        # Σ_b P(b|a)=1 invariant the tests pin
+        raise ValueError(
+            f"discount must be in (0, 1], got {discount}")
     n1plus: Counter = Counter()
     cont: Counter = Counter()
     ctx_total: Counter = Counter()

@@ -152,3 +152,11 @@ def test_spark_trained_lm_feeds_kn(spark):
     assert kn["types"] == len(lm["bigrams"])
     assert kn_perplexity("the cat sat on the mat", kn) < kn_perplexity(
         "mat the ran dog xqz", kn)
+
+
+def test_build_kn_discount_validated():
+    lm = _toy_lm()
+    with pytest.raises(ValueError, match="discount"):
+        build_kn(lm, discount=0.0)
+    with pytest.raises(ValueError, match="discount"):
+        build_kn(lm, discount=1.5)

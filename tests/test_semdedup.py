@@ -233,3 +233,17 @@ def test_blocked_prune_matches_one_gram_greedy(spark):
             kept.append(i)
     assert got == want
     assert 100 < sum(want.values()) < 5000  # non-vacuous both ways
+
+
+def test_split_leakage_surfaces_null_labels(spark):
+    from dqc_spark.decontam import split_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base + " one", "train"),
+            (2, base + " one extra", None),   # unlabeled near-dup
+            (3, base + " one tweak", None)]   # NULL-vs-NULL: NOT a pair
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    pairs = {frozenset((r["key_a"], r["key_b"]))
+             for r in split_leakage(df, "doc_id", threshold=0.5).collect()}
+    assert frozenset((1, 2)) in pairs   # train-vs-NULL surfaced
+    assert frozenset((2, 3)) not in pairs  # both unlabeled: same bucket
