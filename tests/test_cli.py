@@ -187,3 +187,21 @@ def test_cli_curate_split(capsys, spark, db_path, tmp_path):
     assert rc == 0
     splits = {r["split"] for r in spark.read.parquet(out_p).collect()}
     assert splits <= {"train", "val"} and "train" in splits
+
+
+def test_cli_semdedup(capsys, spark, db_path, tmp_path):
+    src = str(tmp_path / "sd_docs.parquet")
+    rows = [
+        (1, "spark shuffles data between executors during wide stages"),
+        (2, "wide executors during data shuffles spark stages between"),
+        (3, "completely unrelated cooking recipe with flour and sugar"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out_p = str(tmp_path / "sd_out.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "semdedup",
+                            "--input", src, "--output", out_p,
+                            "--clusters", "2", "--threshold", "0.95",
+                            "--keep-only"])
+    assert rc == 0 and "1 semantic dups" in out
+    kept = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+    assert kept == {1, 3}  # the bag-of-words rewrite (2) is pruned
