@@ -371,6 +371,10 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
+    # PSI distribution-drift report (full SQL oracle — raw-bit double
+    # compare, no rounding; locally green every round, window budget
+    # reserved for entries with no prior driver row)
+    "snapshot_score_drift",
     # rows-only twin of the in-window semantic_dedup_keep (same prune
     # kernel, hashed-TF-IDF vectors instead of the embeddings table);
     # decision semantics pytest-pinned, counts checked by the local

@@ -1822,6 +1822,26 @@ def q_bm25_topk(spark, sf):
         k=20, round_to=4)
 
 
+def q_score_drift(spark, sf):
+    # PSI distribution-drift report between two derived snapshots of
+    # the documents table: prev = even doc_ids (raw n_chars), cur = odd
+    # doc_ids with a planted +200 shift on every third doc and planted
+    # NULLs — so interior buckets, the NULL bucket and one-sided
+    # buckets all carry signal.  Every output double is an
+    # int-ratio / ln-of-identical-double computation: bit-identical
+    # cross-engine, no rounding anywhere.
+    from dqc_spark.snapshot import score_drift
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    prev = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("n_chars").alias("v"))
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("long"))
+        .when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 200)
+        .otherwise(F.col("n_chars")).alias("v"))
+    return score_drift(cur, prev, "v", [100.0, 200.0, 400.0, 800.0])
+
+
 def q_semantic_dedup_text(spark, sf):
     # model-free SemDeDup: hashed-TF-IDF vectors -> the same k-means
     # blocking + cluster-local prune, no embedding table involved.
@@ -2040,6 +2060,7 @@ def extra_queries():
         "sample_split_corpus": q_split_corpus,
         "eval_split_leakage": q_split_leakage,
         "semantic_dedup_text": q_semantic_dedup_text,
+        "snapshot_score_drift": q_score_drift,
     }
 
 
@@ -2215,6 +2236,63 @@ def extra_oracle_sql():
                      COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
               FROM corpus
             )
+        """,
+        # PSI drift: bucket CASE chains + Laplace-smoothed proportions;
+        # every double is int-ratio or ln-of-identical-double, so the
+        # hash compares RAW bits (explicit DOUBLE casts keep DuckDB's
+        # DECIMAL literals out of the arithmetic — CLAUDE.md)
+        "snapshot_score_drift": """
+            WITH prev AS (
+              SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0
+            ), cur AS (
+              SELECT CASE WHEN doc_id % 97 = 0 THEN NULL
+                          WHEN doc_id % 3 = 0 THEN n_chars + 200
+                          ELSE n_chars END AS v
+              FROM documents WHERE doc_id % 2 = 1
+            ), bc AS (
+              SELECT CASE WHEN v IS NULL THEN -1
+                          WHEN v < 100.0 THEN 0
+                          WHEN v < 200.0 THEN 1
+                          WHEN v < 400.0 THEN 2
+                          WHEN v < 800.0 THEN 3
+                          ELSE 4 END AS bucket, COUNT(*) AS n_cur
+              FROM cur GROUP BY 1
+            ), bp AS (
+              SELECT CASE WHEN v IS NULL THEN -1
+                          WHEN v < 100.0 THEN 0
+                          WHEN v < 200.0 THEN 1
+                          WHEN v < 400.0 THEN 2
+                          WHEN v < 800.0 THEN 3
+                          ELSE 4 END AS bucket, COUNT(*) AS n_prev
+              FROM prev GROUP BY 1
+            ), j AS (
+              SELECT COALESCE(bc.bucket, bp.bucket) AS bucket,
+                     COALESCE(n_cur, 0) AS n_cur,
+                     COALESCE(n_prev, 0) AS n_prev
+              FROM bc FULL OUTER JOIN bp ON bc.bucket = bp.bucket
+            ), t AS (
+              SELECT (SELECT CAST(COUNT(*) + 6 AS DOUBLE) FROM cur)
+                       AS dc,
+                     (SELECT CAST(COUNT(*) + 6 AS DOUBLE) FROM prev)
+                       AS dp
+            )
+            SELECT bucket,
+                   CAST(CASE bucket WHEN 1 THEN 100.0 WHEN 2 THEN 200.0
+                                    WHEN 3 THEN 400.0 WHEN 4 THEN 800.0
+                        END AS DOUBLE) AS lo,
+                   CAST(CASE bucket WHEN 0 THEN 100.0 WHEN 1 THEN 200.0
+                                    WHEN 2 THEN 400.0 WHEN 3 THEN 800.0
+                        END AS DOUBLE) AS hi,
+                   n_cur, n_prev,
+                   CAST(n_cur + 1 AS DOUBLE) / dc AS p_cur,
+                   CAST(n_prev + 1 AS DOUBLE) / dp AS p_prev,
+                   (CAST(n_cur + 1 AS DOUBLE) / dc
+                    - CAST(n_prev + 1 AS DOUBLE) / dp)
+                   * ln((CAST(n_cur + 1 AS DOUBLE) / dc)
+                        / (CAST(n_prev + 1 AS DOUBLE) / dp))
+                     AS psi_term
+            FROM j, t
+            ORDER BY bucket
         """,
         # overlap matrix: DISTINCT (source, digest) then a digest
         # self-join — the oracle spells DISTINCT + ANSI join directly;

@@ -358,3 +358,81 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def score_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    value_col: str,
+    edges: list,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between two corpus
+    snapshots for one numeric column — the monitoring table that says
+    "did the quality-score / doc-length / perplexity DISTRIBUTION move"
+    before anyone trusts a new crawl (counts alone miss a shift that
+    keeps totals constant).  PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); the
+    usual reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 act.
+
+    Scale shape: one tiny bucket-count aggregate per snapshot
+    (partial-aggregatable CASE chain over caller-fixed ``edges``; rows
+    shuffled = #buckets), full-outer-joined on the bucket id so a
+    bucket empty on either side still reports.  NULL values get their
+    own bucket (-1) — a surge of NULL scores IS drift.  Proportions are
+    Laplace-smoothed ((n+1)/(N+B)) so an empty bucket cannot produce
+    ln(0); every output double is an int-ratio / ln-of-identical-double
+    computation, bit-identical cross-engine (no rounding needed).
+
+    Returns (bucket, lo, hi, n_cur, n_prev, p_cur, p_prev, psi_term)
+    ordered by bucket; sum(psi_term) is the PSI.
+    """
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    ed = [float(e) for e in edges]
+    nb = len(ed) + 1  # interior buckets; NULL bucket is extra
+
+    def bucket_expr():
+        v = F.col(value_col)
+        expr = F.lit(len(ed))  # >= last edge
+        for i in range(len(ed) - 1, -1, -1):
+            expr = F.when(v < F.lit(ed[i]), F.lit(i)).otherwise(expr)
+        return F.when(v.isNull(), F.lit(-1)).otherwise(expr)
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(bucket_expr().alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    c = counts(cur, "n_cur")
+    p = counts(prev, "n_prev")
+    joined = (
+        c.join(p, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        )
+    )
+    # snapshot totals: tiny aggs collected once (metadata-sized)
+    n_cur_tot = cur.count()
+    n_prev_tot = prev.count()
+    smooth_b = nb + 1  # all possible buckets incl. NULL
+    p_cur = (F.col("n_cur") + F.lit(1.0)) / F.lit(
+        float(n_cur_tot + smooth_b))
+    p_prev = (F.col("n_prev") + F.lit(1.0)) / F.lit(
+        float(n_prev_tot + smooth_b))
+    lo = F.element_at(F.lit(ed), F.col("bucket"))  # 1-indexed: edges[b-1]
+    out = joined.select(
+        "bucket",
+        F.when(F.col("bucket") <= 0, F.lit(None).cast("double"))
+        .otherwise(lo).alias("lo"),
+        F.when((F.col("bucket") < 0) | (F.col("bucket") >= len(ed)),
+               F.lit(None).cast("double"))
+        .otherwise(F.element_at(F.lit(ed), F.col("bucket") + 1))
+        .alias("hi"),
+        "n_cur",
+        "n_prev",
+        p_cur.alias("p_cur"),
+        p_prev.alias("p_prev"),
+        ((p_cur - p_prev) * F.log(p_cur / p_prev)).alias("psi_term"),
+    )
+    return out.orderBy("bucket")

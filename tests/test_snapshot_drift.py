@@ -100,3 +100,59 @@ def test_source_overlap_empty_and_disjoint(spark):
     assert source_overlap(disjoint).count() == 0
     empty = disjoint.limit(0)
     assert source_overlap(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PSI score-distribution drift
+# ---------------------------------------------------------------------------
+
+
+def test_score_drift_psi_math(spark):
+    import math
+
+    import pytest
+
+    from dqc_spark.snapshot import score_drift
+
+    prev = spark.createDataFrame([(v,) for v in [50, 150, 150, 250, 250]],
+                                 "v long")
+    cur = spark.createDataFrame([(v,) for v in [50, 250, 250, 250, None]],
+                                "v long")
+    rows = {r["bucket"]: r for r in
+            score_drift(cur, prev, "v", [100.0, 200.0]).collect()}
+    # buckets: -1 NULL, 0 (<100), 1 ([100,200)), 2 (>=200)
+    assert set(rows) == {-1, 0, 1, 2}
+    assert (rows[1]["n_cur"], rows[1]["n_prev"]) == (0, 2)
+    assert (rows[-1]["n_cur"], rows[-1]["n_prev"]) == (1, 0)
+    # bucket bounds
+    assert rows[0]["lo"] is None and rows[0]["hi"] == 100.0
+    assert rows[1]["lo"] == 100.0 and rows[1]["hi"] == 200.0
+    assert rows[2]["lo"] == 200.0 and rows[2]["hi"] is None
+    # hand-computed smoothed PSI terms (B=4 buckets incl. NULL -> +4)
+    for b in rows:
+        pc = (rows[b]["n_cur"] + 1) / (5 + 4)
+        pp = (rows[b]["n_prev"] + 1) / (5 + 4)
+        want = (pc - pp) * math.log(pc / pp)
+        assert rows[b]["psi_term"] == pytest.approx(want, rel=1e-12), b
+    # identical distributions -> PSI == 0 exactly
+    same = score_drift(prev, prev, "v", [100.0, 200.0])
+    assert all(r["psi_term"] == 0.0 for r in same.collect())
+
+
+def test_score_drift_validation_and_one_sided(spark):
+    import pytest
+
+    from dqc_spark.snapshot import score_drift
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        score_drift(df, df, "v", [])
+    with pytest.raises(ValueError):
+        score_drift(df, df, "v", [5.0, 1.0])  # not ascending
+    # a bucket present only on one side still reports (full outer)
+    a = spark.createDataFrame([(500,)], "v long")
+    b = spark.createDataFrame([(5,)], "v long")
+    got = {r["bucket"]: r for r in
+           score_drift(a, b, "v", [100.0]).collect()}
+    assert got[0]["n_cur"] == 0 and got[0]["n_prev"] == 1
+    assert got[1]["n_cur"] == 1 and got[1]["n_prev"] == 0
