@@ -143,6 +143,32 @@ def q_agg_bounds(spark, sf):
     )
 
 
+def q_check_completeness_freshness(spark, sf):
+    # deequ-style extensions of the reference check surface, exercised
+    # THROUGH the library (CheckSuite.run -> fused agg -> CheckResult):
+    # completeness (NULL-fraction budget; not_null is its 0.0 special
+    # case) and freshness (newest ts at/after a cutoff; the "did the
+    # partition arrive" check).  Observed values are int-ratio /
+    # microsecond-exact doubles -> raw-bit oracle compare; the pass
+    # flags are threshold compares of those same doubles.
+    from dqc_spark.suite import Check, CheckSuite
+
+    ev = _t(spark, sf, "events")
+    res = CheckSuite([
+        Check.null_fraction_max("props", 0.9),       # generous: passes
+        Check.null_fraction_max("event_id", 0.0),    # keys: no budget
+        Check.freshness("ts", "2024-01-15T00:00:00"),  # mid-range: passes
+        Check.freshness("ts", "2030-01-01T00:00:00"),  # future: fails
+    ]).run(ev)
+    return spark.createDataFrame(
+        [(res[0].passed, res[0].observed,
+          res[1].passed, res[1].observed,
+          res[2].passed, res[3].passed, res[2].observed)],
+        "props_ok boolean, props_null_frac double, "
+        "event_id_ok boolean, event_id_null_frac double, "
+        "fresh_ok boolean, future_ok boolean, max_ts_epoch double")
+
+
 def q_date_format_errors(spark, sf):
     # #14 is_column_date_format: ISO date strings vs %Y-%m (all fail) and
     # %Y-%m-%d (all pass) — counts via the vectorized strptime UDF
@@ -262,6 +288,12 @@ DRIVER_ORDER = [
     "check_type",
     "check_length",
     "check_agg_bounds",
+    # deequ-style check-surface extensions (completeness budget +
+    # freshness cutoff, full SQL oracle with raw-bit doubles); slot
+    # from the rows-only semantic_dedup_keep (its driver row is only a
+    # count — the keep-set semantics live in pytest, and the local
+    # differential pins the count every round)
+    "check_completeness_freshness",
     "check_date_format",
     "check_row_counts",
     "check_col_count",
@@ -346,7 +378,6 @@ DRIVER_ORDER = [
     # tail, still pinned by the local differential every round) ---
     "text_bm25_topk",
     "dedup_soft_weights",
-    "semantic_dedup_keep",
     # cross-source duplicate-overlap matrix (full SQL oracle); slot
     # from the r1-green olap_local_supplier_revenue (demoted, locally
     # pinned)
@@ -375,6 +406,7 @@ TAIL_ORDER = [
     # compare, no rounding; locally green every round, window budget
     # reserved for entries with no prior driver row)
     "snapshot_score_drift",
+    "semantic_dedup_keep",
     # rows-only twin of the in-window semantic_dedup_keep (same prune
     # kernel, hashed-TF-IDF vectors instead of the embeddings table);
     # decision semantics pytest-pinned, counts checked by the local
@@ -467,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "check_type": q_type_violations,
         "check_length": q_length_violations,
         "check_agg_bounds": q_agg_bounds,
+        "check_completeness_freshness": q_check_completeness_freshness,
         "check_date_format": q_date_format_errors,
         "check_row_counts": q_row_counts,
         "check_col_count": q_col_count,
@@ -529,6 +562,19 @@ def oracle_sql() -> dict[str, str]:
         "check_length": """
             SELECT doc_id, length(text) AS text_len FROM documents
             WHERE length(text) < 100 OR length(text) > 2000
+        """,
+        "check_completeness_freshness": """
+            SELECT
+              AVG(CAST(props IS NULL AS INT)) <= 0.9 AS props_ok,
+              AVG(CAST(props IS NULL AS INT)) AS props_null_frac,
+              AVG(CAST(event_id IS NULL AS INT)) <= 0.0 AS event_id_ok,
+              AVG(CAST(event_id IS NULL AS INT)) AS event_id_null_frac,
+              CAST(epoch(MAX(ts)) AS DOUBLE)
+                >= epoch(TIMESTAMP '2024-01-15 00:00:00') AS fresh_ok,
+              CAST(epoch(MAX(ts)) AS DOUBLE)
+                >= epoch(TIMESTAMP '2030-01-01 00:00:00') AS future_ok,
+              CAST(epoch(MAX(ts)) AS DOUBLE) AS max_ts_epoch
+            FROM events
         """,
         "check_agg_bounds": """
             SELECT ROUND(MAX(l_extendedprice), 4) AS max_price,

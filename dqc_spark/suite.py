@@ -141,6 +141,34 @@ class Check:
                    {"min_count": str(lo), "max_count": str(hi)},
                    agg=("count", "*", lo, hi))
 
+    @classmethod
+    def null_fraction_max(cls, column: str, max_fraction: float) -> "Check":
+        """Deequ-style COMPLETENESS: fraction of NULLs in ``column``
+        must not exceed ``max_fraction`` (not_null is the 0.0 special
+        case; real feeds tolerate a budget).  Fuses: one avg over a 0/1
+        cast, exact int-ratio double.  Empty input → observed None →
+        fail (no evidence of completeness)."""
+        return cls("is_column_null_fraction_max",
+                   {"column": column, "max_fraction": str(max_fraction)},
+                   agg=("null_frac", column, 0.0, float(max_fraction)))
+
+    @classmethod
+    def freshness(cls, column: str, newer_than: str) -> "Check":
+        """FRESHNESS: the newest value of timestamp ``column`` must be
+        at or after ``newer_than`` (ISO-8601, interpreted as UTC — the
+        engine's session timezone, session.py).  The check a scheduled
+        ingest runs before trusting a feed ("did yesterday's partition
+        actually arrive").  Fuses as max(epoch-seconds); an empty or
+        all-NULL column → observed None → fail (absence of data is
+        staleness, not success)."""
+        from datetime import datetime, timezone
+
+        cutoff = datetime.fromisoformat(newer_than).replace(
+            tzinfo=timezone.utc).timestamp()
+        return cls("is_column_fresh",
+                   {"column": column, "newer_than": newer_than},
+                   agg=("max_epoch", column, cutoff, float("inf")))
+
     # -- distinct-values check (#21, fuses via count_distinct) ------------
     @classmethod
     def distinct_in_set(cls, column: str, allowed: Sequence) -> "Check":
@@ -289,6 +317,20 @@ class CheckSuite:
                 fn, col, _, _ = ch.agg
                 if fn == "count":
                     aggs.append(F.count(F.lit(1)).alias(a))
+                elif fn == "null_frac":
+                    # avg of a 0/1 cast: exact integer sum / count, so
+                    # the observed fraction is an int-ratio double
+                    aggs.append(F.avg(
+                        F.col(col).isNull().cast("double")).alias(a))
+                elif fn == "max_epoch":
+                    # NTZ columns (parquet default) can't cast straight
+                    # to double — go through TIMESTAMP first (a no-op
+                    # for tz-aware columns); the UTC session tz
+                    # (session.py) makes the wall-time interpretation
+                    # and the epoch seconds match the python cutoff
+                    aggs.append(F.max(
+                        F.col(col).cast("timestamp").cast("double")
+                    ).alias(a))
                 elif fn == "median_approx":
                     aggs.append(
                         F.percentile_approx(col, 0.5, 10000).alias(a))

@@ -450,3 +450,67 @@ def test_profile_dotted_column_names(spark):
     assert prof["a.b"]["min_str"] == "1.0" and prof["a"]["min_str"] == "9.0"
     h = numeric_histogram(df, "a.b", buckets=2).collect()
     assert sum(r["n"] for r in h) == 2
+
+
+# ---------------------------------------------------------------------------
+# deequ-style extensions: completeness budget + freshness
+# ---------------------------------------------------------------------------
+
+
+def test_null_fraction_check(spark):
+    from dqc_spark.suite import Check, CheckSuite
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, v string")
+    res = CheckSuite([
+        Check.null_fraction_max("v", 0.5),   # 0.5 observed, passes
+        Check.null_fraction_max("v", 0.25),  # fails
+        Check.null_fraction_max("id", 0.0),  # no NULLs, passes
+    ]).run(df)
+    assert [r.passed for r in res] == [True, False, True]
+    assert res[0].observed == 0.5 and res[2].observed == 0.0
+    # empty input: no evidence of completeness -> fail, observed None
+    empty = df.limit(0)
+    r = CheckSuite([Check.null_fraction_max("v", 1.0)]).run(empty)[0]
+    assert not r.passed and r.observed is None
+
+
+def test_freshness_check(spark):
+    import datetime as dt
+
+    from dqc_spark.suite import Check, CheckSuite
+
+    rows = [(dt.datetime(2024, 1, 10, 12, 0, 0),),
+            (dt.datetime(2024, 1, 20, 6, 30, 0),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    res = CheckSuite([
+        Check.freshness("ts", "2024-01-15T00:00:00"),  # newest is later
+        Check.freshness("ts", "2024-01-21T00:00:00"),  # stale
+    ]).run(df)
+    assert [r.passed for r in res] == [True, False]
+    # observed = epoch seconds of the max (UTC session tz)
+    want = dt.datetime(2024, 1, 20, 6, 30, 0,
+                       tzinfo=dt.timezone.utc).timestamp()
+    assert res[0].observed == want
+    # all-NULL column: staleness, not success
+    nulls = spark.createDataFrame(
+        [(None,), (None,)], "ts timestamp")
+    r = CheckSuite([Check.freshness("ts", "2024-01-01T00:00:00")]
+                   ).run(nulls)[0]
+    assert not r.passed and r.observed is None
+
+
+def test_new_checks_fuse_into_single_scan(spark):
+    import datetime as dt
+
+    from dqc_spark.suite import Check, CheckSuite
+
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))], "id long, v string, ts timestamp")
+    suite = CheckSuite([
+        Check.not_null("id"),
+        Check.null_fraction_max("v", 0.5),
+        Check.freshness("ts", "2023-01-01T00:00:00"),
+    ])
+    plan = suite.fused_agg_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # one logical scan (plus reuse)
