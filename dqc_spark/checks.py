@@ -672,6 +672,29 @@ class DataQualityChecker:
             "is_column_median_between", self._load(data), column, lo, hi, "median", "median_value_observed"
         )
 
+    def is_column_null_fraction_max(self, data, column: str,
+                                    max_fraction: float) -> CheckResult:
+        """Deequ-style completeness budget (suite.py extension): the
+        NULL fraction of ``column`` must not exceed ``max_fraction``."""
+        from dqc_spark.suite import Check, CheckSuite
+
+        res = CheckSuite(
+            [Check.null_fraction_max(column, max_fraction)]
+        ).run(self._load(data))[0]
+        return self._log("is_column_null_fraction_max", res)
+
+    def is_column_fresh(self, data, column: str,
+                        newer_than: str) -> CheckResult:
+        """Freshness (suite.py extension): the newest value of
+        timestamp ``column`` must be at/after ``newer_than`` (ISO,
+        UTC)."""
+        from dqc_spark.suite import Check, CheckSuite
+
+        res = CheckSuite(
+            [Check.freshness(column, newer_than)]
+        ).run(self._load(data))[0]
+        return self._log("is_column_fresh", res)
+
     def is_column_date_format(self, data, column: str, fmt: str) -> CheckResult:
         df = self._load(data)
         n = date_format_violation_count(df, column, fmt)

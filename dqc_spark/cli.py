@@ -46,6 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--values", required=True, help="comma-separated allowed values")
 
+    p = sub.add_parser("check-completeness")
+    _add_common(p)
+    p.add_argument("--max-fraction", type=float, required=True,
+                   help="maximum allowed NULL fraction (0.0 = not-null)")
+
+    p = sub.add_parser("check-freshness")
+    _add_common(p)
+    p.add_argument("--newer-than", required=True,
+                   help="ISO timestamp (UTC): the newest value must be "
+                        "at or after this")
+
     p = sub.add_parser("check-references")
     p.add_argument("--data", required=True)
     p.add_argument("--reference", required=True)
@@ -323,6 +334,12 @@ def main(argv=None) -> int:
         keys = [k.strip() for k in args.columns.split(",")]
         return report(
             ck.are_tables_referential_integral(args.data, args.reference, keys))
+    if c == "check-completeness":
+        return report(ck.is_column_null_fraction_max(
+            args.data, args.column, args.max_fraction))
+    if c == "check-freshness":
+        return report(ck.is_column_fresh(
+            args.data, args.column, args.newer_than))
     if c == "check-column-exists":
         return report(ck.is_column_in_data(args.data, args.column))
     if c == "check-between":

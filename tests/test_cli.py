@@ -205,3 +205,32 @@ def test_cli_semdedup(capsys, spark, db_path, tmp_path):
     assert rc == 0 and "1 semantic dups" in out
     kept = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
     assert kept == {1, 3}  # the bag-of-words rewrite (2) is pruned
+
+
+def test_cli_completeness_and_freshness(capsys, spark, db_path, tmp_path):
+    import datetime as dt
+
+    p = str(tmp_path / "fresh_docs.parquet")
+    rows = [(1, "a", dt.datetime(2024, 1, 10)),
+            (2, None, dt.datetime(2024, 1, 20))]
+    spark.createDataFrame(rows, "id long, v string, ts timestamp"
+                          ).write.parquet(p)
+    rc, out = _run(capsys, ["--db-path", db_path, "check-completeness",
+                            "--data", p, "--column", "v",
+                            "--max-fraction", "0.5"])
+    assert rc == 0 and "[PASS] is_column_null_fraction_max" in out
+    rc, out = _run(capsys, ["--db-path", db_path, "check-completeness",
+                            "--data", p, "--column", "v",
+                            "--max-fraction", "0.1"])
+    assert rc == 1 and "[FAIL]" in out and "observed=0.5" in out
+    rc, out = _run(capsys, ["--db-path", db_path, "check-freshness",
+                            "--data", p, "--column", "ts",
+                            "--newer-than", "2024-01-15T00:00:00"])
+    assert rc == 0 and "[PASS] is_column_fresh" in out
+    rc, out = _run(capsys, ["--db-path", db_path, "check-freshness",
+                            "--data", p, "--column", "ts",
+                            "--newer-than", "2025-01-01T00:00:00"])
+    assert rc == 1
+    # both verbs logged to the audit sink like every reference check
+    rc, out = _run(capsys, ["--db-path", db_path, "show-logs"])
+    assert "is_column_null_fraction_max" in out and "is_column_fresh" in out
