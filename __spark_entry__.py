@@ -406,6 +406,9 @@ TAIL_ORDER = [
     # compare, no rounding; locally green every round, window budget
     # reserved for entries with no prior driver row)
     "snapshot_score_drift",
+    # near-dup SoftDeDup (full SQL oracle via the truncated-hash clique
+    # construction dedup_components pins; locally green every round)
+    "dedup_soft_weights_neardup",
     "semantic_dedup_keep",
     # rows-only twin of the in-window semantic_dedup_keep (same prune
     # kernel, hashed-TF-IDF vectors instead of the embeddings table);

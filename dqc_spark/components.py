@@ -205,3 +205,41 @@ def keep_canonical(
         F.col("key").alias(key_col)
     )
     return df.join(losers, on=key_col, how="left_anti")
+
+
+def soft_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """SoftDeDup for NEAR-duplicates: every row kept, weighted
+    1/|its near-dup cluster| so each piece of (approximately) unique
+    content carries constant loss mass — the cluster-level analogue of
+    ``dedup.dedup_soft_weights`` (exact groups), fed by the same pair
+    frames ``keep_canonical`` consumes (minhash/simhash/LSH bands).
+    Unclustered documents get size 1 / weight 1.0.
+
+    Plan shape: components loop + one partial-aggregatable size
+    groupBy over the (small) label frame + one left join of keys only
+    — the corpus is scanned once and text never shuffles.
+
+    Returns (key, cluster_size, weight).
+    """
+    comp = connected_components(pairs, src, dst, max_iter)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    labeled = comp.join(sizes, "component").select(
+        F.col("key").alias(key_col), "cluster_size")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1))
+    return (
+        df.select(key_col)
+        .join(labeled, key_col, "left")
+        .select(
+            key_col,
+            size.alias("cluster_size"),
+            (F.lit(1.0) / size).alias("weight"),
+        )
+    )

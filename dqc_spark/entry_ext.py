@@ -814,6 +814,17 @@ def q_keep_canonical(spark, sf):
     )
 
 
+def q_neardup_soft_weights(spark, sf):
+    # SoftDeDup over NEAR-dup clusters: the truncated-hash cliques make
+    # the iterative components closure SQL-expressible, so cluster
+    # sizes and the 1/size weights verify end-to-end (weights are
+    # int-ratio doubles, raw-bit compare)
+    from dqc_spark.components import soft_weights
+
+    docs = _t(spark, sf, "documents")
+    return soft_weights(docs, _dup_pairs(spark, sf), "doc_id")
+
+
 def q_ann_topk_arrow(spark, sf):
     # same exact answer as ann_bruteforce_topk, scored in one Arrow
     # matmul kernel instead of interpreted Catalyst HOF lambdas
@@ -2057,6 +2068,7 @@ def extra_queries():
         "snapshot_source_overlap": q_source_overlap,
         "text_kn_perplexity": q_kn_perplexity,
         "text_bm25_batch": q_bm25_batch,
+        "dedup_soft_weights_neardup": q_neardup_soft_weights,
         "sample_split_corpus": q_split_corpus,
         "eval_split_leakage": q_split_leakage,
         "semantic_dedup_text": q_semantic_dedup_text,
@@ -2213,6 +2225,21 @@ def extra_oracle_sql():
                   ORDER BY score DESC, doc_id) AS rank
               FROM scored
             ) WHERE rank <= 10
+        """,
+        # near-dup soft weights: the truncated-hash cliques make the
+        # components closure SQL-expressible (component = hash group),
+        # so cluster_size is the group count for groups > 1
+        "dedup_soft_weights_neardup": """
+            SELECT doc_id,
+                   CASE WHEN n > 1 THEN n ELSE 1 END AS cluster_size,
+                   CAST(1.0 AS DOUBLE)
+                     / (CASE WHEN n > 1 THEN n ELSE 1 END) AS weight
+            FROM (
+              SELECT doc_id,
+                     COUNT(*) OVER (
+                         PARTITION BY substring(md5(text), 1, 3)) AS n
+              FROM documents
+            )
         """,
         # soft dedup: weight = 1/n is an int-ratio double, identical
         # bits both engines; the oracle spells the count as a window

@@ -126,3 +126,23 @@ def test_keep_canonical_end_to_end_minhash(spark, sf_dir):
     n_docs, n_kept = docs.count(), kept.count()
     assert n_kept == n_docs - n_losers
     assert n_losers > 0  # synthetic corpus does contain near-dups
+
+
+def test_soft_weights_near_dup_clusters(spark):
+    import pytest
+
+    from dqc_spark.components import soft_weights
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long")
+    # clusters: {1,2,3} (chain), {5,6}; 4 and 7 unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "key_a long, key_b long")
+    got = {r["doc_id"]: (r["cluster_size"], r["weight"])
+           for r in soft_weights(docs, pairs, "doc_id").collect()}
+    assert got[1] == (3, 1 / 3) and got[2] == (3, 1 / 3)
+    assert got[3] == (3, 1 / 3)
+    assert got[5] == (2, 0.5) and got[6] == (2, 0.5)
+    assert got[4] == (1, 1.0) and got[7] == (1, 1.0)
+    # total mass = number of distinct contents (3 clusters + 2 singles)
+    assert sum(w for _, w in got.values()) == pytest.approx(4.0)
