@@ -402,9 +402,9 @@ DRIVER_ORDER = [
 # r1-or-r2 driver row; correctness still pinned by the local
 # differential + pytest every round; listed after the driver window
 TAIL_ORDER = [
-    # PSI distribution-drift report (full SQL oracle — raw-bit double
-    # compare, no rounding; locally green every round, window budget
-    # reserved for entries with no prior driver row)
+    # PSI distribution-drift report (full SQL oracle — raw-bit
+    # counts/proportions, ROUND-12 psi_term; locally green every
+    # round, window budget reserved for entries with no prior row)
     "snapshot_score_drift",
     # near-dup SoftDeDup (full SQL oracle via the truncated-hash clique
     # construction dedup_components pins; locally green every round)

@@ -45,7 +45,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "keep_canonical", "last_run_info"]
+__all__ = ["connected_components", "keep_canonical", "soft_weights",
+           "last_run_info"]
 
 
 @dataclass

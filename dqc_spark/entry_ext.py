@@ -1838,9 +1838,9 @@ def q_score_drift(spark, sf):
     # the documents table: prev = even doc_ids (raw n_chars), cur = odd
     # doc_ids with a planted +200 shift on every third doc and planted
     # NULLs — so interior buckets, the NULL bucket and one-sided
-    # buckets all carry signal.  Every output double is an
-    # int-ratio / ln-of-identical-double computation: bit-identical
-    # cross-engine, no rounding anywhere.
+    # buckets all carry signal.  Counts/proportions compare raw bits
+    # (int-ratio doubles); psi_term is ROUND-12 (its ln() differs in
+    # the last ULP between JVM and libm — measured at sf0.001).
     from dqc_spark.snapshot import score_drift
 
     docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
@@ -2264,10 +2264,11 @@ def extra_oracle_sql():
               FROM corpus
             )
         """,
-        # PSI drift: bucket CASE chains + Laplace-smoothed proportions;
-        # every double is int-ratio or ln-of-identical-double, so the
-        # hash compares RAW bits (explicit DOUBLE casts keep DuckDB's
-        # DECIMAL literals out of the arithmetic — CLAUDE.md)
+        # PSI drift: bucket CASE chains over a FULL bucket spine +
+        # Laplace-smoothed proportions; counts/proportions compare raw
+        # bits (int-ratio doubles; explicit DOUBLE casts keep DuckDB's
+        # DECIMAL literals out), psi_term is ROUND-12 — ln() diverges
+        # in the last ULP between engines (measured at sf0.001)
         "snapshot_score_drift": """
             WITH prev AS (
               SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0
@@ -2292,11 +2293,15 @@ def extra_oracle_sql():
                           WHEN v < 800.0 THEN 3
                           ELSE 4 END AS bucket, COUNT(*) AS n_prev
               FROM prev GROUP BY 1
+            ), spine AS (
+              SELECT unnest([-1, 0, 1, 2, 3, 4]) AS bucket
             ), j AS (
-              SELECT COALESCE(bc.bucket, bp.bucket) AS bucket,
+              SELECT spine.bucket,
                      COALESCE(n_cur, 0) AS n_cur,
                      COALESCE(n_prev, 0) AS n_prev
-              FROM bc FULL OUTER JOIN bp ON bc.bucket = bp.bucket
+              FROM spine
+              LEFT JOIN bc ON spine.bucket = bc.bucket
+              LEFT JOIN bp ON spine.bucket = bp.bucket
             ), t AS (
               SELECT (SELECT CAST(COUNT(*) + 6 AS DOUBLE) FROM cur)
                        AS dc,
@@ -2313,11 +2318,11 @@ def extra_oracle_sql():
                    n_cur, n_prev,
                    CAST(n_cur + 1 AS DOUBLE) / dc AS p_cur,
                    CAST(n_prev + 1 AS DOUBLE) / dp AS p_prev,
-                   (CAST(n_cur + 1 AS DOUBLE) / dc
-                    - CAST(n_prev + 1 AS DOUBLE) / dp)
-                   * ln((CAST(n_cur + 1 AS DOUBLE) / dc)
-                        / (CAST(n_prev + 1 AS DOUBLE) / dp))
-                     AS psi_term
+                   ROUND((CAST(n_cur + 1 AS DOUBLE) / dc
+                          - CAST(n_prev + 1 AS DOUBLE) / dp)
+                         * ln((CAST(n_cur + 1 AS DOUBLE) / dc)
+                              / (CAST(n_prev + 1 AS DOUBLE) / dp)),
+                         12) AS psi_term
             FROM j, t
             ORDER BY bucket
         """,

@@ -379,14 +379,21 @@ def score_drift(
     bucket empty on either side still reports.  NULL values get their
     own bucket (-1) — a surge of NULL scores IS drift.  Proportions are
     Laplace-smoothed ((n+1)/(N+B)) so an empty bucket cannot produce
-    ln(0); every output double is an int-ratio / ln-of-identical-double
-    computation, bit-identical cross-engine (no rounding needed).
+    ln(0); counts and proportions are int-ratio doubles (bit-identical
+    cross-engine, raw-bit oracle compare), while psi_term carries an
+    ln() — whose last ULP differs between JVM Math.log and libm — and
+    is therefore ROUND-12 on both sides (the CLAUDE.md rule; measured
+    divergent at sf0.001).
 
     Returns (bucket, lo, hi, n_cur, n_prev, p_cur, p_prev, psi_term)
     ordered by bucket; sum(psi_term) is the PSI.
     """
-    if not edges or sorted(edges) != list(edges):
-        raise ValueError("edges must be a non-empty ascending list")
+    if not edges or any(b <= a for a, b in zip(edges, edges[1:])):
+        # STRICTLY increasing: a duplicate edge makes a zero-width
+        # bucket that can never match, silently distorting every
+        # smoothed proportion (review finding)
+        raise ValueError(
+            "edges must be a non-empty strictly-increasing list")
     ed = [float(e) for e in edges]
     nb = len(ed) + 1  # interior buckets; NULL bucket is extra
 
@@ -404,24 +411,39 @@ def score_drift(
 
     c = counts(cur, "n_cur")
     p = counts(prev, "n_prev")
+    # FULL bucket spine (-1 .. len(edges)): a bucket empty in BOTH
+    # snapshots must still report — its smoothed terms carry real PSI
+    # mass, and the (n+1)/(N+B) proportions only sum to 1 with all B
+    # buckets present (review finding: the observed-buckets-only outer
+    # join silently dropped them)
+    spark = cur.sparkSession
+    spine = spark.createDataFrame(
+        [(b,) for b in range(-1, len(ed) + 1)], "bucket int")
     joined = (
-        c.join(p, "bucket", "full_outer")
+        spine.join(c, "bucket", "left")
+        .join(p, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
             F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
         )
     )
-    # snapshot totals: tiny aggs collected once (metadata-sized)
-    n_cur_tot = cur.count()
-    n_prev_tot = prev.count()
+    # snapshot totals derived from the bucket counts themselves — one
+    # tiny agg cross-joined back (broadcast 1-row, the mixing.py
+    # pattern): fully LAZY and each input is scanned exactly once (an
+    # eager .count() per input would re-run any upstream Arrow scoring
+    # stage — the documented drift inputs — a second time)
+    totals = joined.agg(
+        F.sum("n_cur").cast("double").alias("__tc"),
+        F.sum("n_prev").cast("double").alias("__tp"))
     smooth_b = nb + 1  # all possible buckets incl. NULL
-    p_cur = (F.col("n_cur") + F.lit(1.0)) / F.lit(
-        float(n_cur_tot + smooth_b))
-    p_prev = (F.col("n_prev") + F.lit(1.0)) / F.lit(
-        float(n_prev_tot + smooth_b))
+    j = joined.crossJoin(F.broadcast(totals))
+    p_cur = (F.col("n_cur") + F.lit(1.0)) / (
+        F.col("__tc") + F.lit(float(smooth_b)))
+    p_prev = (F.col("n_prev") + F.lit(1.0)) / (
+        F.col("__tp") + F.lit(float(smooth_b)))
     lo = F.element_at(F.lit(ed), F.col("bucket"))  # 1-indexed: edges[b-1]
-    out = joined.select(
+    out = j.select(
         "bucket",
         F.when(F.col("bucket") <= 0, F.lit(None).cast("double"))
         .otherwise(lo).alias("lo"),
@@ -433,6 +455,12 @@ def score_drift(
         "n_prev",
         p_cur.alias("p_cur"),
         p_prev.alias("p_prev"),
-        ((p_cur - p_prev) * F.log(p_cur / p_prev)).alias("psi_term"),
+        # ROUND-12: p_cur/p_prev are bit-identical cross-engine
+        # (int-ratio doubles) but ln() is NOT — JVM Math.log and libm
+        # differ in the last ULP, so the product needs the rounding
+        # rule engine-different doubles always need (CLAUDE.md; the
+        # raw-bit claim was measured false at sf0.001)
+        F.round((p_cur - p_prev) * F.log(p_cur / p_prev), 12)
+        .alias("psi_term"),
     )
     return out.orderBy("bucket")

@@ -163,8 +163,13 @@ class Check:
         staleness, not success)."""
         from datetime import datetime, timezone
 
-        cutoff = datetime.fromisoformat(newer_than).replace(
-            tzinfo=timezone.utc).timestamp()
+        dt = datetime.fromisoformat(newer_than)
+        if dt.tzinfo is None:
+            # naive timestamps default to UTC; an EXPLICIT offset is
+            # respected (a blind replace() would silently shift the
+            # cutoff by the offset — review finding)
+            dt = dt.replace(tzinfo=timezone.utc)
+        cutoff = dt.timestamp()
         return cls("is_column_fresh",
                    {"column": column, "newer_than": newer_than},
                    agg=("max_epoch", column, cutoff, float("inf")))

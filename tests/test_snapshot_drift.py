@@ -156,3 +156,29 @@ def test_score_drift_validation_and_one_sided(spark):
            score_drift(a, b, "v", [100.0]).collect()}
     assert got[0]["n_cur"] == 0 and got[0]["n_prev"] == 1
     assert got[1]["n_cur"] == 1 and got[1]["n_prev"] == 0
+
+
+def test_score_drift_reports_buckets_empty_in_both(spark):
+    import math
+
+    import pytest
+
+    from dqc_spark.snapshot import score_drift
+
+    # all values land in bucket 0 on both sides, with DIFFERENT totals:
+    # buckets -1 and 1 are empty in both snapshots but their smoothed
+    # terms carry real PSI mass and must still report (review finding —
+    # the observed-buckets-only join dropped them)
+    cur = spark.createDataFrame([(v,) for v in [1] * 10], "v long")
+    prev = spark.createDataFrame([(v,) for v in [2] * 5], "v long")
+    rows = {r["bucket"]: r for r in
+            score_drift(cur, prev, "v", [100.0]).collect()}
+    assert set(rows) == {-1, 0, 1}
+    for b in (-1, 1):
+        assert (rows[b]["n_cur"], rows[b]["n_prev"]) == (0, 0)
+        pc, pp = 1 / 13, 1 / 8
+        want = round((pc - pp) * math.log(pc / pp), 12)
+        assert rows[b]["psi_term"] == pytest.approx(want, rel=1e-9), b
+    # proportions sum to 1 on each side across the full spine
+    assert sum(r["p_cur"] for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r["p_prev"] for r in rows.values()) == pytest.approx(1.0)
