@@ -297,11 +297,16 @@ def _parse_kv_floats(spec: str) -> dict:
             raise SystemExit(
                 f"error: expected name=value, got {kv.strip()!r}")
         k, v = kv.split("=", 1)
+        k = k.strip()
+        if k in out:
+            # last-wins would silently drop a slice (e.g. --split
+            # train=0.8,train=0.1,test=0.1 parsing to 2 slices)
+            raise SystemExit(f"error: duplicate key {k!r}")
         try:
-            out[k.strip()] = float(v)
+            out[k] = float(v)
         except ValueError:
             raise SystemExit(
-                f"error: {k.strip()!r} needs a numeric value, "
+                f"error: {k!r} needs a numeric value, "
                 f"got {v.strip()!r}") from None
     return out
 
@@ -439,36 +444,41 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 2
         pages = spark.read.parquet(args.input)
-        cur = curate(
-            pages,
-            near_dup_threshold=(args.near_dup_threshold
+        try:
+            # curate()'s own validation (bad split weights, thresholds)
+            # surfaces as the parser's clean error, not a traceback
+            cur = curate(
+                pages,
+                near_dup_threshold=(args.near_dup_threshold
                                 if args.near_dup_threshold >= 0 else None),
-            domain_quota=args.domain_quota or None,
-            pack_budget=args.pack_budget or None,
-            prior=(spark.read.parquet(args.prior) if args.prior else None),
-            normalize_text=args.normalize,
-            line_dedup_min_len=args.line_dedup_min_len or None,
-            line_dedup_unit=args.line_dedup_unit,
-            benchmark=(spark.read.parquet(args.benchmark)
+                domain_quota=args.domain_quota or None,
+                pack_budget=args.pack_budget or None,
+                prior=(spark.read.parquet(args.prior) if args.prior else None),
+                normalize_text=args.normalize,
+                line_dedup_min_len=args.line_dedup_min_len or None,
+                line_dedup_unit=args.line_dedup_unit,
+                benchmark=(spark.read.parquet(args.benchmark)
                        if args.benchmark else None),
-            mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
-            blocked_domains=_parse_blocked(spark, args.blocked_domains),
-            repetition_thresholds=(
+                mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),
+                blocked_domains=_parse_blocked(spark, args.blocked_domains),
+                repetition_thresholds=(
                 _parse_kv_floats(args.repetition_gates)
                 if args.repetition_gates else None
-            ),
-            domain_ranks=(spark.read.parquet(args.domain_ranks)
+                ),
+                domain_ranks=(spark.read.parquet(args.domain_ranks)
                           if args.domain_ranks else None),
-            min_domain_rank=(args.min_domain_rank
+                min_domain_rank=(args.min_domain_rank
                              if args.min_domain_rank >= 0 else None),
-            c4_line_clean=args.c4_lines,
-            drop_noindex=args.drop_noindex,
-            trust_seeds=trust_seeds,
-            stage_metrics=(stage_metrics := {}
+                c4_line_clean=args.c4_lines,
+                drop_noindex=args.drop_noindex,
+                trust_seeds=trust_seeds,
+                stage_metrics=(stage_metrics := {}
                            if args.stage_metrics else None),
-            split_weights=(_parse_kv_floats(args.split)
-                           if args.split else None),
-        )
+                split_weights=(_parse_kv_floats(args.split)
+                               if args.split else None),
+            )
+        except ValueError as e:
+            raise SystemExit(f"error: {e}") from None
         cur.write.mode("overwrite").parquet(args.output)
         if stage_metrics is not None:
             for stage, n in stage_metrics.items():

@@ -2228,7 +2228,12 @@ def extra_oracle_sql():
         """,
         # near-dup soft weights: the truncated-hash cliques make the
         # components closure SQL-expressible (component = hash group),
-        # so cluster_size is the group count for groups > 1
+        # so cluster_size is the group count for groups > 1.  NULL-text
+        # parity: Spark's _dup_pairs equi-join drops NULL-hash docs
+        # from the pair frame (cluster_size 1), while a bare DuckDB
+        # window would group all NULL digests into ONE partition — the
+        # CASE pins NULL texts to n=1 so the oracle stays green even if
+        # the generator ever emits NULL text (today it doesn't).
         "dedup_soft_weights_neardup": """
             SELECT doc_id,
                    CASE WHEN n > 1 THEN n ELSE 1 END AS cluster_size,
@@ -2236,8 +2241,10 @@ def extra_oracle_sql():
                      / (CASE WHEN n > 1 THEN n ELSE 1 END) AS weight
             FROM (
               SELECT doc_id,
-                     COUNT(*) OVER (
-                         PARTITION BY substring(md5(text), 1, 3)) AS n
+                     CASE WHEN text IS NULL THEN 1
+                          ELSE COUNT(*) OVER (
+                              PARTITION BY substring(md5(text), 1, 3))
+                     END AS n
               FROM documents
             )
         """,

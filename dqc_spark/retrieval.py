@@ -35,10 +35,22 @@ retrieval semantics — the result is the posting intersection, never a
 corpus scan of non-matches).
 
 Cross-engine determinism (oracle_check): every per-(doc,term) partial
-is bit-identical across engines (int tf/df/dl, avgdl = int-sum / int
-count, ln of an identical double); only the final per-doc SUM is
-summation-order dependent, so the score is rounded to ``round_to``
-before the (score desc, key) ordering — the ann_topk pattern.
+agrees to the last ULP across engines — the ln *inputs* are
+bit-identical (int tf/df/dl, avgdl = int-sum / int count), but the ln
+itself is not raw-bit portable (JVM Math.log vs DuckDB libm differ in
+the last ULP; CLAUDE.md transcendental rule), and the final per-doc
+SUM is additionally summation-order dependent.  The per-doc ROUND to
+``round_to`` absorbs both before the (score desc, key) ordering — the
+ann_topk pattern.
+
+Input-consumption contract: the corpus frame is consumed TWICE (one
+tiny corpus-scalar aggregate at plan-build time + the lazy posting
+stream).  For a parquet source that is just a second columnar scan —
+cheaper at 10^12 docs than caching a tokenized corpus — so nothing is
+persisted by default.  If the input embeds a pandas-UDF stage (e.g.
+BM25 over a ``curate()`` output), the caller must persist it first
+(the CLAUDE.md multi-consumer rule) or pass ``cache_tokens=True``,
+which persists the internal tokenized projection for the session.
 
 Reference parity: no search surface in data_quality_checker; §2.5
 training-data scope (corpus tooling under the 100 TB lens).
@@ -100,6 +112,7 @@ def _bm25_term_partials(
     text_col: str,
     k1: float,
     b: float,
+    cache_tokens: bool = False,
 ) -> DataFrame | None:
     """The scoring core BOTH retrieval forms share: one frame of
     per-(doc, matched-term) BM25 partials (__key, __term, __s) — or
@@ -120,6 +133,12 @@ def _bm25_term_partials(
     base = df.select(F.col(key_col).alias("__key"),
                      F.size(toks).alias("__dl"),
                      toks.alias("__toks"))
+    if cache_tokens:
+        # opt-in: the scalar agg below materializes the cache, so a
+        # UDF-derived input's Python stage runs once, not twice.  Off
+        # by default — for parquet sources the second scan is cheaper
+        # at corpus scale than persisting a tokenized copy.
+        base = base.persist()
 
     # corpus scalars: ONE tiny agg; re-entering as literals via collect
     # of a single row (metadata-sized, the mixing.py pattern)
@@ -167,18 +186,23 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    round_to: int | None = None,
+    round_to: int | None = 6,
+    cache_tokens: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 for a bag of query terms.
 
     Returns (key, score) ordered (score desc, key asc); ``round_to``
-    rounds the score first so cross-engine summation-order noise cannot
-    reorder near-ties (the oracle differential runs with 4).
+    rounds the score first so summation-order noise cannot reorder
+    near-ties — the default 6 makes the top-k boundary run-to-run
+    deterministic (a raw float-sum score depends on Spark's partition
+    order at near-ties); pass ``None`` for the raw sum.  The oracle
+    differential runs with 4.
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
-    part = _bm25_term_partials(df, terms, key_col, text_col, k1, b)
+    part = _bm25_term_partials(df, terms, key_col, text_col, k1, b,
+                               cache_tokens=cache_tokens)
     if part is None:  # empty corpus
         return df.select(F.col(key_col),
                          F.lit(0.0).alias("score")).limit(0)
@@ -202,7 +226,8 @@ def bm25_topk_batch(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    round_to: int | None = None,
+    round_to: int | None = 6,
+    cache_tokens: bool = False,
 ) -> DataFrame:
     """Top-``k`` per query for a BATCH of queries — the shape retrieval
     actually runs at corpus scale (hard-negative mining, eval-set
@@ -231,7 +256,8 @@ def bm25_topk_batch(
         raise ValueError("every query needs at least one term")
     all_terms = sorted(set().union(*norm_q.values()))
 
-    core = _bm25_term_partials(df, all_terms, key_col, text_col, k1, b)
+    core = _bm25_term_partials(df, all_terms, key_col, text_col, k1, b,
+                               cache_tokens=cache_tokens)
     if core is None:  # empty corpus
         return df.select(
             F.lit("").alias("query_id"), F.col(key_col),

@@ -29,7 +29,8 @@ def _df(spark, docs=DOCS):
 def test_matches_python_model(spark):
     got = {
         r["doc_id"]: r["score"]
-        for r in bm25_topk(_df(spark), ["hash", "join"], k=100).collect()
+        for r in bm25_topk(_df(spark), ["hash", "join"], k=100,
+                           round_to=None).collect()
     }
     want = bm25_score_py(DOCS, ["hash", "join"])
     assert set(got) == set(want)
