@@ -1,17 +1,61 @@
-"""Shared ASCII tokenizer + md5 word-hash identity.
+"""Shared Unicode-portable tokenizer family + md5 word-hash identity.
 
-Three kernels (decontam grams, substring-dedup shingles, hashed-TF-IDF
-buckets) and two DuckDB differential oracles depend on EXACTLY this
+The substring-dedup shingles, decontam grams, LM/heavy-hitter gram
+tables, anchor terms, hashed-TF-IDF buckets, and BM25 posting stream —
+plus their DuckDB differential oracles — depend on EXACTLY this
 tokenization and word identity; a drifting per-module copy would
 silently break an oracle, so they all import from here.
 
-* ``WS_ASCII`` — python ``\\s`` is unicode-wide by default; ``re.ASCII``
-  pins it to the same byte class the JVM/RE2 ``\\s+`` splits on (the
-  engines differ only on the vertical tab, absent from the corpora).
+Three-engine discipline (the ``htmlextract`` rule): every class below
+is ONE literal string that parses identically as a Java regex
+(Catalyst ``split``/``regexp_replace``), a Python ``re`` pattern, and
+an RE2 pattern (DuckDB ``regexp_*``), so the Spark plan, the python
+reference models, and the SQL oracles tokenize byte-identically.
+Verified cross-engine on planted CJK/Cyrillic/accented/exotic-space
+text by ``tests/test_unicode_tokens.py`` and the ``text_tokens_unicode``
+driver oracle.
+
+* ``CJK_CLASS`` — explicit codepoint ranges for space-free scripts
+  (Hiragana, Katakana + halfwidth, CJK Unified + Ext A + Compat).
+  Tokenizers ISOLATE each such codepoint into its own token first
+  (the CCNet-style codepoint fallback: a space-free Japanese/Chinese
+  document otherwise becomes one giant "word"), so LM grams over CJK
+  are character n-grams and BM25 matches CJK queries per character.
+  Hangul/Thai are intentionally absent: Korean is space-delimited and
+  splitting Thai per codepoint would break its multi-char words.
+  Explicit ranges, not ``\\p{script=Han}`` — python ``re`` has no
+  script properties, and literal ranges parse identically everywhere.
+* ``UWS_CLASS`` — explicit Unicode whitespace.  ``\\s`` is a trap: it
+  is ASCII-only in Java/RE2 but Unicode-wide in python, and even the
+  ASCII sets disagree on the vertical tab, so the class is spelled out
+  (TAB LF VT FF CR SP NEL NBSP OGHAM + U+2000-200A LSEP PSEP NNBSP
+  MMSP IDSP).
+* ``NONALNUM_JAVA`` / ``NONALNUM_PY`` — the not-(letter|digit) split
+  for the BM25 token family: Java/RE2 spell it ``[^\\p{L}\\p{N}]+``;
+  python ``re`` lacks ``\\p`` so it uses the provably equal ``[\\W_]+``
+  (python ``\\w`` = ``\\p{L}`` + ``\\p{N}`` + underscore exactly, per
+  ``str.isalnum``'s L*/Nd/Nl/No categories).
+* ``fold_case`` / ``fold_case_col`` / ``fold_case_sql`` — the portable
+  case fold every lowercasing token consumer must use instead of a
+  bare ``lower()``.  Measured (full BMP+ sweep, 2026-08): python and
+  the JVM lowercase identically on every probed codepoint, but DuckDB
+  lowercases per-codepoint from an older table, so two real-text cases
+  diverge — word-final ``Σ`` (py/JVM contextual ``ς`` vs DuckDB ``σ``)
+  and ``İ`` U+0130 (py/JVM expand to ``i``+U+0307, DuckDB plain
+  ``i``).  The fold pins both: translate ``İ``→``i`` BEFORE lower,
+  ``ς``→``σ`` AFTER, same three-leg spelling.  Residual known
+  divergence: a handful of Unicode-14 letters DuckDB cannot lower at
+  all (Ⱟ, Ꟁ/Ꟈ/Ꟊ/Ꟑ/Ꟗ/Ꟙ/Ꟶ, Vithkuqi U+10570..) — never plant these in
+  an oracle-compared fixture.
 * ``md5_word`` — (h1, h2, sign): the digest's two little-endian 8-byte
   words plus a sign bit, cached per word.  Engine-portable and
   process-stable (never python ``hash``); 128 bits of material so
   callers can take one lane (feature hashing) or both (shingle lanes).
+
+``ascii_tokens``/``WS_ASCII`` remain for callers that must match
+legacy ASCII-\\s behavior; new code uses ``unicode_tokens`` (whitespace
+family, case untouched) or ``unicode_alnum_tokens`` (BM25 family,
+lowercases).
 """
 
 from __future__ import annotations
@@ -19,13 +63,124 @@ from __future__ import annotations
 import hashlib
 import re
 
-__all__ = ["WS_ASCII", "ascii_tokens", "md5_word"]
+__all__ = [
+    "WS_ASCII",
+    "ascii_tokens",
+    "md5_word",
+    "CJK_CLASS",
+    "CJK_GROUP",
+    "UWS_CLASS",
+    "UWS_SPLIT",
+    "NONALNUM_JAVA",
+    "NONALNUM_PY",
+    "cjk_isolate",
+    "fold_case",
+    "fold_case_col",
+    "fold_case_sql",
+    "unicode_tokens",
+    "unicode_alnum_tokens",
+    "unicode_tokens_sql",
+    "unicode_alnum_tokens_sql",
+]
 
 WS_ASCII = re.compile(r"\s+", re.ASCII)
 
+# --- the Unicode family: one literal spelling, three engines ---------------
+
+CJK_CLASS = (
+    "぀-ヿ"  # Hiragana + Katakana (incl. marks)
+    "㐀-䶿"  # CJK Unified Ideographs Extension A
+    "一-鿿"  # CJK Unified Ideographs
+    "豈-﫿"  # CJK Compatibility Ideographs
+    "ｦ-ﾟ"  # Halfwidth Katakana
+)
+CJK_GROUP = f"([{CJK_CLASS}])"
+UWS_CLASS = (
+    "\t\n\x0b\x0c\r \x85\xa0 "
+    " -     　"
+)
+UWS_SPLIT = f"[{UWS_CLASS}]+"
+NONALNUM_JAVA = r"[^\p{L}\p{N}]+"  # also the RE2/DuckDB spelling
+NONALNUM_PY = re.compile(r"[\W_]+", re.UNICODE)
+
+_CJK_RE = re.compile(CJK_GROUP)
+_UWS_RE = re.compile(UWS_SPLIT)
+
+
+def fold_case(text: str | None) -> str:
+    """Portable lowercase (python leg): ``İ``→``i`` pre-lower,
+    ``ς``→``σ`` post-lower — the two measured DuckDB ``lower()``
+    divergences (see module docstring)."""
+    return (text or "").replace("İ", "i").lower().replace(
+        "ς", "σ")
+
+
+def fold_case_col(col):
+    """Catalyst leg of ``fold_case`` (lazy pyspark import so the
+    python oracle kernels can import this module without a JVM)."""
+    from pyspark.sql import functions as F
+
+    return F.translate(
+        F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+
+
+def fold_case_sql(expr: str) -> str:
+    """DuckDB leg of ``fold_case``."""
+    return (
+        f"replace(lower(replace({expr}, 'İ', 'i')), "
+        "'ς', 'σ')"
+    )
+
+
+def cjk_isolate(text: str) -> str:
+    """Each CJK codepoint spaced into its own token (python leg; the
+    Catalyst leg is ``regexp_replace(col, CJK_GROUP, " $1 ")``, the
+    DuckDB leg ``regexp_replace(expr, CJK_GROUP, ' \\1 ', 'g')``)."""
+    return _CJK_RE.sub(r" \1 ", text)
+
+
+def unicode_tokens(text: str | None) -> list[str]:
+    """Whitespace-family Unicode tokens: CJK codepoints isolated, then
+    split on the explicit Unicode-whitespace class; empties dropped.
+    Case is NOT touched (callers lower first where their gram identity
+    is case-folded).  Identical to ``ascii_tokens`` on pure-ASCII text
+    with ASCII whitespace — i.e. a no-op widening on the test corpus."""
+    return [t for t in _UWS_RE.split(cjk_isolate(text or "")) if t]
+
+
+def unicode_alnum_tokens(text: str | None) -> list[str]:
+    """BM25-family tokens: fold case, isolate CJK, split on
+    not-(letter|digit).  Matches the Catalyst plan
+    ``split(regexp_replace(fold_case_col(...), CJK_GROUP, " $1 "),
+    NONALNUM_JAVA)`` and the DuckDB oracle spelling from
+    ``unicode_alnum_tokens_sql``."""
+    iso = cjk_isolate(fold_case(text))
+    return [t for t in NONALNUM_PY.split(iso) if t]
+
+
+def unicode_tokens_sql(expr: str) -> str:
+    """DuckDB list expression for ``unicode_tokens(expr)`` — the ONE
+    spelling every SQL oracle interpolates (copy-drift here would
+    silently break a differential)."""
+    return (
+        "list_filter(regexp_split_to_array(regexp_replace("
+        f"{expr}, '{CJK_GROUP}', ' \\1 ', 'g'), '{UWS_SPLIT}'), "
+        "x -> x <> '')"
+    )
+
+
+def unicode_alnum_tokens_sql(expr: str) -> str:
+    """DuckDB list expression for ``unicode_alnum_tokens(expr)``."""
+    return (
+        "list_filter(regexp_split_to_array(regexp_replace("
+        f"{fold_case_sql(expr)}, '{CJK_GROUP}', ' \\1 ', 'g'), "
+        f"'[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')"
+    )
+
 
 def ascii_tokens(text: str | None) -> list[str]:
-    """Whitespace tokens of ``text`` (ASCII \\s, empties dropped)."""
+    """Whitespace tokens of ``text`` (ASCII \\s, empties dropped) —
+    legacy spelling, kept for exact-match consumers."""
     return [t for t in WS_ASCII.split(text or "") if t]
 
 

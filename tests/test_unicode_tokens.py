@@ -1,0 +1,151 @@
+"""Three-engine differential for the shared Unicode tokenizer family.
+
+wordhash.py's contract is that ONE literal pattern family tokenizes
+byte-identically as a Java regex (Catalyst), a python ``re`` pattern
+(oracle kernels), and an RE2 pattern (DuckDB differential oracles).
+This test is the measurement behind that claim: every planted sample —
+CJK, Cyrillic, Greek (final sigma), Turkish dotted-İ, accented Latin,
+exotic Unicode spaces, halfwidth katakana — must tokenize identically
+on all three legs, for both the whitespace family and the
+case-folding alnum (BM25) family.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dqc_spark.wordhash import (
+    CJK_GROUP,
+    NONALNUM_JAVA,
+    UWS_SPLIT,
+    ascii_tokens,
+    fold_case,
+    fold_case_col,
+    fold_case_sql,
+    unicode_alnum_tokens,
+    unicode_alnum_tokens_sql,
+    unicode_tokens,
+    unicode_tokens_sql,
+)
+
+SAMPLES = [
+    "hello world  foo\tbar",
+    "Hello, WORLD! It's 2026-08-18... naïve café",
+    "日本語のテキストです。漢字とカタカナ混じり",
+    "中文文本没有空格所以需要逐字切分",
+    "Привет мир, это русский текст!",
+    "Füße GROSSE Straße ÄÖÜ",
+    "no break thin space ideographic　space",
+    "halfｦﾟwidth katakana ｶﾀｶﾅ",
+    "under_score mixed_CASE token-with-dash",
+    "digits ١٢٣ arabic-indic and ²superscript Ⅷroman",
+    "edge\x0bvt\x0cff\x85nel  lsep psep",
+    "mixed 英語と日本語 mixed English and Japanese",
+    "",
+    "   ",
+    None,
+    "κόσμος ελληνικά UPPER ΚΌΣΜΟΣ ΣΙΓΜΑΣ",
+    "İstanbul DİYARBAKIR",
+    "ㄅㄆㄇ bopomofo stays wordy 한국어 hangul stays wordy",
+]
+
+
+@pytest.fixture(scope="module")
+def legs(spark):
+    """(python, spark, duckdb) token lists per sample, both families."""
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SAMPLES)], "i int, t string"
+    )
+    t = F.coalesce(F.col("t"), F.lit(""))
+    ws_col = F.array_remove(
+        F.split(F.regexp_replace(t, CJK_GROUP, " $1 "), UWS_SPLIT), ""
+    )
+    al_col = F.array_remove(
+        F.split(
+            F.regexp_replace(fold_case_col(t), CJK_GROUP, " $1 "),
+            NONALNUM_JAVA,
+        ),
+        "",
+    )
+    spark_rows = {
+        r["i"]: (r["ws"], r["al"])
+        for r in sdf.select("i", ws_col.alias("ws"), al_col.alias("al")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(SAMPLES)))
+        + ") v(i, t)",
+        list(SAMPLES),
+    )
+    expr = "coalesce(t, '')"
+    duck_rows = {
+        i: (ws, al)
+        for i, ws, al in con.execute(
+            f"SELECT i, {unicode_tokens_sql(expr)}, "
+            f"{unicode_alnum_tokens_sql(expr)} FROM s"
+        ).fetchall()
+    }
+    py_rows = {
+        i: (unicode_tokens(s), unicode_alnum_tokens(s))
+        for i, s in enumerate(SAMPLES)
+    }
+    return py_rows, spark_rows, duck_rows
+
+
+def test_three_engines_whitespace_family(legs):
+    py, sp, dk = legs
+    for i, s in enumerate(SAMPLES):
+        assert list(sp[i][0]) == py[i][0], (i, s)
+        assert list(dk[i][0]) == py[i][0], (i, s)
+
+
+def test_three_engines_alnum_family(legs):
+    py, sp, dk = legs
+    for i, s in enumerate(SAMPLES):
+        assert list(sp[i][1]) == py[i][1], (i, s)
+        assert list(dk[i][1]) == py[i][1], (i, s)
+
+
+def test_ascii_corpus_unchanged():
+    # the widening is a no-op on ASCII text with ASCII whitespace — the
+    # guarantee that migrating consumers does not move existing oracles
+    for s in [
+        "plain ascii words",
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines\r\nmixed",
+        "punct, stays! attached? yes.",
+        "",
+    ]:
+        assert unicode_tokens(s) == ascii_tokens(s)
+
+
+def test_cjk_codepoint_fallback():
+    # a space-free Chinese sentence must NOT become one giant token
+    toks = unicode_tokens("中文文本没有空格")
+    assert toks == list("中文文本没有空格")
+    # mixed text: Latin words survive as words, CJK splits per codepoint
+    assert unicode_tokens("use 中文 here") == ["use", "中", "文", "here"]
+    # Korean is space-delimited: hangul words must stay whole
+    assert unicode_tokens("한국어 단어") == ["한국어", "단어"]
+
+
+def test_alnum_family_folds_and_strips():
+    assert unicode_alnum_tokens("Hello, WORLD!") == ["hello", "world"]
+    assert unicode_alnum_tokens("naïve-café's") == ["naïve", "café", "s"]
+    # underscore is a separator (Java [^\p{L}\p{N}] has no _, python
+    # compensates with [\W_])
+    assert unicode_alnum_tokens("a_b") == ["a", "b"]
+    # CJK query terms come out per codepoint, lowercased Latin around
+    assert unicode_alnum_tokens("Search 日本語 now") == [
+        "search", "日", "本", "語", "now"]
+
+
+def test_fold_case_pins_duckdb_divergences():
+    con = duckdb.connect()
+    for s in ["ΣΙΓΜΑΣ ΤΕΛΟΣ", "İstanbul", "ΚΌΣΜΟΣ", "MiXeD case"]:
+        d = con.execute(f"SELECT {fold_case_sql('?')}", [s]).fetchone()[0]
+        assert fold_case(s) == d, s
+    # the two raw-lower() divergences the fold exists for
+    assert fold_case("ΣΙΓΜΑΣ") == "σιγμασ"  # no contextual final sigma
+    assert fold_case("İ") == "i"  # no combining-dot residue
