@@ -11,6 +11,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from dqc_spark.gates import ALL_STOPWORDS
+from dqc_spark.wordhash import unicode_alnum_tokens_sql, unicode_tokens_sql
+
+# the ONE oracle spelling of the shared Unicode tokenizer families
+# (wordhash.py); every token-consuming oracle interpolates these
+from dqc_spark.wordhash import fold_tokens_sql
+
+_ALTOKS_SQL = unicode_alnum_tokens_sql("coalesce(text, '')")
+_WSTOKS_SQL = unicode_tokens_sql("coalesce(text, '')")
+_FTOKS_SQL = fold_tokens_sql("coalesce(text, '')")
 
 
 def _t(spark, sf_dir, name):
@@ -2120,17 +2129,11 @@ def extra_oracle_sql():
         # identical double; literal arithmetic spelled with the SAME
         # associativity as the Catalyst expression) — only the per-doc
         # SUM is order-dependent, absorbed by ROUND(.,4)
-        "text_bm25_topk": """
+        "text_bm25_topk": f"""
             WITH base AS (
               SELECT doc_id,
-                     len(list_filter(
-                         regexp_split_to_array(
-                             lower(coalesce(text, '')), '[^a-z0-9]+'),
-                         x -> x <> '')) AS dl,
-                     list_filter(
-                         regexp_split_to_array(
-                             lower(coalesce(text, '')), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
+                     len({_ALTOKS_SQL}) AS dl,
+                     {_ALTOKS_SQL} AS toks
               FROM documents
             ), scal AS (
               SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -2176,17 +2179,11 @@ def extra_oracle_sql():
         # batched BM25: same per-partial bit-identity argument as
         # text_bm25_topk; the per-query top-k is ROW_NUMBER over the
         # ROUNDED score (both engines rank identical doubles)
-        "text_bm25_batch": """
+        "text_bm25_batch": f"""
             WITH base AS (
               SELECT doc_id,
-                     len(list_filter(
-                         regexp_split_to_array(
-                             lower(coalesce(text, '')), '[^a-z0-9]+'),
-                         x -> x <> '')) AS dl,
-                     list_filter(
-                         regexp_split_to_array(
-                             lower(coalesce(text, '')), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
+                     len({_ALTOKS_SQL}) AS dl,
+                     {_ALTOKS_SQL} AS toks
               FROM documents
             ), scal AS (
               SELECT CAST(COUNT(*) AS DOUBLE) AS n,
@@ -2534,10 +2531,9 @@ def extra_oracle_sql():
         # exact top-10 words, brute force — the Spark side reaches the
         # same rows through the MG-candidates + rescore path, which is
         # exact whenever the 10th frequency exceeds n/(k+1)
-        "text_heavy_hitters_top10": r"""
+        "text_heavy_hitters_top10": f"""
             WITH w AS (
-              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x <> '') AS toks
+              SELECT {_FTOKS_SQL} AS toks
               FROM documents
             ), g AS (
               SELECT unnest(toks) AS word FROM w
@@ -2545,10 +2541,9 @@ def extra_oracle_sql():
             SELECT word, COUNT(*) AS n_occurrences FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, word LIMIT 10
         """,
-        "lm_word_counts": r"""
+        "lm_word_counts": f"""
             WITH w AS (
-              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x <> '') AS toks
+              SELECT {_FTOKS_SQL} AS toks
               FROM documents
             ), g AS (
               SELECT unnest(toks) AS word FROM w
@@ -2556,10 +2551,9 @@ def extra_oracle_sql():
             SELECT word, COUNT(*) AS n_occurrences FROM g GROUP BY 1
             ORDER BY n_occurrences DESC, word LIMIT 100
         """,
-        "lm_bigram_counts": r"""
+        "lm_bigram_counts": f"""
             WITH w AS (
-              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x <> '') AS toks
+              SELECT {_FTOKS_SQL} AS toks
               FROM documents
             ), g AS (
               SELECT array_to_string(toks[i:i+1], ' ') AS gram

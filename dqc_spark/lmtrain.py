@@ -27,21 +27,17 @@ Scale shape (what matters at 100 TB):
     real KenLM .arpa artifact would be serialized; the Spark-side
     topology (count → prune → broadcast) is identical.
 
-Tokenization — two deliberately different tokenizers (review finding):
-
-  * ``word_counts`` / ``bigram_counts`` (the SQL-oracled gram tables)
-    use the repo-wide shared ``wordhash.ascii_tokens`` over lowercased
-    text — byte-identical with the decontamination / substring /
-    TF-IDF kernels and the DuckDB differential oracles.
-  * ``train_bigram_lm`` / ``train_lm_py`` tokenize with
-    ``text.lower().split()`` — EXACTLY what ``textmodels.perplexity``
-    does at scoring time.  Training with the ASCII tokenizer would
-    store e.g. ``'good\\u00a0morning'`` as ONE token that the scorer
-    (which splits on any Unicode whitespace, NBSP included) can never
-    look up, systematically inflating ppl on NBSP-bearing web text.
-    Train-time and score-time vocabularies must agree; the oracle
-    tables must agree with DuckDB.  Both python/Spark twins of each
-    pair share their tokenizer, so model equality stays exact.
+Tokenization: ONE tokenizer — ``wordhash.fold_tokens`` (case-folded
+Unicode-whitespace split with CJK codepoint isolation).  Earlier
+rounds carried two spellings (an ASCII one for the DuckDB oracles, a
+``.lower().split()`` one matching the perplexity scorer); the Unicode
+family dissolved that split because it is BOTH DuckDB-expressible
+(``wordhash.fold_tokens_sql``) and Unicode-whitespace-complete (NBSP
+included), so train-time vocabularies, score-time lookups
+(``textmodels.perplexity``/``kn_perplexity``), BPE pre-words, heavy
+hitters, and the SQL oracles now agree by construction.  CJK text
+trains per-codepoint grams (the CCNet fallback) instead of one giant
+"word" per unbroken run.
 
 Reference parity: the reference (data_quality_checker) has no model
 training; this is §2.5 training-data surface per the web-corpus north
@@ -59,7 +55,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.wordhash import ascii_tokens
+from dqc_spark.wordhash import fold_tokens
 
 __all__ = [
     "word_counts",
@@ -69,16 +65,10 @@ __all__ = [
     "train_bigram_lm",
 ]
 
-
-def _scorer_tokens(text: str | None) -> list[str]:
-    """The EXACT token stream ``textmodels.perplexity`` sees at scoring
-    time (Unicode-whitespace split of lowercased text)."""
-    return (text or "").lower().split()
-
-
-def _oracle_tokens(text: str | None) -> list[str]:
-    """The DuckDB-matched spelling for the SQL-oracled gram tables."""
-    return ascii_tokens((text or "").lower())
+# one shared spelling (see module docstring); the old dual names are
+# kept as aliases because heavyhitters/bpe parameterize on them
+_scorer_tokens = fold_tokens
+_oracle_tokens = fold_tokens
 
 
 def _count_rows(

@@ -9,8 +9,11 @@ no Python in the per-document path at all.
 
 Scale shape (the part that matters at 10^12 docs):
 
-  * Tokenization is JVM codegen: ``split`` + ``array_remove`` (both
-    built-ins, not HOF lambdas — see CLAUDE.md on interpreted HOFs).
+  * Tokenization is JVM codegen: ``regexp_replace`` + ``split`` +
+    ``array_remove`` (built-ins, not HOF lambdas — see CLAUDE.md on
+    interpreted HOFs), using the shared Unicode alnum family from
+    ``wordhash`` (case fold, CJK codepoint isolation, not-(letter|digit)
+    split) so non-Latin corpora and queries retrieve correctly.
   * The exploded token stream is filtered to the query's terms BEFORE
     any shuffle, so the only wide ops are a groupBy on
     (doc, term) rows *that matched a query term* — for a 5-term query
@@ -63,9 +66,14 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_score_py", "bm25_topk", "bm25_topk_batch"]
+from dqc_spark.wordhash import (
+    CJK_GROUP,
+    NONALNUM_JAVA,
+    fold_case_col,
+    unicode_alnum_tokens,
+)
 
-_TOKEN_SEP = "[^a-z0-9]+"  # same class in Java regex and python re
+__all__ = ["bm25_score_py", "bm25_topk", "bm25_topk_batch"]
 
 
 def bm25_score_py(
@@ -75,17 +83,13 @@ def bm25_score_py(
     b: float = 0.75,
 ) -> dict:
     """Single-process reference model: {key: score} for every doc with
-    at least one query-term hit.  Shares the tokenizer regex with the
-    Spark plan; used by the pytest differential."""
-    import re
-
-    toks = {
-        key: [t for t in re.split(_TOKEN_SEP, (text or "").lower()) if t]
-        for key, text in docs
-    }
+    at least one query-term hit.  Shares the tokenizer family
+    (``wordhash.unicode_alnum_tokens``) with the Spark plan; used by
+    the pytest differential."""
+    toks = {key: unicode_alnum_tokens(text) for key, text in docs}
     n = len(docs)
     avgdl = (sum(len(t) for t in toks.values()) / n) if n else 0.0
-    terms = set(query_terms)
+    terms = _expand_terms(query_terms)
     df_t = {
         q: sum(1 for t in toks.values() if q in t) for q in terms
     }
@@ -103,6 +107,13 @@ def bm25_score_py(
         if score > 0.0:
             out[key] = score
     return out
+
+
+def _expand_terms(query_terms) -> set[str]:
+    """Query terms through the SAME tokenizer family as the corpus: a
+    CJK query word expands to its codepoint tokens, mixed-case and
+    punctuated terms normalize to what the posting stream holds."""
+    return {tok for t in query_terms for tok in unicode_alnum_tokens(t)}
 
 
 def _bm25_term_partials(
@@ -126,8 +137,11 @@ def _bm25_term_partials(
     as literals, per-term df broadcast back onto the posting frame."""
     terms = sorted(terms)
     toks = F.array_remove(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                _TOKEN_SEP),
+        F.split(
+            F.regexp_replace(
+                fold_case_col(F.coalesce(F.col(text_col), F.lit(""))),
+                CJK_GROUP, " $1 "),
+            NONALNUM_JAVA),
         "",
     )
     base = df.select(F.col(key_col).alias("__key"),
@@ -200,7 +214,9 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    terms = sorted({t.lower() for t in query_terms})
+    terms = sorted(_expand_terms(query_terms))
+    if not terms:
+        raise ValueError("query terms tokenized to nothing")
     part = _bm25_term_partials(df, terms, key_col, text_col, k1, b,
                                cache_tokens=cache_tokens)
     if part is None:  # empty corpus
@@ -250,7 +266,7 @@ def bm25_topk_batch(
     """
     if not queries:
         raise ValueError("bm25_topk_batch needs at least one query")
-    norm_q = {qid: sorted({t.lower() for t in terms})
+    norm_q = {qid: sorted(_expand_terms(terms))
               for qid, terms in queries.items()}
     if any(not terms for terms in norm_q.values()):
         raise ValueError("every query needs at least one term")

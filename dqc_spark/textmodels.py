@@ -20,6 +20,8 @@ from collections import Counter
 
 import numpy as np
 
+from dqc_spark.wordhash import fold_tokens
+
 LANGS = ["en", "de", "es", "fr", "zh"]
 
 WORDS: dict[str, list[str]] = {
@@ -233,7 +235,7 @@ def kn_perplexity(text: str, kn: dict, logcache: dict | None = None) -> float:
     """Per-document perplexity under an interpolated-KN model
     (``build_kn``).  Same contract as ``perplexity``: deterministic,
     1e9 for empty docs, optional bit-exact log memoization."""
-    tokens = (text or "").lower().split()
+    tokens = fold_tokens(text)
     if not tokens:
         return 1e9
     bi = kn["bigrams"]
@@ -283,7 +285,7 @@ def perplexity(text: str, lm: dict, logcache: dict | None = None) -> float:
     pinned by tests/test_pipeline.py::test_perplexity_cache_is_exact."""
     if lm.get("kind") == "kn":
         return kn_perplexity(text, lm, logcache)
-    tokens = (text or "").lower().split()
+    tokens = fold_tokens(text)
     if not tokens:
         return 1e9
     uni, bi = lm["unigrams"], lm["bigrams"]

@@ -77,8 +77,13 @@ __all__ = [
     "fold_case",
     "fold_case_col",
     "fold_case_sql",
+    "fold_tokens",
+    "fold_tokens_col",
+    "fold_tokens_sql",
     "unicode_tokens",
+    "unicode_tokens_col",
     "unicode_alnum_tokens",
+    "unicode_alnum_tokens_col",
     "unicode_tokens_sql",
     "unicode_alnum_tokens_sql",
 ]
@@ -156,6 +161,50 @@ def unicode_alnum_tokens(text: str | None) -> list[str]:
     ``unicode_alnum_tokens_sql``."""
     iso = cjk_isolate(fold_case(text))
     return [t for t in NONALNUM_PY.split(iso) if t]
+
+
+def fold_tokens(text: str | None) -> list[str]:
+    """Case-folded whitespace-family tokens — the LM-family tokenizer
+    (LM gram tables, perplexity scoring, BPE pre-words, DSIR features,
+    heavy hitters, decontam grams, anchor terms, TF-IDF buckets).
+    Train-time and score-time vocabularies agree BY CONSTRUCTION:
+    every one of those consumers calls this function."""
+    return unicode_tokens(fold_case(text))
+
+
+def unicode_tokens_col(col):
+    """Catalyst leg of ``unicode_tokens`` (array<string>, empties
+    removed)."""
+    from pyspark.sql import functions as F
+
+    return F.array_remove(
+        F.split(F.regexp_replace(F.coalesce(col, F.lit("")),
+                                 CJK_GROUP, " $1 "), UWS_SPLIT), "")
+
+
+def fold_tokens_col(col):
+    """Catalyst leg of ``fold_tokens``."""
+    from pyspark.sql import functions as F
+
+    return unicode_tokens_col(fold_case_col(F.coalesce(col, F.lit(""))))
+
+
+def unicode_alnum_tokens_col(col):
+    """Catalyst leg of ``unicode_alnum_tokens``."""
+    from pyspark.sql import functions as F
+
+    return F.array_remove(
+        F.split(
+            F.regexp_replace(
+                fold_case_col(F.coalesce(col, F.lit(""))),
+                CJK_GROUP, " $1 "),
+            NONALNUM_JAVA),
+        "")
+
+
+def fold_tokens_sql(expr: str) -> str:
+    """DuckDB leg of ``fold_tokens``."""
+    return unicode_tokens_sql(fold_case_sql(expr))
 
 
 def unicode_tokens_sql(expr: str) -> str:

@@ -13,7 +13,7 @@ from dqc_spark.lmtrain import (
 )
 from dqc_spark.pagesgen import generate_pages
 from dqc_spark.textmodels import perplexity
-from dqc_spark.wordhash import ascii_tokens
+from dqc_spark.wordhash import fold_tokens
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +30,7 @@ def test_word_counts_match_counter(spark, pages):
 
     want = Counter()
     for t in _texts(pages):
-        want.update(ascii_tokens((t or "").lower()))
+        want.update(fold_tokens(t))
     got = {r["word"]: r["n_occurrences"] for r in word_counts(pages).collect()}
     assert got == dict(want)
 
@@ -40,7 +40,7 @@ def test_bigram_counts_match_counter_and_vocab_filter(spark, pages):
 
     want = Counter()
     for t in _texts(pages):
-        toks = ascii_tokens((t or "").lower())
+        toks = fold_tokens(t)
         want.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
     got = {r["gram"]: r["n_occurrences"]
            for r in bigram_counts(pages).collect()}
@@ -49,7 +49,7 @@ def test_bigram_counts_match_counter_and_vocab_filter(spark, pages):
     # vocabulary restriction drops OOV pairs inside the kernel
     vocab = frozenset(list(zip(*Counter(
         w for t in _texts(pages)
-        for w in ascii_tokens((t or "").lower())).most_common(40)))[0])
+        for w in fold_tokens(t)).most_common(40)))[0])
     got_v = {r["gram"]: r["n_occurrences"]
              for r in bigram_counts(pages, vocab=vocab).collect()}
     want_v = {g: c for g, c in want.items()
@@ -131,3 +131,30 @@ def test_annotate_with_trained_lm_matches_golden_oracle(spark, pages):
         "keep").collect())
     trained_keep = sum(r["keep"] for r in keeps("pandas"))
     assert trained_keep != default_keep
+
+
+def test_multilingual_gram_tables(spark):
+    # CJK trains per-codepoint grams (CCNet fallback), NBSP splits,
+    # Cyrillic folds case — the Unicode-tokenizer contract end-to-end
+    docs = [
+        (0, "Доброе утро мир"),
+        (1, "доброе утро снова"),
+        (2, "日本語です"),
+        (3, "good morning plain"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    wc = {r["word"]: r["n_occurrences"] for r in word_counts(df).collect()}
+    assert wc["доброе"] == 2 and wc["утро"] == 2
+    assert wc["日"] == 1 and wc["本"] == 1 and wc["語"] == 1
+    # NBSP is a separator: 'good\xa0morning' is two tokens
+    assert wc["good"] == 1 and wc["morning"] == 1
+    from collections import Counter
+
+    want = Counter()
+    for _, t in docs:
+        toks = fold_tokens(t)
+        want.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    got = {r["gram"]: r["n_occurrences"]
+           for r in bigram_counts(df).collect()}
+    assert got == dict(want)
+    assert "日 本" in got  # CJK bigram = character bigram

@@ -142,3 +142,50 @@ def test_batch_validation_and_partition_invariance(spark):
         _df(spark).repartition(7), {"q1": ["hash"], "q2": ["join", "window"]},
         k=5, round_to=4).collect()))
     assert a == b
+
+
+MULTILINGUAL_DOCS = [
+    (0, "распределённые системы и обработка данных"),
+    (1, "Распределённые СИСТЕМЫ масштабируются"),
+    (2, "база данных хранит таблицы"),
+    (3, "これは日本語の文書です検索できます"),
+    (4, "中文文档没有空格也要能检索"),
+    (5, "plain english document about search engines"),
+    (6, "naïve café résumé straße"),
+    (7, "日本語 検索 with latin mixed in"),
+]
+
+
+def test_cjk_query_retrieves_spacefree_docs(spark):
+    # a CJK query term expands to codepoint tokens and must retrieve
+    # the space-free documents containing them
+    df = _df(spark, MULTILINGUAL_DOCS)
+    ids = {r["doc_id"] for r in bm25_topk(df, ["日本語"], k=5).collect()}
+    assert 3 in ids and 7 in ids
+    assert 5 not in ids
+    zh = {r["doc_id"] for r in bm25_topk(df, ["中文"], k=5).collect()}
+    assert 4 in zh
+
+
+def test_cyrillic_and_case_folded_retrieval(spark):
+    df = _df(spark, MULTILINGUAL_DOCS)
+    # uppercase Cyrillic query matches lowercase corpus and vice versa
+    ids = {r["doc_id"] for r in
+           bm25_topk(df, ["РАСПРЕДЕЛЁННЫЕ"], k=5).collect()}
+    assert ids == {0, 1}
+    # accented Latin survives as whole tokens
+    acc = {r["doc_id"] for r in bm25_topk(df, ["café"], k=5).collect()}
+    assert acc == {6}
+
+
+def test_multilingual_matches_python_model(spark):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(_df(spark, MULTILINGUAL_DOCS),
+                           ["данных", "検索"], k=100,
+                           round_to=None).collect()
+    }
+    want = bm25_score_py(MULTILINGUAL_DOCS, ["данных", "検索"])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12), k
