@@ -30,10 +30,14 @@ asc) identically in Spark (``orderBy``) and python (``sorted``), so
 Both twins share ``_merge_loop`` and ``encode_word`` verbatim (the
 repo-wide golden-kernel rule: never fork oracle-shared code paths).
 
-Tokenization: pre-splitting uses the scorer tokenizer
-(``text.lower().split()``, see lmtrain) — BPE merges then happen INSIDE
+Tokenization: pre-splitting uses the shared LM-family tokenizer
+(``wordhash.fold_tokens``, via lmtrain — case fold, CJK codepoint
+isolation, Unicode-whitespace split) — BPE merges then happen INSIDE
 words, with the Sennrich ``</w>`` end-of-word sentinel so merged units
-can't leak across word boundaries.
+can't leak across word boundaries.  Note: CJK codepoint isolation
+makes each CJK character its own pre-word, so the vocabulary holds
+single CJK characters (+ ``</w>``) and never multi-character CJK
+merges — the same per-character unit the LM/decontam family uses.
 
 Reference parity: the reference (data_quality_checker,
 internal/checker/checker.go) has no tokenizer surface; this is §2.5

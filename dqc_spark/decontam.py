@@ -43,18 +43,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dqc_spark.textstats import ngrams_col
-from dqc_spark.wordhash import WS_ASCII, ascii_tokens
-
-# shared ASCII tokenizer (wordhash.py) — byte-identical with the
-# substring-dedup and TF-IDF kernels and the DuckDB oracles
-_WS = WS_ASCII
+from dqc_spark.wordhash import fold_tokens
 
 
 def _gram_hashes_py(text: str, n: int, cache: dict) -> set[int]:
-    """Distinct word-n-gram hashes of one document — the same
-    lower/split/filter tokenization as ``textstats.ngrams_col`` (and the
-    DuckDB differential oracle), hashed to a signed 64-bit int."""
-    toks = ascii_tokens((text or "").lower())
+    """Distinct word-n-gram hashes of one document — the shared
+    Unicode LM-family tokenization (``wordhash.fold_tokens``: case
+    fold, CJK codepoint isolation, Unicode-whitespace split — so a
+    space-free CJK benchmark decontaminates per character n-gram, the
+    CCNet convention), matching the DuckDB differential oracle's
+    ``fold_tokens_sql`` spelling; grams hashed to a signed 64-bit
+    int."""
+    toks = fold_tokens(text)
     if len(toks) < n:
         return set()
     out = set()
@@ -115,7 +115,9 @@ def _gram_hash_rows(
 def benchmark_grams(bench: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-grams of the benchmark corpus as STRINGS (1-column
     frame ``gram``) — kept for inspection/debug surfaces; the scoring
-    path uses the hash form below."""
+    path uses the hash form below (which tokenizes with the Unicode
+    ``fold_tokens`` family, while this debug view shares
+    ``textstats.ngrams_col``'s gate-family split)."""
     return (
         bench.select(F.explode(ngrams_col(F.col(text_col), n)).alias("gram"))
         .distinct()

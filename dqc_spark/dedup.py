@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dqc_spark.cache import track
+from dqc_spark.wordhash import fold_tokens, fold_tokens_col
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -129,7 +130,7 @@ def _shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndar
     """
     if cache is None:
         cache = {}
-    toks = text.lower().split()
+    toks = fold_tokens(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
     h = np.fromiter(
@@ -338,8 +339,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets for given candidate pairs —
     array_intersect/array_union stay JVM-side; shingles built once per
-    doc with a transform over an index sequence."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    doc with a transform over an index sequence.  Tokenization is the
+    shared Unicode fold family (``wordhash.fold_tokens_col``), matching
+    the minhash/simhash kernels and the DuckDB oracle."""
+    w = fold_tokens_col(F.col(text_col))
     shingles = F.when(
         F.size(w) >= shingle_k,
         F.array_distinct(
@@ -379,7 +382,7 @@ def simhash_py(text: str, cache: dict | None = None) -> int:
     (same value from any runtime), unlike xxhash64."""
     if cache is None:
         cache = {}
-    toks = set((text or "").lower().split())
+    toks = set(fold_tokens(text))
     if not toks:
         return 0
     hs = np.fromiter(

@@ -2956,7 +2956,7 @@ def extra_oracle_sql():
             LEFT JOIN (DESCRIBE SELECT * FROM documents) d
               ON d.column_name = c.col
         """,
-        "dedup_ngram_jaccard": r"""
+        "dedup_ngram_jaccard": f"""
             WITH sh AS (
               SELECT doc_id,
                      CASE WHEN len(toks) >= 5 THEN
@@ -2964,9 +2964,7 @@ def extra_oracle_sql():
                                       for i in generate_series(1, len(toks)-4)])
                      ELSE [array_to_string(toks, ' ')] END AS sh
               FROM (SELECT doc_id,
-                           list_filter(regexp_split_to_array(
-                               lower(COALESCE(text, '')), '\s+'),
-                                       x -> x <> '') AS toks
+                           {_FTOKS_SQL} AS toks
                     FROM documents)
             ),
             pairs AS (
@@ -3035,11 +3033,10 @@ def extra_oracle_sql():
         # 3-gram slice [i:i+2] is 1-based INCLUSIVE in DuckDB -> 3 tokens;
         # explode-with-placeholder keeps gram-less docs (n_grams=0) in the
         # result, mirroring Spark's explode_outer
-        "text_decontaminate": r"""
+        "text_decontaminate": f"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x <> '') AS w
+                     {_FTOKS_SQL} AS w
               FROM documents
             ), grams AS (
               SELECT doc_id,
@@ -3148,12 +3145,10 @@ def extra_oracle_sql():
         # mirrors Spark's min(struct(key,pos)) — valid while pos < 2^20
         # (documents cap out far below).  COALESCE(text,'') makes NULL
         # docs tokenize to [] (n_words 0), matching the kernel.
-        "text_substr_dedup": r"""
+        "text_substr_dedup": f"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(
-                       regexp_split_to_array(COALESCE(text, ''), '\s+'),
-                       x -> x <> '') AS w
+                     {_WSTOKS_SQL} AS w
               FROM documents
             ), g AS (
               -- scalar generate_series returns a LIST; parallel unnests

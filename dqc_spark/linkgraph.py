@@ -179,10 +179,12 @@ def anchor_term_counts(
     One Arrow kernel emits per-batch PRE-AGGREGATED (domain, term, cnt)
     partials (the lmtrain combiner shape): the shuffle carries one row
     per distinct (domain, term) per batch — never html, never one row
-    per anchor.  Tokens are the repo-wide shared ascii tokenizer over
-    lowercased anchor text."""
+    per anchor.  Tokens are the repo-wide shared Unicode fold family
+    (``wordhash.fold_tokens``: case fold, CJK codepoint isolation), so
+    CJK anchor text contributes per-character terms instead of one
+    giant token."""
     from dqc_spark.urlops import domain_of_py
-    from dqc_spark.wordhash import ascii_tokens
+    from dqc_spark.wordhash import fold_tokens
 
     out_schema = T.StructType([
         T.StructField("domain", T.StringType()),
@@ -201,7 +203,7 @@ def anchor_term_counts(
                     dst_dom = domain_of_py(absu)
                     if not dst_dom or (drop_self and dst_dom == src_dom):
                         continue
-                    for term in ascii_tokens(text.lower()):
+                    for term in fold_tokens(text):
                         c[(dst_dom, term)] += 1
             doms, terms, cnts = [], [], []
             for (d, t), n in c.items():

@@ -218,8 +218,9 @@ def train_bigram_lm(
     restriction happens INSIDE the bigram kernel via a broadcast
     frozenset, so pruned-word pairs are dropped before the shuffle.
 
-    Tokenization is the scorer-matched ``text.lower().split()`` — see
-    the module docstring for why it must NOT be the oracle tokenizer."""
+    Tokenization is the shared ``wordhash.fold_tokens`` — identical to
+    what ``textmodels.perplexity`` sees at scoring time (see the module
+    docstring)."""
     uni = capped_word_freqs(df, text_col, max_vocab,
                             tokenizer=_scorer_tokens)
     vocab = frozenset(uni)

@@ -44,14 +44,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.wordhash import ascii_tokens, md5_word
+from dqc_spark.wordhash import md5_word, unicode_tokens
 
 __all__ = ["shingle_occurrences", "dedup_substrings", "dedup_substrings_py"]
 
 _MASK = (1 << 64) - 1
 # shared tokenizer/word-hash (wordhash.py): the DuckDB oracle and two
-# sibling kernels depend on these staying byte-identical
-_tokens = ascii_tokens
+# sibling kernels depend on these staying byte-identical.  Case is
+# PRESERVED (unicode_tokens, not fold_tokens): ExactSubstr removes
+# byte-equal repeated spans, and the rebuilt text must keep the
+# surviving words verbatim — folding would rewrite them.  CJK
+# codepoint isolation means a k-word window over CJK is k characters.
+_tokens = unicode_tokens
 
 
 def _token_hash(word: str, cache: dict) -> tuple[int, int]:

@@ -37,11 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.wordhash import WS_ASCII, md5_word
+from dqc_spark.wordhash import fold_tokens, md5_word
 
 __all__ = ["hashed_tfidf", "hashed_tf_py"]
-
-_WS = WS_ASCII
 
 
 def _tok_bucket_sign(word: str, dim: int, cache: dict) -> tuple[int, float]:
@@ -57,9 +55,7 @@ def hashed_tf_py(text: str | None, dim: int, cache: dict | None = None) -> np.nd
     — the scalar reference the kernels and tests share."""
     cache = {} if cache is None else cache
     vec = np.zeros(dim, dtype=np.float64)
-    for w in _WS.split((text or "").lower()):
-        if not w:
-            continue
+    for w in fold_tokens(text):
         b, s = _tok_bucket_sign(w, dim, cache)
         vec[b] += s
     return vec
@@ -75,8 +71,7 @@ def _doc_buckets(df: DataFrame, text_col: str, dim: int) -> DataFrame:
             for text in pdf[text_col]:
                 seen = {
                     _tok_bucket_sign(w, dim, cache)[0]
-                    for w in _WS.split((text or "").lower())
-                    if w
+                    for w in fold_tokens(text)
                 }
                 out.extend(seen)
             yield pd.DataFrame({"bucket": pd.array(out, dtype="int32")})

@@ -69,6 +69,39 @@ def test_decontaminate_drops_contaminated(spark, contam_docs):
     assert kept == [1, 2, 3, 4]
 
 
+def test_decontaminate_cjk_benchmark(spark):
+    # a space-free CJK benchmark decontaminates per character n-gram
+    # (the fold_tokens CCNet fallback): a doc embedding the benchmark
+    # sentence is fully flagged, an unrelated CJK doc is untouched
+    from dqc_spark.decontam import contamination_scores
+    from dqc_spark.wordhash import fold_tokens
+
+    bench_text = "日本語の文書です"
+    rows = [
+        (0, "前置き" + bench_text + "後書き"),  # embeds the benchmark
+        (1, "完全に無関係な中国宇宙計画"),
+        (2, "plain ascii text only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(9, bench_text)],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_hit"])
+           for r in contamination_scores(docs, bench, n=3).collect()}
+
+    def grams(t):
+        toks = fold_tokens(t)
+        return {" ".join(toks[i:i + 3])
+                for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+
+    bg = grams(bench_text)
+    assert len(bg) == len(bench_text) - 2  # per-codepoint grams
+    for i, t in rows:
+        g = grams(t)
+        assert got[i] == (len(g), len(g & bg)), (i, t)
+    assert got[0][1] == len(bg)  # every benchmark gram leaked
+    assert got[1][1] == 0 and got[2][1] == 0
+
+
 def test_contamination_plan_broadcasts_benchmark(spark, contam_docs):
     from dqc_spark.decontam import contamination_scores
 
