@@ -312,6 +312,7 @@ DRIVER_ORDER = [
     "quality_model_fit",
     "text_hashed_tfidf",
     # --- new in round 4 (appended as operators land) ---
+    "text_tokens_unicode",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

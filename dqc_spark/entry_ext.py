@@ -1982,6 +1982,51 @@ def q_kn_perplexity(spark, sf):
         "doc_id", F.round("ppl", 4).alias("ppl_kn"))
 
 
+# Planted multilingual corpus slice for the cross-engine tokenizer
+# parity probe (text_tokens_unicode): one deterministic literal per
+# doc_id covering the cases the Unicode family must pin — Cyrillic case
+# fold, space-free CJK (codepoint isolation), accented Latin, NBSP /
+# EM-space separators, the Turkish İ and Greek final-sigma fold
+# divergences (wordhash.fold_case docstring), and halfwidth Katakana.
+# The SAME python list feeds the Spark literals and the DuckDB list
+# literal, so the two legs cannot drift.
+_UNICODE_PLANTED = [
+    "Доброе УТРО мир",
+    "日本語の文書です",
+    "中文文档没有空格",
+    "naïve Café RÉSUMÉ straße",
+    "good morning wide spaces",
+    "İstanbul ΟΔΥΣΣΕΥΣ",
+    "mixed 日本語 and ascii 123, punct-uated!",
+    "halfwidth ｶﾀｶﾅ test",
+]
+_UNICODE_PLANTED_SQL = "[" + ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in _UNICODE_PLANTED) + "]"
+
+
+def q_text_tokens_unicode(spark, sf):
+    """Both shared tokenizer families (fold_tokens = LM/whitespace
+    family, unicode_alnum_tokens = BM25 family) over the planted
+    multilingual slice, as (family, token, n) counts — the driver
+    differential proves the Catalyst and DuckDB legs tokenize
+    byte-identically on non-Latin text."""
+    from dqc_spark.wordhash import fold_tokens_col, unicode_alnum_tokens_col
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 512)
+    arr = F.array(*[F.lit(s) for s in _UNICODE_PLANTED])
+    base = docs.select(
+        F.element_at(arr, (F.col("doc_id") % 8 + 1).cast("int"))
+        .alias("ptext"))
+    ws = base.select(
+        F.lit("ws").alias("family"),
+        F.explode(fold_tokens_col(F.col("ptext"))).alias("token"))
+    al = base.select(
+        F.lit("alnum").alias("family"),
+        F.explode(unicode_alnum_tokens_col(F.col("ptext"))).alias("token"))
+    return (ws.unionAll(al).groupBy("family", "token")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def extra_queries():
     return {
         "dedup_exact_groups": q_dedup_exact,
@@ -2082,6 +2127,7 @@ def extra_queries():
         "eval_split_leakage": q_split_leakage,
         "semantic_dedup_text": q_semantic_dedup_text,
         "snapshot_score_drift": q_score_drift,
+        "text_tokens_unicode": q_text_tokens_unicode,
     }
 
 
@@ -3477,4 +3523,26 @@ def extra_oracle_sql():
                        / 10000 AS share
             FROM per
         """,
+        # tokenizer parity probe: the DuckDB leg tokenizes the SAME
+        # planted literals (one python list feeds both legs) through
+        # the wordhash SQL spellings — any drift in the three-engine
+        # pattern family breaks this differential first
+        "text_tokens_unicode": f"""
+            WITH planted AS (
+              SELECT {_UNICODE_PLANTED_SQL}[CAST(doc_id % 8 AS INT) + 1]
+                         AS ptext
+              FROM documents WHERE doc_id < 512
+            ), toks AS (
+              SELECT 'ws' AS family,
+                     unnest({{FT}}) AS token
+              FROM planted
+              UNION ALL
+              SELECT 'alnum' AS family,
+                     unnest({{AT}}) AS token
+              FROM planted
+            )
+            SELECT family, token, COUNT(*) AS n
+            FROM toks GROUP BY 1, 2
+        """.replace("{FT}", fold_tokens_sql("ptext"))
+           .replace("{AT}", unicode_alnum_tokens_sql("ptext")),
     }
