@@ -88,6 +88,51 @@ def _shingle_lanes(tokens: list[str], k: int, cache: dict) -> np.ndarray:
     return out
 
 
+def _batch_shingle_lanes(
+    toks_list: list[list[str]], k: int, cache: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """All shingle lanes of a BATCH in one vectorized pass:
+    ``(lanes, ns)`` where ``lanes`` is (total_shingles, 2) uint64 in
+    document order and ``ns[d]`` is doc d's shingle count.
+
+    Bit-identical to per-doc ``_shingle_lanes`` (same rot/xor formula;
+    pinned by the dedup_substrings_py pytest differential) but the
+    per-doc python/numpy loop collapses to k gather-xor passes over
+    one flat batch-wide hash array — the r3-verdict perf item (same
+    trick as the bloom build: per-row python is the trap one level
+    down from per-row HOFs).  Token md5s stay dict-memoized across
+    the batch (web text reuses tokens heavily)."""
+    n_docs = len(toks_list)
+    lens = np.fromiter((len(t) for t in toks_list), dtype=np.int64,
+                       count=n_docs)
+    ns = np.maximum(lens - k + 1, 0)
+    # a doc shorter than k contributes no shingles AND no flat tokens
+    # worth hashing — but keeping its tokens in the flat array keeps
+    # the offset math trivial and costs only the (memoized) hashes
+    total = int(ns.sum())
+    if total == 0:
+        return np.zeros((0, 2), dtype=np.uint64), ns
+    n_toks = int(lens.sum())
+    h1 = np.fromiter(
+        (md5_word(w, cache)[0] for toks in toks_list for w in toks),
+        dtype=np.uint64, count=n_toks)
+    h2 = np.fromiter(
+        (md5_word(w, cache)[1] for toks in toks_list for w in toks),
+        dtype=np.uint64, count=n_toks)
+    doc_off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_off[1:])
+    sh_off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(ns[:-1], out=sh_off[1:])
+    # flat index of each shingle's first token: concatenated aranges
+    starts = np.arange(total, dtype=np.int64) + np.repeat(
+        doc_off - sh_off, ns)
+    out = np.zeros((total, 2), dtype=np.uint64)
+    for j in range(k):
+        out[:, 0] ^= _rot(h1[starts + j], j + 1)
+        out[:, 1] ^= _rot(h2[starts + j], 2 * j + 1)
+    return out, ns
+
+
 def shingle_occurrences(
     df: DataFrame, key_col: str, text_col: str = "text", k: int = 10
 ) -> DataFrame:
@@ -105,24 +150,21 @@ def shingle_occurrences(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
-            keys, poss, h1s, h2s = [], [], [], []
-            for key, text in zip(pdf[key_col], pdf[text_col]):
-                toks = _tokens(text)
-                lanes = _shingle_lanes(toks, k, cache)
-                n = len(lanes)
-                if n == 0:
-                    continue
-                keys.extend([key] * n)
-                poss.extend(range(n))
-                # two's-complement reinterpret into signed long (Spark
-                # LongType): a zero-copy view, no per-element python
-                signed = lanes.view(np.int64)
-                h1s.extend(signed[:, 0].tolist())
-                h2s.extend(signed[:, 1].tolist())
+            toks_list = [_tokens(t) for t in pdf[text_col]]
+            lanes, ns = _batch_shingle_lanes(toks_list, k, cache)
+            keys = np.repeat(pdf[key_col].to_numpy(), ns)
+            sh_off = np.zeros(len(ns), dtype=np.int64)
+            np.cumsum(ns[:-1], out=sh_off[1:])
+            pos = np.arange(len(lanes), dtype=np.int64) - np.repeat(
+                sh_off, ns)
+            # two's-complement reinterpret into signed long (Spark
+            # LongType): a zero-copy view, no per-element python
+            signed = lanes.view(np.int64)
             yield pd.DataFrame(
-                {"key": keys, "pos": pd.array(poss, dtype="int32"),
-                 "h1": pd.array(h1s, dtype="int64"),
-                 "h2": pd.array(h2s, dtype="int64")}
+                {"key": keys,
+                 "pos": pd.array(pos.astype(np.int32), dtype="int32"),
+                 "h1": pd.array(signed[:, 0], dtype="int64"),
+                 "h2": pd.array(signed[:, 1], dtype="int64")}
             )
 
     return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)
