@@ -723,7 +723,8 @@ def q_media_features(spark, sf):
 
 
 def q_media_real_decode(spark, sf):
-    # REAL (non-stub) media decode: WAV, PPM and PNG blobs synthesized
+    # REAL (non-stub) media decode: WAV, PPM, PNG and baseline-JPEG
+    # blobs synthesized
     # deterministically from doc_ids inside an Arrow kernel, then
     # featurized with decode_stub=False — every value below comes from
     # an actual RIFF chunk walk / netpbm raster parse / PNG inflate +
@@ -736,6 +737,7 @@ def q_media_real_decode(spark, sf):
     import pandas as pd
     from pyspark.sql import types as T
 
+    from dqc_spark.jpegcodec import encode_jpeg
     from dqc_spark.mediacodec import encode_png, encode_pnm, encode_wav
     from dqc_spark.multimodal import extract_features
 
@@ -758,10 +760,16 @@ def q_media_real_decode(spark, sf):
                     img = (
                         np.arange(4 * w * 3, dtype=np.int64) * (d + 1) % 256
                     ).astype(np.uint8).reshape(4, w, 3)
-                    # d%4==1 -> PNM, d%4==3 -> PNG (same pixels, so the
-                    # codec choice must not change the features)
-                    blob = (encode_pnm(img) if d % 4 == 1
-                            else encode_png(img))
+                    # d%4==1 -> PNM, d%8==3 -> PNG, d%8==7 -> baseline
+                    # JPEG (all three containers decode for REAL; the
+                    # lossless pair must featurize identically, JPEG
+                    # deterministically within DCT rounding)
+                    if d % 4 == 1:
+                        blob = encode_pnm(img)
+                    elif d % 8 == 3:
+                        blob = encode_png(img)
+                    else:
+                        blob = encode_jpeg(img, quality=100)
                 out_keys.append(d)
                 out_media.append(blob)
             yield pd.DataFrame({"doc_id": out_keys, "media": out_media})

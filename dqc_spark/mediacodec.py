@@ -1,13 +1,15 @@
 """Pure-python/numpy media codecs: WAV audio, PNM images, and PNG.
 
-No PIL/librosa/ffmpeg exists in this environment, but three real
+No PIL/librosa/ffmpeg exists in this environment, but four real
 formats need neither: WAV is a RIFF chunk walk + ``np.frombuffer`` over
 PCM samples, PPM/PGM (netpbm) is a whitespace-token header + a raster
-``np.frombuffer``, and PNG (8-bit, non-interlaced) is a chunk walk +
-stdlib-zlib inflate + spec §6 scanline de-filtering.  These decoders
-are REAL — bytes in, samples/pixels out — and back the non-stub path of
-``multimodal.extract_features`` / ``resize_media``.  All three formats
-also have encoders here so tests can pin known bytes -> known features
+``np.frombuffer``, PNG (8-bit, non-interlaced) is a chunk walk +
+stdlib-zlib inflate + spec §6 scanline de-filtering, and baseline JPEG
+(Huffman decode + vectorized IDCT) lives in the sibling ``jpegcodec``
+module and is dispatched from here.  These decoders are REAL — bytes
+in, samples/pixels out — and back the non-stub path of
+``multimodal.extract_features`` / ``resize_media``.  All four formats
+also have encoders so tests can pin known bytes -> known features
 without external fixtures.
 
 Everything below is a plain function over ``bytes``/``np.ndarray`` —
@@ -270,13 +272,18 @@ def _decode_image(data: bytes) -> tuple[np.ndarray, float]:
         if img.shape[2] in (2, 4):  # gray+alpha / RGBA -> drop alpha
             img = img[:, :, :-1]
         return img, 255.0
+    if data[:3] == b"\xff\xd8\xff":
+        from dqc_spark.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data), 255.0
     raw = decode_pnm(data)
     (_, _, maxval_hdr), _ = _pnm_tokens(data, 3)
     return raw, float(max(1, maxval_hdr))
 
 
 def image_features(data: bytes, n_hist: int = 8) -> dict:
-    """Real image features from PNM or PNG bytes: dimensions,
+    """Real image features from PNM, PNG or baseline-JPEG bytes:
+    dimensions,
     per-channel mean/std, mean luminance, mean gradient magnitude (edge
     energy), and an ``n_hist``-bin luminance histogram
     (mass-normalized)."""
@@ -450,13 +457,20 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def sniff_decodable(data: bytes) -> str | None:
-    """Which REAL decoder applies: 'wav', 'pnm', 'png', or None."""
+    """Which REAL decoder applies: 'wav', 'pnm', 'png', 'jpeg', or
+    None.  'jpeg' covers baseline/extended-sequential Huffman only —
+    progressive files sniff as jpeg but raise ValueError from
+    ``jpegcodec.decode_jpeg`` (callers treat that as undecodable)."""
+    from dqc_spark.jpegcodec import JPEG_SOI
+
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     if data[:2] in _PNM_CHANNELS:
         return "pnm"
     if data[:8] == PNG_SIG:
         return "png"
+    if data[:3] == JPEG_SOI:
+        return "jpeg"
     return None
 
 
@@ -470,7 +484,7 @@ def feature_vector(data: bytes, out_dim: int) -> np.ndarray | None:
     if kind == "wav":
         f = audio_features(data)
         vec = [f["duration_s"], f["rms"], f["peak"], f["zcr"], *f["bands"]]
-    elif kind in ("pnm", "png"):
+    elif kind in ("pnm", "png", "jpeg"):
         f = image_features(data)
         vec = [
             float(np.log1p(f["width"])),

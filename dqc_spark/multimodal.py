@@ -4,15 +4,16 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
 mapInPandas partitioning, metadata extraction from binary headers.
 
 Decode is REAL for the formats a pure numpy decoder can handle —
-RIFF/WAVE PCM audio, netpbm PPM/PGM images, and 8-bit non-interlaced
-PNG (``mediacodec.py``): ``extract_features`` computes genuine
-duration/RMS/spectral-band (audio) and luminance/edge/histogram (image)
-features, and ``resize_media`` does a genuine nearest-neighbor resample
-for PNM/PNG.  Formats that need PIL/librosa/ffmpeg (JPEG, MP3, WebM —
-not in this container) fall
-back per ``decode_stub``: ``True`` (default) substitutes a deterministic
-fake feature vector derived from the bytes; ``False`` raises
-NotImplementedError at the point where a real decoder would plug in.
+RIFF/WAVE PCM audio, netpbm PPM/PGM images, 8-bit non-interlaced PNG
+(``mediacodec.py``) and baseline-sequential JPEG (``jpegcodec.py``):
+``extract_features`` computes genuine duration/RMS/spectral-band
+(audio) and luminance/edge/histogram (image) features, and
+``resize_media`` does a genuine nearest-neighbor resample for
+PNM/PNG/JPEG.  Formats that need librosa/ffmpeg (MP3, WebM — not in
+this container) and progressive JPEGs fall back per ``decode_stub``:
+``True`` (default) substitutes a deterministic fake feature vector
+derived from the bytes; ``False`` raises NotImplementedError at the
+point where a real decoder would plug in.
 
 Column convention (mirrors the pages table's ``html:binary``):
     media:binary, media_type:string, media_meta:map<string,string>
@@ -114,10 +115,11 @@ def extract_features(
             return vec.tolist()
         if not decode_stub:
             raise NotImplementedError(
-                "no pure-python decoder for this format (JPEG/MP3/WebM "
-                "need PIL/librosa/ffmpeg — not in this container; WAV, "
-                "PNM and PNG decode for real); pass decode_stub=True "
-                "for the deterministic fake"
+                "no pure-python decoder for this format (MP3/WebM need "
+                "librosa/ffmpeg — not in this container; WAV, PNM, PNG "
+                "and baseline JPEG decode for real, progressive JPEG "
+                "lands here); pass decode_stub=True for the "
+                "deterministic fake"
             )
         return _fake_decode(raw, out_dim).tolist()
 
@@ -185,6 +187,10 @@ def resize_media(
             codec = ("pnm", decode_pnm, encode_pnm)
         elif raw[:8] == PNG_SIG:
             codec = ("png", decode_png, encode_png)
+        elif raw[:3] == b"\xff\xd8\xff":
+            from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+            codec = ("jpeg", decode_jpeg, encode_jpeg)
         if codec is not None:
             name, dec, enc = codec
             try:
@@ -198,8 +204,9 @@ def resize_media(
                 return out, meta
         if not decode_stub:
             raise NotImplementedError(
-                "real resize for non-PNM/PNG formats requires PIL — not "
-                "in this container; pass decode_stub=True for the "
+                "real resize needs a real decoder (PNM/PNG/baseline "
+                "JPEG decode here; other formats require PIL — not in "
+                "this container); pass decode_stub=True for the "
                 "deterministic fake"
             )
         digest = hashlib.sha256(raw).digest()

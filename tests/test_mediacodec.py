@@ -140,7 +140,13 @@ def test_feature_vector_dispatch():
     v = feature_vector(wav, 12)
     assert v.shape == (12,) and v.dtype == np.float32
     assert v[0] == pytest.approx(0.1, abs=1e-3)  # duration slot
-    assert feature_vector(b"\xff\xd8\xffjpeg", 8) is None
+    # JPEG magic now routes to the real baseline decoder too; a
+    # corrupt body raises ValueError exactly like the PNG case
+    assert sniff_decodable(b"\xff\xd8\xffjpeg") == "jpeg"
+    with pytest.raises(ValueError):
+        feature_vector(b"\xff\xd8\xffjpeg", 8)
+    # truly unknown magic still returns None (stub territory)
+    assert feature_vector(b"ID3\x03mp3 frames", 8) is None
 
 
 def test_spark_extract_features_real_vs_stub(spark):
@@ -381,3 +387,121 @@ def test_spark_resize_media_real_png(spark):
     assert resized.shape == (2, 3, 3)
     assert np.array_equal(resized, resize_nearest(img, 3, 2))
     assert out["media_meta"]["codec"] == "png"
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (jpegcodec.py) — forward-construction pins: our encoder
+# produces spec-conformant streams, the decoder must invert them within
+# DCT rounding (q=100 tables are all ones, so quantization is identity)
+# ---------------------------------------------------------------------------
+
+
+def _grad_img(h=24, w=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            yy * 255 // (h - 1),
+            xx * 255 // (w - 1),
+            (yy + xx) * 255 // (h + w - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_q100_within_dct_rounding():
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _rand_img(17, 23, 3, seed=11)  # noise = worst case for DCT
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (17, 23, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    grad = _grad_img()
+    out2 = decode_jpeg(encode_jpeg(grad, quality=100))
+    assert np.abs(out2.astype(int) - grad.astype(int)).max() <= 2
+
+
+def test_jpeg_grayscale_q100_lossless_on_smooth_ramp():
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    g = (np.arange(24)[:, None] * 255 // 23).astype(np.uint8)
+    img = np.repeat(g, 40, axis=1)[:, :, None]
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (24, 40, 1)
+    # no chroma round trip -> only DCT rounding, which a per-row
+    # constant ramp survives exactly
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_subsampled_and_restart_markers():
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    grad = _grad_img()
+    # 4:2:0: chroma averaged over 2x2 -> small error on smooth ramps
+    out = decode_jpeg(encode_jpeg(grad, quality=100, subsample=True))
+    assert out.shape == grad.shape
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 16
+    # restart markers every 2 MCUs must not change the pixels
+    a = decode_jpeg(encode_jpeg(grad, quality=100))
+    b = decode_jpeg(encode_jpeg(grad, quality=100, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_quality_drops_bytes_monotonically():
+    from dqc_spark.jpegcodec import encode_jpeg
+
+    img = _rand_img(32, 32, 3, seed=5)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (100, 75, 25)]
+    assert sizes[0] > sizes[1] > sizes[2]
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_grad_img(), quality=90))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 not a real jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"GIF89a")
+
+
+def test_jpeg_feature_dispatch_matches_png_pixels():
+    from dqc_spark.jpegcodec import encode_jpeg
+
+    img = _grad_img(16, 16)
+    jb = encode_jpeg(img, quality=100)
+    assert sniff_decodable(jb) == "jpeg"
+    fj = image_features(jb)
+    fp = image_features(encode_png(img))
+    assert (fj["width"], fj["height"], fj["channels"]) == (16, 16, 3)
+    # same pixels through a lossy-but-q100 container: features agree
+    # to within the DCT-rounding pixel error
+    assert fj["luminance"] == pytest.approx(fp["luminance"], abs=0.01)
+    assert fj["edge_energy"] == pytest.approx(fp["edge_energy"], abs=0.01)
+    v = feature_vector(jb, 12)
+    assert v is not None and v.shape == (12,)
+
+
+def test_spark_resize_media_real_jpeg(spark):
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+    from dqc_spark.multimodal import resize_media
+
+    img = _grad_img(8, 12)
+    df = spark.createDataFrame(
+        [("u1", bytearray(encode_jpeg(img, quality=100)))],
+        "url string, media binary",
+    )
+    out = resize_media(df, 6, 4, decode_stub=False).collect()[0]
+    assert out["media_meta"]["codec"] == "jpeg"
+    resized = decode_jpeg(bytes(out["media"]))
+    assert resized.shape == (4, 6, 3)
+    # the pipeline re-encodes at the encoder's default quality, which
+    # is genuinely lossy on a tiny block — pin exact determinism
+    # (byte-for-byte) against the same decode->resize->encode chain
+    want_bytes = encode_jpeg(
+        resize_nearest(decode_jpeg(encode_jpeg(img, quality=100)), 6, 4))
+    assert bytes(out["media"]) == want_bytes
