@@ -188,6 +188,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "'train=0.8,val=0.1,test=0.1' (pure function "
                         "of the key: docs keep their slice across "
                         "re-curations)")
+    p.add_argument("--quality-labels", default=None,
+                   help="parquet with (url, label) rows, label 1.0 = "
+                        "keep: train a logistic quality classifier on "
+                        "the gate features of the labeled pages and "
+                        "gate the corpus with its sigmoid score")
+    p.add_argument("--quality-threshold", type=float, default=-1.0,
+                   help="score cutoff for --quality-labels "
+                        "(default 0.5; ignored with "
+                        "--quality-min-precision)")
+    p.add_argument("--quality-min-precision", type=float, default=-1.0,
+                   help="pick the cutoff from the labeled sample's PR "
+                        "curve instead: loosest threshold whose "
+                        "precision meets this bound (max recall)")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -443,7 +456,60 @@ def main(argv=None) -> int:
                 print("error: --trust-seeds contains no domains",
                       file=sys.stderr)
                 return 2
+        if (args.quality_threshold >= 0 or args.quality_min_precision >= 0) \
+                and not args.quality_labels:
+            print("error: --quality-threshold/--quality-min-precision "
+                  "require --quality-labels", file=sys.stderr)
+            return 2
+        if args.quality_threshold >= 0 and args.quality_min_precision >= 0:
+            print("error: --quality-threshold and "
+                  "--quality-min-precision are mutually exclusive",
+                  file=sys.stderr)
+            return 2
         pages = spark.read.parquet(args.input)
+        quality_model = None
+        quality_thr = None
+        if args.quality_labels:
+            from pyspark.sql import functions as F
+
+            from dqc_spark.gates import feature_columns
+            from dqc_spark.pipeline import annotate
+            from dqc_spark.qualitymodel import score_col, train_logreg
+
+            labels = spark.read.parquet(args.quality_labels)
+            if "label" not in labels.columns or "url" not in labels.columns:
+                print("error: --quality-labels parquet needs "
+                      "(url, label) columns", file=sys.stderr)
+                return 2
+            fcols = list(feature_columns(F.lit("")))
+            # features of the LABELED slice only (inner join first so
+            # the annotate kernel scores thousands of rows, not the
+            # corpus); persisted — it feeds the IRLS passes + PR curve
+            feats = annotate(
+                pages.join(labels.select("url", "label"), on="url")
+            ).persist()
+            quality_model = train_logreg(feats, fcols, "label")
+            if args.quality_min_precision >= 0:
+                from dqc_spark.evalmetrics import choose_threshold, pr_curve
+
+                curve = pr_curve(
+                    feats.select(score_col(quality_model).alias("score"),
+                                 F.col("label")),
+                    "score", "label")
+                row = choose_threshold(
+                    curve, args.quality_min_precision).first()
+                if row is None:
+                    print("error: no threshold reaches precision "
+                          f"{args.quality_min_precision} on the "
+                          "labeled sample", file=sys.stderr)
+                    return 2
+                quality_thr = float(row["threshold"])
+                print(f"quality gate: threshold {quality_thr:.4f} "
+                      f"(precision {row['precision']:.3f}, "
+                      f"recall {row['recall']:.3f})")
+            elif args.quality_threshold >= 0:
+                quality_thr = args.quality_threshold
+            feats.unpersist()
         try:
             # curate()'s own validation (bad split weights, thresholds)
             # surfaces as the parser's clean error, not a traceback
@@ -476,6 +542,8 @@ def main(argv=None) -> int:
                            if args.stage_metrics else None),
                 split_weights=(_parse_kv_floats(args.split)
                                if args.split else None),
+                quality_model=quality_model,
+                quality_model_threshold=quality_thr,
             )
         except ValueError as e:
             raise SystemExit(f"error: {e}") from None

@@ -214,6 +214,8 @@ def curate(
     line_dedup_unit: str = "line",
     stage_metrics: dict | None = None,
     split_weights: dict | None = None,
+    quality_model=None,
+    quality_model_threshold: float | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -259,6 +261,14 @@ def curate(
          dedup should see the raw boilerplate), before scoring (gates
          should score the cleaned text).  Shuffle-free.
       1. ``annotate`` + keep-filter (gates/langid/ppl/scrub; 0 shuffles)
+      1a'. ``quality_model`` — trained-classifier gate
+         (qualitymodel.LogRegModel, e.g. from ``train_logreg`` on a
+         labeled sample + ``evalmetrics.choose_threshold``): drop docs
+         whose sigmoid score over the annotated feature columns falls
+         below ``quality_model_threshold`` (default 0.5).  Pure-
+         Catalyst sigmoid — shuffle-free, codegen, composes with the
+         heuristic gates the same way ``min_domain_rank`` composes
+         with the blocklist (model refines, never replaces)
       1b. ``repetition_thresholds`` — Gopher A1.1 repetition gates
          (textstats.repetition_signals) on the kept scrubbed text;
          e.g. ``{"dup_5gram_char_frac": 0.15}``; drop on ANY exceed
@@ -310,6 +320,11 @@ def curate(
         raise ValueError(
             "line_dedup_unit='paragraph' has no effect without "
             "line_dedup_min_len (the stage is disabled)")
+    if quality_model_threshold is not None and quality_model is None:
+        # same no-silent-noop guard: a threshold with no model would
+        # look like the classifier gate ran when it did not
+        raise ValueError(
+            "quality_model_threshold requires quality_model")
 
     def _mark(stage: str, df: DataFrame) -> DataFrame:
         if stage_metrics is not None:
@@ -464,6 +479,24 @@ def curate(
         ann.filter(F.col("keep")).withColumn("doc_key", F.xxhash64(key_col))
     )
     kept = _mark("quality_gates", kept)
+    if quality_model is not None:
+        from dqc_spark.qualitymodel import score_col
+
+        missing = [c for c in quality_model.feature_cols
+                   if c not in kept.columns]
+        if missing:
+            raise ValueError(
+                f"quality_model needs feature column(s) {missing} — "
+                "train on the gate feature set annotate() emits "
+                "(gates.feature_columns) so scoring stays a pure "
+                "Column expression over the annotated frame")
+        thr = (0.5 if quality_model_threshold is None
+               else float(quality_model_threshold))
+        # pure-Catalyst sigmoid gate on the annotated survivors —
+        # shuffle-free; runs before the url-dedup window so the window
+        # shuffles only model-kept rows
+        kept = _mark("quality_model_gate",
+                     kept.filter(score_col(quality_model) >= F.lit(thr)))
     # URL uniqueness (north-rule check, applied as a curation step): a
     # re-crawled url appears with several texts — keep ONE row per key,
     # deterministic winner by content digest (min md5)
