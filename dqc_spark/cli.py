@@ -201,6 +201,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pick the cutoff from the labeled sample's PR "
                         "curve instead: loosest threshold whose "
                         "precision meets this bound (max recall)")
+    p.add_argument("--incremental", action="store_true",
+                   help="curate only content never processed before "
+                        "(digest state at <output>_ingested) and APPEND "
+                        "to the output; each run logs an audit row")
+    p.add_argument("--audit", default=None,
+                   help="audit table path for --incremental "
+                        "(default <output>_audit)")
+    p.add_argument("--run-group", default="incremental",
+                   help="audit input_snapshot label for --incremental "
+                        "runs")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -510,11 +520,14 @@ def main(argv=None) -> int:
             elif args.quality_threshold >= 0:
                 quality_thr = args.quality_threshold
             feats.unpersist()
+        if args.audit and not args.incremental:
+            print("error: --audit requires --incremental",
+                  file=sys.stderr)
+            return 2
         try:
             # curate()'s own validation (bad split weights, thresholds)
             # surfaces as the parser's clean error, not a traceback
-            cur = curate(
-                pages,
+            curate_kwargs = dict(
                 near_dup_threshold=(args.near_dup_threshold
                                 if args.near_dup_threshold >= 0 else None),
                 domain_quota=args.domain_quota or None,
@@ -545,6 +558,27 @@ def main(argv=None) -> int:
                 quality_model=quality_model,
                 quality_model_threshold=quality_thr,
             )
+            if args.incremental:
+                from dqc_spark.audit import ParquetAuditSink
+                from dqc_spark.resume import curate_incremental
+
+                audit = ParquetAuditSink(
+                    spark, args.audit or args.output.rstrip("/") + "_audit")
+                summary = curate_incremental(
+                    spark, pages, args.output, audit, args.run_group,
+                    **curate_kwargs)
+                if stage_metrics is not None:
+                    for stage, n in stage_metrics.items():
+                        print(f"stage {stage}: {n} docs")
+                if summary["skipped"]:
+                    print(f"incremental: nothing new "
+                          f"({summary['n_input']} inputs all ingested)")
+                else:
+                    print(f"incremental: {summary['n_new']} new of "
+                          f"{summary['n_input']} inputs -> appended "
+                          f"{summary['n_appended']} docs at {args.output}")
+                return 0
+            cur = curate(pages, **curate_kwargs)
         except ValueError as e:
             raise SystemExit(f"error: {e}") from None
         cur.write.mode("overwrite").parquet(args.output)

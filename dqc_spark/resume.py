@@ -122,3 +122,98 @@ def run_resumable(
         )
     audit.flush()
     return {"processed": pending, "skipped": [d for d in all_days if d in done]}
+
+
+INCREMENT_DONE = "curate_increment"
+
+
+def curate_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str,
+    audit: ParquetAuditSink,
+    run_group: str,
+    state_path: str | None = None,
+    text_col: str = "text",
+    **curate_kwargs,
+) -> dict:
+    """Curate only content never processed by a previous run and APPEND
+    it to the same output table — the content-level sibling of
+    ``run_resumable`` (which skips whole day partitions; this skips at
+    document-content granularity, so a re-crawl of an unchanged page
+    costs one digest probe, not a re-curation).
+
+    State is a digest table at ``state_path`` (default
+    ``<output>_ingested``): md5 content digests of every INPUT document
+    a prior run processed — inputs, not survivors, so a document the
+    gates dropped is not re-scored on every run.  The increment is
+    ``snapshot.new_docs``-shaped: one anti-join on digests, text never
+    shuffles.  Each run logs one audit row (check_type =
+    'curate_increment', input_snapshot = run_group) with
+    n_input/n_new/n_appended, so `show-logs` answers "what did each
+    incremental run actually add".
+
+    Empty increments short-circuit before building the curation plan
+    (one count — the CLAUDE.md empty-round rule) and still log an
+    audit row recording the skip.
+
+    Write-order contract: curated rows are appended BEFORE the digest
+    state.  A crash between the two writes therefore re-processes the
+    last increment on the next run (bounded duplicate rows, removable
+    by exact content dedup over the output) — the alternative order
+    would silently LOSE the increment, which is worse.  At cluster
+    scale both writes would be one Iceberg transaction.
+
+    Cross-run near-dup caveat: dedup inside ``curate`` sees only the
+    current increment.  A new document that is a near-duplicate of a
+    PRIOR run's survivor is appended anyway; corpus-wide near-dup
+    remains a periodic full-corpus pass.
+
+    Returns {'n_input', 'n_new', 'n_appended', 'skipped'}.
+    """
+    from pyspark.errors import AnalysisException
+
+    from dqc_spark.cache import track
+    from dqc_spark.pipeline import curate
+    from dqc_spark.snapshot import content_digests
+
+    state_path = state_path or output_path.rstrip("/") + "_ingested"
+    try:
+        seen = spark.read.parquet(state_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc):
+            seen = None  # bootstrap: nothing ingested yet
+        else:
+            # same rule as completed_days: a corrupt state table must
+            # not silently re-curate (and re-append) the whole input
+            raise
+    n_input = pages.count()
+    if seen is None:
+        new = pages
+        n_new = n_input
+    else:
+        new = pages.withColumn("__digest", F.md5(F.col(text_col))).join(
+            seen.withColumnRenamed("digest", "__digest"),
+            on="__digest", how="left_anti").drop("__digest")
+        new = track(new)
+        n_new = new.count()
+    if n_new == 0:
+        audit.log(INCREMENT_DONE, True,
+                  {"n_input": str(n_input), "n_new": "0",
+                   "n_appended": "0"},
+                  error_count=None, partition_id=0,
+                  input_snapshot=run_group)
+        audit.flush()
+        return {"n_input": n_input, "n_new": 0, "n_appended": 0,
+                "skipped": True}
+    cur = track(curate(new, text_col=text_col, **curate_kwargs))
+    n_appended = cur.count()
+    cur.write.mode("append").parquet(output_path)
+    content_digests(new, text_col).write.mode("append").parquet(state_path)
+    audit.log(INCREMENT_DONE, True,
+              {"n_input": str(n_input), "n_new": str(n_new),
+               "n_appended": str(n_appended)},
+              error_count=None, partition_id=0, input_snapshot=run_group)
+    audit.flush()
+    return {"n_input": n_input, "n_new": n_new, "n_appended": n_appended,
+            "skipped": False}

@@ -66,3 +66,44 @@ def test_sqlite_sink_reference_parity(tmp_path):
     assert '"column": "id"' in params
     sink.clear()
     assert sink.all_logs() == []
+
+
+def test_curate_incremental_two_runs(spark, tmp_path):
+    """The content-level resume verb: run 1 curates everything, an
+    identical run 2 short-circuits to zero work, a superset run 3
+    curates only the genuinely-new content; every run leaves an audit
+    row and the output only ever grows by the appended increment."""
+    from dqc_spark.audit import ParquetAuditSink
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.resume import curate_incremental
+
+    out = str(tmp_path / "corpus.parquet")
+    audit = ParquetAuditSink(spark, str(tmp_path / "audit.parquet"))
+    pages1 = generate_pages(spark, 60, n_partitions=2)
+
+    s1 = curate_incremental(spark, pages1, out, audit, "rg",
+                            near_dup_threshold=None)
+    assert not s1["skipped"] and s1["n_new"] == 60
+    assert s1["n_appended"] > 0
+    n_after_1 = spark.read.parquet(out).count()
+    assert n_after_1 == s1["n_appended"]
+
+    # identical re-run: nothing new, no write, audit row records it
+    s2 = curate_incremental(spark, pages1, out, audit, "rg",
+                            near_dup_threshold=None)
+    assert s2["skipped"] and s2["n_new"] == 0
+    assert spark.read.parquet(out).count() == n_after_1
+
+    # superset crawl: only the added docs' (distinct) content is new
+    pages3 = generate_pages(spark, 90, n_partitions=2)
+    s3 = curate_incremental(spark, pages3, out, audit, "rg",
+                            near_dup_threshold=None)
+    assert not s3["skipped"]
+    assert 0 < s3["n_new"] <= 30  # dup texts in the overlap don't recur
+    assert spark.read.parquet(out).count() == n_after_1 + s3["n_appended"]
+
+    rows = (audit.read()
+            .filter(F.col("check_type") == "curate_increment").collect())
+    assert len(rows) == 3
+    by_new = sorted(int(r["params"]["n_new"]) for r in rows)
+    assert by_new[0] == 0 and by_new[-1] == 60
