@@ -22,16 +22,74 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _luhn_valid(digits: str) -> bool:
+    """Luhn mod-10 checksum over a digit string (ISO/IEC 7812)."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _cc_repl(m: "re.Match") -> str:
+    """Replace a 16-digit candidate only when its Luhn checksum holds —
+    order numbers / tracking ids that merely LOOK like PANs survive."""
+    return ("<CC>" if _luhn_valid(re.sub(r"[ -]", "", m.group(0)))
+            else m.group(0))
+
+
+def _iban_valid(s: str) -> bool:
+    """ISO 13616 mod-97 check: move the first 4 chars to the end, map
+    letters to 10..35, the number must be ≡ 1 (mod 97)."""
+    s = s.replace(" ", "").upper()
+    if not 15 <= len(s) <= 34:
+        return False
+    r = s[4:] + s[:4]
+    return int("".join(str(int(c, 36)) for c in r)) % 97 == 1
+
+
+def _iban_repl(m: "re.Match") -> str:
+    return "<IBAN>" if _iban_valid(m.group(0)) else m.group(0)
+
+
 # (name, pattern, replacement) — order matters and is part of the spec:
-# earlier scrubs can create text later patterns must not re-match.
-SCRUB_RULES: list[tuple[str, str, str]] = [
+# earlier scrubs can create text later patterns must not re-match, and
+# IBAN runs before the digit-group rules (its body is spaced digit
+# groups a phone/CC pattern could half-eat).  Replacements may be
+# callables (match -> str): the checksum rules validate before
+# rewriting, so a random digit run that merely pattern-matches a PAN
+# or IBAN is left untouched.  Both ``re.sub`` and pandas
+# ``str.replace`` accept the same callable, so byte parity between the
+# kernel and the single-process oracle is preserved by construction.
+SCRUB_RULES: list[tuple[str, str, object]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    # mod-97-validated IBAN: 2 letters, 2 check digits, 11-30 alnum in
+    # optional 4-groups (covers both compact and paper formats)
+    ("iban",
+     r"\b[A-Z]{2}[0-9]{2}(?: ?[0-9A-Z]{4}){2,7}(?: ?[0-9A-Z]{1,3})?\b",
+     _iban_repl),
     # two branches because \b cannot assert before '(' (no lookbehind in
     # the RE2-compatible subset)
     ("phone", r"\b(?:\+?[0-9]{1,2}[ .-]?)?[0-9]{3}[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b|\([0-9]{3}\)[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b", "<PHONE>"),
+    # IPv6 before IPv4 (an IPv4-mapped tail must not leave a dangling
+    # prefix).  Scope: the full 8-group form and ::-compressed forms
+    # with >= 2 groups before the '::' — colon-separated times and MAC
+    # addresses don't qualify; 'fe80::1'-style single-group prefixes
+    # are out of scope (documented, not silently wrong)
+    ("ipv6",
+     r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+     r"|\b(?:[0-9A-Fa-f]{1,4}:){2,6}:[0-9A-Fa-f]{1,4}"
+     r"(?::[0-9A-Fa-f]{1,4}){0,4}\b",
+     "<IP>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
-    ("credit_card", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CC>"),
+    # Luhn-validated 16-digit PAN (space/dash grouped or compact)
+    ("credit_card", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b",
+     _cc_repl),
     # toxicity placeholder list — deterministic, in-repo (real deployments
     # broadcast a curated lexicon the same way)
     ("toxicity", r"\b(?:badword1|badword2|badword3)\b", "<TOX>"),

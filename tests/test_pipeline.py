@@ -78,6 +78,28 @@ def test_scrub_rules_byte_level():
     assert scrub_text_py(None) is None
 
 
+def test_scrub_checksum_and_ipv6_rules():
+    # Luhn gate: a valid PAN scrubs, a random 16-digit run survives
+    assert scrub_text_py("pay 4111 1111 1111 1111 now") == "pay <CC> now"
+    assert (scrub_text_py("order 1234 5678 9012 3456 ref")
+            == "order 1234 5678 9012 3456 ref")
+    # mod-97 gate: real IBANs scrub (digit-body and letter-body forms),
+    # a checksum-failing lookalike survives
+    assert (scrub_text_py("iban DE89 3704 0044 0532 0130 00 x")
+            == "iban <IBAN> x")
+    assert (scrub_text_py("iban GB82WEST12345698765432 x")
+            == "iban <IBAN> x")
+    assert (scrub_text_py("ref XX00 1234 5678 9012 x")
+            == "ref XX00 1234 5678 9012 x")
+    # IPv6 full + compressed; colon-separated times / MACs out of scope
+    assert (scrub_text_py("at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 !")
+            == "at <IP> !")
+    assert scrub_text_py("at 2001:db8::1 !") == "at <IP> !"
+    assert scrub_text_py("at 12:30:45 !") == "at 12:30:45 !"
+    assert (scrub_text_py("mac aa:bb:cc:dd:ee:ff !")
+            == "mac aa:bb:cc:dd:ee:ff !")
+
+
 def test_table_checks_and_audit(spark, pages):
     from dqc_spark.audit import MemoryAuditSink
 
