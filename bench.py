@@ -384,6 +384,40 @@ def curation_stage_queries(spark) -> dict[str, float]:
     return out
 
 
+def _soak_md() -> str:
+    """Latest volume-soak record (tools/volume_soak.py) rendered as the
+    per-stage 1x/4x throughput table; empty when no soak has run."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "history.jsonl")
+    rec = None
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.strip() and '"volume_soak"' in line:
+                    rec = json.loads(line)
+    except FileNotFoundError:
+        pass
+    if not rec:
+        return ""
+    rows = "\n".join(
+        f"| {name} | {s['n_1x'] // 1000}k {s['unit']} | {s['sec_1x']:.2f} | "
+        f"{s['per_sec_1x']:.0f} | {s['n_4x'] // 1000}k | {s['sec_4x']:.2f} | "
+        f"{s['per_sec_4x']:.0f} | {s['throughput_ratio_4x_over_1x']:.2f} |"
+        for name, s in rec["soak"].items())
+    return f"""
+## Data-volume soak (tools/volume_soak.py, {rec['ts']}, {rec.get('git', '?')})
+
+Same stage, same config family, 4x the input (SemDeDup's k scales with
+N to hold cluster size constant — the production configuration).
+Ratio = throughput_4x / throughput_1x; >= 1.0 means fixed per-job
+costs amortize, < 0.8 would flag a sub-linear stage.
+
+| stage | 1x items | sec | items/s | 4x items | sec | items/s | ratio |
+|---|---|---|---|---|---|---|---|
+{rows}
+"""
+
+
 def _history_best() -> dict[str, float]:
     """Per-query minimum over all recorded bench runs (BENCH/history.jsonl);
     empty when no history exists yet."""
@@ -517,7 +551,7 @@ deterministic synthetic docs: **keep/drop F1 = {quality['keep_f1']}**,
 |---|---|
 """ + "\n".join(
         f"| {k} | {v:.2f} |" for k, v in results.items()
-    ) + "\n"
+    ) + "\n" + _soak_md()
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
                 exist_ok=True)
     with open(
