@@ -195,7 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "gate the corpus with its sigmoid score")
     p.add_argument("--quality-threshold", type=float, default=-1.0,
                    help="score cutoff for --quality-labels "
-                        "(default 0.5; ignored with "
+                        "(default 0.5; mutually exclusive with "
                         "--quality-min-precision)")
     p.add_argument("--quality-min-precision", type=float, default=-1.0,
                    help="pick the cutoff from the labeled sample's PR "
@@ -476,6 +476,12 @@ def main(argv=None) -> int:
                   "--quality-min-precision are mutually exclusive",
                   file=sys.stderr)
             return 2
+        # static flag checks BEFORE any Spark work: a --audit mistake
+        # must not cost a full classifier training run first
+        if args.audit and not args.incremental:
+            print("error: --audit requires --incremental",
+                  file=sys.stderr)
+            return 2
         pages = spark.read.parquet(args.input)
         quality_model = None
         quality_thr = None
@@ -520,10 +526,6 @@ def main(argv=None) -> int:
             elif args.quality_threshold >= 0:
                 quality_thr = args.quality_threshold
             feats.unpersist()
-        if args.audit and not args.incremental:
-            print("error: --audit requires --incremental",
-                  file=sys.stderr)
-            return 2
         try:
             # curate()'s own validation (bad split weights, thresholds)
             # surfaces as the parser's clean error, not a traceback

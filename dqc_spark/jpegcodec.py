@@ -224,7 +224,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (height, width, {1,3}) uint8 (RGB for color).
 
     See module docstring for scope; anything outside it raises
-    ValueError (honest reject, never a wrong pixel)."""
+    ValueError (honest reject, never a wrong pixel).  The repo-wide
+    decoder contract is ValueError for EVERY corrupt-input shape —
+    multimodal's feature/resize kernels catch exactly that to fall
+    back per-document instead of crashing the Spark stage — so parser
+    slips on truncated/garbage segments (struct.error, IndexError,
+    KeyError from a missing Huffman table, ZeroDivisionError from
+    zero sampling factors) are converted here."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+        raise ValueError(f"jpeg: corrupt stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:3] != JPEG_SOI:
         raise ValueError("jpeg: missing SOI marker")
     qtables: dict[int, np.ndarray] = {}
@@ -262,7 +277,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("jpeg: invalid sampling factors")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker == 0xDB:  # DQT
             p = 0
@@ -393,7 +411,12 @@ def _decode_scan(frame, scan, qtables, htables, restart_interval):
         if tq not in qtables:
             raise ValueError("jpeg: missing quantization table")
         by, bx, _ = c.shape
-        blocks = (c.astype(np.float64) * qtables[tq])[:, :, _UNZIGZAG]
+        # dezigzag FIRST, then multiply by the natural-order table —
+        # coefficients come off the entropy stream in zigzag order while
+        # qtables were already dezigzagged at DQT parse; multiplying in
+        # mismatched domains scales f by Q[unzigzag(f)]/Q[zigzag(f)]
+        # (invisible at quality=100 where the table is flat)
+        blocks = c.astype(np.float64)[:, :, _UNZIGZAG] * qtables[tq]
         blocks = blocks.reshape(by, bx, 8, 8)
         pix = np.einsum("ij,abjk,kl->abil", _D.T, blocks, _D) + 128.0
         plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
@@ -498,7 +521,9 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
 
 def _block_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(by, bx, 64) zigzagged quantized coefficients of one padded
-    plane (whole-plane vectorized FDCT)."""
+    plane (whole-plane vectorized FDCT).  ``q`` is the NATURAL-order
+    quant table (the DCT output is natural-order; only the final
+    reorder for the entropy stream is zigzag)."""
     h, w = plane.shape
     by, bx = h // 8, w // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
@@ -532,10 +557,13 @@ def encode_jpeg(
     h, w, nc = img.shape
     gray = nc == 1
     ql, qc = _quality_tables(quality)
-    qlz, qcz = ql.ravel()[_ZIGZAG], qc.ravel()[_ZIGZAG]
+    # natural order for quantizing DCT output; zigzag only for the DQT
+    # segment bytes (the file format stores tables in scan order)
+    qln, qcn = ql.ravel().astype(np.float64), qc.ravel().astype(np.float64)
+    qlz, qcz = qln[_ZIGZAG], qcn[_ZIGZAG]
     if gray:
         y = img[:, :, 0].astype(np.float64)
-        planes = [(_pad_to(y, 8, 8), qlz)]
+        planes = [(_pad_to(y, 8, 8), qln)]
         samp = [(1, 1)]
     else:
         f = img.astype(np.float64)
@@ -551,12 +579,12 @@ def encode_jpeg(
                               cbp.shape[1] // 2, 2).mean(axis=(1, 3))
             crd = crp.reshape(crp.shape[0] // 2, 2,
                               crp.shape[1] // 2, 2).mean(axis=(1, 3))
-            planes = [(ype, qlz), (cbd, qcz), (crd, qcz)]
+            planes = [(ype, qln), (cbd, qcn), (crd, qcn)]
             samp = [(2, 2), (1, 1), (1, 1)]
         else:
-            planes = [(_pad_to(y, 8, 8), qlz),
-                      (_pad_to(cb, 8, 8), qcz),
-                      (_pad_to(cr, 8, 8), qcz)]
+            planes = [(_pad_to(y, 8, 8), qln),
+                      (_pad_to(cb, 8, 8), qcn),
+                      (_pad_to(cr, 8, 8), qcn)]
             samp = [(1, 1), (1, 1), (1, 1)]
     coefs = [_block_coeffs(p, q) for p, q in planes]
 

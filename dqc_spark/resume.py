@@ -192,8 +192,18 @@ def curate_incremental(
         new = pages
         n_new = n_input
     else:
-        new = pages.withColumn("__digest", F.md5(F.col(text_col))).join(
-            seen.withColumnRenamed("digest", "__digest"),
+        # NULL-text rows digest to NULL, and a null-unsafe anti-join
+        # would re-classify them as "new" on EVERY run (three-valued
+        # equality — the CLAUDE.md left_anti/NOT-IN rule), making the
+        # nothing-new short-circuit unreachable and appending a NULL
+        # state row per run.  Coalesce BOTH sides to a sentinel that no
+        # real md5 hex can collide with; the state table keeps storing
+        # raw digests (content_digests is shared with snapshot.new_docs,
+        # whose always-new NULL semantics is oracle-pinned).
+        nullsafe = lambda c: F.coalesce(c, F.lit("<null-text>"))  # noqa: E731
+        new = pages.withColumn(
+            "__digest", nullsafe(F.md5(F.col(text_col)))).join(
+            seen.select(nullsafe(F.col("digest")).alias("__digest")),
             on="__digest", how="left_anti").drop("__digest")
         new = track(new)
         n_new = new.count()

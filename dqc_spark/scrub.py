@@ -77,14 +77,23 @@ SCRUB_RULES: list[tuple[str, str, object]] = [
     # the RE2-compatible subset)
     ("phone", r"\b(?:\+?[0-9]{1,2}[ .-]?)?[0-9]{3}[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b|\([0-9]{3}\)[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b", "<PHONE>"),
     # IPv6 before IPv4 (an IPv4-mapped tail must not leave a dangling
-    # prefix).  Scope: the full 8-group form and ::-compressed forms
-    # with >= 2 groups before the '::' — colon-separated times and MAC
-    # addresses don't qualify; 'fe80::1'-style single-group prefixes
-    # are out of scope (documented, not silently wrong)
+    # prefix).  Scope: the full 8-group form, ::-compressed forms with
+    # >= 2 groups before the '::', each also with an embedded dotted-
+    # quad tail (RFC 4291 §2.2.3 — '2001:db8::192.168.0.1'), and the
+    # bare '::ffff:'-mapped form; colon-separated times and MAC
+    # addresses don't qualify; other single-group-or-less prefixes
+    # ('fe80::1') are out of scope (documented, not silently wrong).
+    # v4-tail alternatives come FIRST: python re picks the first
+    # matching alternative, and the hex-only form would otherwise
+    # stop before the dots and leave trailing octets in the text.
     ("ipv6",
-     r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+     r"\b(?:[0-9A-Fa-f]{1,4}:){6}(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+     r"|\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+     r"|\b(?:[0-9A-Fa-f]{1,4}:){2,6}:(?:[0-9A-Fa-f]{1,4}:){0,4}"
+     r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
      r"|\b(?:[0-9A-Fa-f]{1,4}:){2,6}:[0-9A-Fa-f]{1,4}"
-     r"(?::[0-9A-Fa-f]{1,4}){0,4}\b",
+     r"(?::[0-9A-Fa-f]{1,4}){0,4}\b"
+     r"|::[fF]{4}:(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
      "<IP>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     # Luhn-validated 16-digit PAN (space/dash grouped or compact)

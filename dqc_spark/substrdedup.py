@@ -14,8 +14,12 @@ Semantics (deterministic, order-free):
     is the WINNER (first occurrence, corpus-wide);
   * a word is REMOVED iff it is covered by some non-winner occurrence
     of a shingle that occurs more than once in the corpus;
-  * surviving words are rejoined with single spaces (C4-style token
-    stream — original whitespace is not preserved).
+  * surviving words are rejoined with single spaces, EXCEPT between
+    adjacent CJK codepoints, which rejoin with no separator — the
+    tokenizer isolates each CJK codepoint, so a plain space join
+    would rewrite untouched CJK documents into per-character-spaced
+    text (C4-style token stream — original whitespace is otherwise
+    not preserved; ``wordhash.join_tokens`` is the one shared rule).
 
 Scale shape (the part that matters at 10^12 docs):
 
@@ -44,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.wordhash import md5_word, unicode_tokens
+from dqc_spark.wordhash import join_tokens, md5_word, unicode_tokens
 
 __all__ = ["shingle_occurrences", "dedup_substrings", "dedup_substrings_py"]
 
@@ -233,7 +237,7 @@ def dedup_substrings(
                         drop[s : s + k] = True
                     kept = [t for t, d in zip(toks, drop) if not d]
                 keys.append(key)
-                texts.append(" ".join(kept))
+                texts.append(join_tokens(kept))
                 nw.append(len(toks))
                 nk.append(len(kept))
             yield pd.DataFrame(
@@ -277,5 +281,5 @@ def dedup_substrings_py(
                 drop_by_key[key][pos : pos + k] = True
     for key, toks in toks_by_key.items():
         kept = [t for t, d in zip(toks, drop_by_key[key]) if not d]
-        out[key] = (" ".join(kept), len(toks), len(kept))
+        out[key] = (join_tokens(kept), len(toks), len(kept))
     return out

@@ -78,6 +78,7 @@ __all__ = [
     "fold_case_col",
     "fold_case_sql",
     "fold_tokens",
+    "join_tokens",
     "fold_tokens_col",
     "fold_tokens_sql",
     "unicode_tokens",
@@ -151,6 +152,32 @@ def unicode_tokens(text: str | None) -> list[str]:
     is case-folded).  Identical to ``ascii_tokens`` on pure-ASCII text
     with ASCII whitespace — i.e. a no-op widening on the test corpus."""
     return [t for t in _UWS_RE.split(cjk_isolate(text or "")) if t]
+
+
+def join_tokens(tokens: list[str]) -> str:
+    """Inverse-ish of ``unicode_tokens`` for rebuilt token streams:
+    single space between tokens EXCEPT between two CJK-ending/CJK-
+    starting neighbors.  ``unicode_tokens`` isolates every CJK
+    codepoint into its own token, so a plain ``' '.join`` would inject
+    a space between every character of CJK text — rewriting documents
+    that were never touched by dedup.  Joining CJK neighbors without a
+    separator restores the space-free script (the same convention
+    CCNet uses when un-doing character tokenization); original
+    whitespace elsewhere is still collapsed to single spaces, per the
+    C4-style token-stream contract.  On pure-ASCII tokens this is
+    exactly ``' '.join``."""
+    if not tokens:
+        return ""
+    parts = [tokens[0]]
+    cjk = _CJK_RE
+    prev_cjk = bool(cjk.fullmatch(tokens[0][-1]))
+    for t in tokens[1:]:
+        cur_cjk = bool(cjk.fullmatch(t[0]))
+        if not (prev_cjk and cur_cjk):
+            parts.append(" ")
+        parts.append(t)
+        prev_cjk = bool(cjk.fullmatch(t[-1]))
+    return "".join(parts)
 
 
 def unicode_alnum_tokens(text: str | None) -> list[str]:

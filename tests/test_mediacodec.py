@@ -447,6 +447,76 @@ def test_jpeg_subsampled_and_restart_markers():
     assert np.array_equal(a, b)
 
 
+def test_jpeg_lossy_quality_roundtrip_close():
+    """Non-flat quant tables (quality < 100) exercise the zigzag/
+    natural-order boundary: the decoder must dezigzag coefficients
+    BEFORE applying the (natural-order) table, and the encoder must
+    quantize natural-order DCT output by the natural-order table.  A
+    domain mix-up scales coefficient f by Q[unzigzag(f)]/Q[zigzag(f)]
+    (up to ~3x with the Annex-K tables) and turns a smooth gradient
+    into garbage — invisible at quality=100 where the table is flat,
+    which is exactly why this pin runs at 50/75/90."""
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    grad = _grad_img(64, 48)
+    for q, tol in ((50, 12), (75, 8), (90, 6)):
+        out = decode_jpeg(encode_jpeg(grad, quality=q))
+        err = np.abs(out.astype(int) - grad.astype(int))
+        assert err.max() <= tol, (q, err.max())
+    sub = decode_jpeg(encode_jpeg(grad, quality=50, subsample=True))
+    assert np.abs(sub.astype(int) - grad.astype(int)).mean() < 6.0
+
+
+def test_jpeg_dequant_uses_zigzag_stored_table():
+    """Direct pin of the decode-side domain: a stream coefficient at
+    zigzag index j must be scaled by DQT byte j (the table is STORED
+    in zigzag order), i.e. natural coefficient i gets Q_natural[i]."""
+    from dqc_spark.jpegcodec import (_UNZIGZAG, _ZIGZAG, decode_jpeg,
+                                     encode_jpeg, _quality_tables)
+
+    # encode a ramp whose energy sits in low-frequency AC coefficients
+    g = (np.arange(16)[:, None] * 255 // 15).astype(np.uint8)
+    img = np.repeat(g, 16, axis=1)[:, :, None]
+    blob = encode_jpeg(img, quality=50)
+    out = decode_jpeg(blob)
+    # quality-50 luma steps are ~Q[8]=14 wide on this vertical ramp;
+    # the mixed-domain bug multiplies by Q[1]/Q[8] and shifts rows by
+    # >40 grey levels.  8 is a generous spec-correct bound.
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+    # and the DQT segment bytes really are the zigzag ordering of the
+    # natural-order table used for quantization
+    ql, _ = _quality_tables(50)
+    dqt = blob[blob.find(b"\xff\xdb") + 5:blob.find(b"\xff\xdb") + 69]
+    assert np.array_equal(np.frombuffer(dqt, np.uint8),
+                          ql.ravel()[_ZIGZAG].astype(np.uint8))
+    assert np.array_equal(_ZIGZAG[_UNZIGZAG], np.arange(64))
+
+
+def test_jpeg_corrupt_streams_raise_valueerror_only():
+    """Repo-wide decoder contract: EVERY corrupt-input shape raises
+    ValueError (multimodal's kernels catch exactly that to fall back
+    per-document instead of crashing the stage)."""
+    from dqc_spark.jpegcodec import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(_grad_img(), quality=90))
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",      # truncated SOF
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x01",  # short SOF
+        b"\xff\xd8\xff\xda\x00\x04\x01\x01",      # SOS before SOF-ish
+        bytes(good[:40]),                          # truncated mid-header
+        bytes(good[:-20]),                         # truncated entropy
+    ]
+    # zero sampling factors in an otherwise valid stream
+    sof = good.find(b"\xff\xc0")
+    zs = bytearray(good)
+    # SOF0 layout: ff c0 len(2) prec(1) h(2) w(2) nc(1) [id hv tq]...
+    zs[sof + 11] = 0x00  # first component h/v factors -> 0/0
+    cases.append(bytes(zs))
+    for bad in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
 def test_jpeg_quality_drops_bytes_monotonically():
     from dqc_spark.jpegcodec import encode_jpeg
 

@@ -98,6 +98,14 @@ def test_scrub_checksum_and_ipv6_rules():
     assert scrub_text_py("at 12:30:45 !") == "at 12:30:45 !"
     assert (scrub_text_py("mac aa:bb:cc:dd:ee:ff !")
             == "mac aa:bb:cc:dd:ee:ff !")
+    # embedded-IPv4 tails (RFC 4291 §2.2.3): the whole address scrubs,
+    # no trailing octets leak (r4 review regression)
+    assert (scrub_text_py("peer 2001:db8::192.168.0.1 here")
+            == "peer <IP> here")
+    assert (scrub_text_py("peer ::ffff:192.168.0.1 here")
+            == "peer <IP> here")
+    assert (scrub_text_py("at 1:2:3:4:5:6:192.168.0.1 !") == "at <IP> !")
+    assert (scrub_text_py("at 1:2:3::ffff:10.0.0.7 !") == "at <IP> !")
 
 
 def test_table_checks_and_audit(spark, pages):

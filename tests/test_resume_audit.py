@@ -107,3 +107,30 @@ def test_curate_incremental_two_runs(spark, tmp_path):
     assert len(rows) == 3
     by_new = sorted(int(r["params"]["n_new"]) for r in rows)
     assert by_new[0] == 0 and by_new[-1] == 60
+
+
+def test_curate_incremental_null_text_rows_settle(spark, tmp_path):
+    """Regression (r4 review): NULL-text rows digest to NULL, and a
+    null-unsafe anti-join re-classified them as 'new' forever — the
+    nothing-new short-circuit was unreachable for any corpus with one
+    NULL text.  The null-safe probe must let an identical re-run skip."""
+    from dqc_spark.audit import ParquetAuditSink
+    from dqc_spark.resume import curate_incremental
+
+    out = str(tmp_path / "corpus.parquet")
+    audit = ParquetAuditSink(spark, str(tmp_path / "audit.parquet"))
+    pages = spark.createDataFrame(
+        [("u1", "real content words here for the gates to chew on", "en"),
+         ("u2", None, "en"),
+         ("u3", None, "en")],
+        "url string, text string, lang string",
+    )
+    s1 = curate_incremental(spark, pages, out, audit, "rg",
+                            near_dup_threshold=None)
+    assert not s1["skipped"] and s1["n_new"] == 3
+    s2 = curate_incremental(spark, pages, out, audit, "rg",
+                            near_dup_threshold=None)
+    assert s2["skipped"] and s2["n_new"] == 0
+    # the state table holds ONE null marker row at most (distinct)
+    state = spark.read.parquet(out.rstrip("/") + "_ingested")
+    assert state.filter(F.col("digest").isNull()).count() <= 1

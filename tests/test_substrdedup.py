@@ -127,3 +127,37 @@ def test_no_text_in_shuffle_plan(spark, corpus):
     # Exchange carries the (key,pos,h1,h2) projection, never text
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_lines and all("text" not in l for l in exchange_lines)
+
+
+def test_cjk_text_not_rewritten_and_dedup_excises(spark):
+    """Regression (r4 review): unicode_tokens isolates every CJK
+    codepoint, so a plain ' '.join rebuild would inject a space
+    between every character of CJK text even when NOTHING was
+    deduplicated.  join_tokens rejoins CJK neighbors with no
+    separator: an untouched space-free document round-trips verbatim,
+    and a planted cross-doc CJK duplicate run still excises."""
+    dup = "春夏秋冬山川草木風雨雷電"  # 12 chars >= k=10 window
+    rows = [
+        (1, f"{dup}東西南北"),
+        (2, f"左右上下{dup}"),
+        (3, "全部違う文字列なので重複は無い筈です"),
+        (4, f"mixed latin {dup} tail words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["key"]: r for r in dedup_substrings(df, "doc_id", k=10).collect()}
+    # the python twin must agree exactly (never-fork rule)
+    want = dedup_substrings_py(rows, k=10)
+    assert {k: (r["text_dedup"], r["n_words"], r["n_words_kept"])
+            for k, r in got.items()} == want
+    # doc 3 has no duplicated span: byte-identical round trip
+    assert got[3]["text_dedup"] == rows[2][1]
+    # doc 1 is the corpus-wide winner (smallest key): fully intact
+    assert got[1]["text_dedup"] == rows[0][1]
+    # docs 2/4 lose the covered run but keep their own text unspaced
+    assert got[2]["text_dedup"] == "左右上下"
+    assert got[4]["text_dedup"] == "mixed latin tail words here"
+    # mixed boundaries keep the space between latin and CJK tokens
+    df2 = spark.createDataFrame(
+        [(9, "latin 文字 latin")], "doc_id long, text string")
+    assert (dedup_substrings(df2, "doc_id", k=10).collect()[0]["text_dedup"]
+            == "latin 文字 latin")
