@@ -313,6 +313,7 @@ DRIVER_ORDER = [
     "text_hashed_tfidf",
     # --- new in round 4 (appended as operators land) ---
     "text_tokens_unicode",
+    "media_describe",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -795,6 +795,76 @@ def q_media_real_decode(spark, sf):
     )
 
 
+def q_media_describe(spark, sf):
+    # header-only media profiling (describe_media): mixed WAV / PNM /
+    # PNG / JPEG / MP3 / corrupt blobs synthesized deterministically
+    # from doc_ids; metadata comes from chunk/marker/frame-header walks
+    # with NO pixel or sample decode — the corpus-profile path at
+    # 100 TB.  Rows-only (binary synthesis is engine-specific); exact
+    # per-format values are pinned by test_mediacodec.
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dqc_spark.jpegcodec import encode_jpeg
+    from dqc_spark.mediacodec import encode_png, encode_pnm, encode_wav
+    from dqc_spark.multimodal import describe_media
+
+    docs = _t(spark, sf, "documents").select("doc_id").limit(64)
+    docs = docs.repartition(4)  # limit() collapses to one partition
+
+    def _mp3(n_frames: int) -> bytes:
+        # MPEG1 Layer III 128 kbps 44.1 kHz frames: header + junk body
+        # of the spec frame length (the walk reads headers only)
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        return (b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+                + (hdr + b"\xaa" * (417 - 4)) * n_frames)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, media = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                m = d % 5
+                if m == 0:
+                    t = np.arange(800 * (1 + d % 3)) / 8000.0
+                    blob = encode_wav(np.sin(2 * np.pi * 100 * t), rate=8000)
+                elif m == 4:
+                    blob = _mp3(2 + d % 4)
+                else:
+                    w = 4 + d % 3
+                    img = (np.arange(4 * w * 3, dtype=np.int64) * (d + 1)
+                           % 256).astype(np.uint8).reshape(4, w, 3)
+                    blob = (encode_pnm(img) if m == 1 else
+                            encode_png(img) if m == 2 else
+                            encode_jpeg(img, quality=90))
+                if d % 17 == 13:  # planted corrupt: magic, no body
+                    blob = b"\x89PNG\r\n\x1a\n" + blob[:6]
+                keys.append(d)
+                media.append(blob)
+            yield pd.DataFrame({"doc_id": keys, "media": media})
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]),
+    )
+    meta = describe_media(media, key_col="doc_id")
+    return meta.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "media_type",
+        F.element_at("media_meta", "format").alias("format"),
+        F.element_at("media_meta", "width").alias("width"),
+        F.element_at("media_meta", "duration_s").alias("duration_s"),
+        F.element_at("media_meta", "bitrate_kbps").alias("bitrate_kbps"),
+        F.element_at("media_meta", "parsed").alias("parsed"),
+    )
+
+
 def _dup_pairs(spark, sf):
     # edges from a TRUNCATED text hash (3 hex chars = 4096 buckets):
     # unlike full-md5 exact-dup edges, this collides at every scale
@@ -2076,6 +2146,7 @@ def extra_queries():
         "olap_events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
+        "media_describe": q_media_describe,
         "sample_hash_10pct": q_sample_hash,
         "sample_stratified_quota": q_sample_stratified,
         "pack_token_budget": q_pack_token_budget,

@@ -498,3 +498,209 @@ def feature_vector(data: bytes, out_dim: int) -> np.ndarray | None:
     out = np.zeros(out_dim, dtype=np.float32)
     out[: min(out_dim, len(vec))] = vec[:out_dim]
     return out
+
+
+# ---------------------------------------------------------------------------
+# header-only metadata (no pixel/sample decode — the 100 TB path)
+# ---------------------------------------------------------------------------
+
+# MPEG audio frame headers (ISO/IEC 11172-3 §2.4.1 / 13818-3): bitrate
+# kbps by [version-group][layer][index]; sample rates by [version].
+# Version bits: 00=MPEG2.5, 10=MPEG2, 11=MPEG1 (01 reserved); layer
+# bits: 01=III, 10=II, 11=I (00 reserved).
+_MP3_BITRATES = {
+    # MPEG1: layer I, II, III
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    # MPEG2/2.5: layer I; layers II+III share a table
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              25: (11025, 12000, 8000)}
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns
+    (frame_len, samples_per_frame, sample_rate, bitrate_kbps,
+    channels) or None when the 4 bytes aren't a valid header."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 0x3
+    layer_bits = (b1 >> 1) & 0x3
+    if ver_bits == 1 or layer_bits == 0:
+        return None  # reserved
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+    br_ix = (b2 >> 4) & 0xF
+    sr_ix = (b2 >> 2) & 0x3
+    if br_ix in (0, 15) or sr_ix == 3:
+        return None  # free-format / bad indices
+    padding = (b2 >> 1) & 0x1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    vgroup = 1 if version == 1 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_ix] * 1000
+    rate = _MP3_RATES[version][sr_ix]
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + padding) * 4
+        spf = 384
+    elif layer == 2:
+        frame_len = 144 * bitrate // rate + padding
+        spf = 1152
+    else:  # layer III
+        if version == 1:
+            frame_len = 144 * bitrate // rate + padding
+            spf = 1152
+        else:
+            frame_len = 72 * bitrate // rate + padding
+            spf = 576
+    if frame_len < 4:
+        return None
+    return frame_len, spf, rate, bitrate // 1000, channels
+
+
+def mp3_metadata(data: bytes) -> dict:
+    """MPEG audio (MP3) stream metadata from FRAME HEADERS ONLY — no
+    PCM synthesis (which genuinely needs ffmpeg/librosa and stays
+    stubbed).  Skips a leading ID3v2 tag (syncsafe size, optional
+    footer) and a trailing ID3v1 'TAG' block, walks consecutive frame
+    headers, and requires >= 2 chained frames (the standard false-sync
+    guard: a random 0xFFEx word almost never yields a second valid
+    header exactly one frame-length later).  Returns duration_s,
+    bitrate_kbps (average — VBR streams report the mean and
+    vbr='true'), sample_rate, channels, n_frames, layer, version.
+    ValueError on anything that doesn't contain a frame chain, per the
+    repo-wide decoder contract."""
+    pos, end = 0, len(data)
+    if data[:3] == b"ID3":
+        if end < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size + (10 if data[5] & 0x10 else 0)
+    if end >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    # resync: scan forward to the first chained frame pair
+    start = pos
+    while pos < end - 4:
+        f = _mp3_frame(data, pos)
+        if f is not None and (pos + f[0] >= end - 4
+                              or _mp3_frame(data, pos + f[0]) is not None):
+            break
+        pos += 1
+        if pos - start > 1 << 16:
+            raise ValueError("mp3: no frame sync within 64 KiB")
+    frames = []
+    while pos < end - 4:
+        f = _mp3_frame(data, pos)
+        if f is None:
+            break
+        frames.append(f)
+        pos += f[0]
+    if len(frames) < 2:
+        raise ValueError("mp3: no chained MPEG audio frames")
+    spf0, rate0 = frames[0][1], frames[0][2]
+    duration = sum(f[1] / f[2] for f in frames)
+    bitrates = [f[3] for f in frames]
+    return {
+        "duration_s": round(duration, 6),
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates), 1),
+        "sample_rate": rate0,
+        "channels": frames[0][4],
+        "n_frames": len(frames),
+        "samples_per_frame": spf0,
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def _wav_header_meta(data: bytes) -> dict:
+    """fmt + data chunk sizes only — duration without touching samples."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, len(data)
+    fmt = None
+    data_size = None
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            if size < 16 or pos + 8 + 16 > end:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif cid == b"data":
+            data_size = min(size, end - pos - 8)
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    _, channels, rate, _, _, bits = fmt
+    if channels < 1 or rate < 1 or bits < 8:
+        raise ValueError("bad fmt fields")
+    n_samples = data_size // (channels * (bits // 8))
+    return {"duration_s": round(n_samples / rate, 6), "sample_rate": rate,
+            "channels": channels, "bits": bits}
+
+
+def _jpeg_header_meta(data: bytes) -> dict:
+    """Marker walk to the first SOFn for dimensions — no scan decode."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("jpeg: missing SOI marker")
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 7 > n:
+                raise ValueError("jpeg: truncated SOF")
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
+            return {"width": w, "height": h, "channels": nc,
+                    "progressive": marker == 0xC2}
+        if marker == 0xDA:
+            break
+        pos += seglen
+    raise ValueError("jpeg: no SOF marker before scan")
+
+
+def media_metadata(data: bytes) -> dict:
+    """Container metadata from HEADERS for every format this engine
+    understands — the scan-free path a 100 TB corpus profile uses
+    (dimension/duration histograms must not pay a full decode per
+    blob).  Keys always include 'format'; ValueError when the magic is
+    recognized but the header is corrupt, per the decoder contract."""
+    kind = sniff_decodable(data)
+    if kind == "wav":
+        return {"format": "wav", **_wav_header_meta(data)}
+    if kind == "pnm":
+        (w, h, maxval), _ = _pnm_tokens(data, 3)
+        if w < 1 or h < 1 or maxval < 1 or maxval > 65535:
+            raise ValueError("bad PNM dimensions or maxval")
+        return {"format": "pnm", "width": w, "height": h,
+                "channels": _PNM_CHANNELS[data[:2]], "maxval": maxval}
+    if kind == "png":
+        if len(data) < 26 or data[12:16] != b"IHDR":
+            raise ValueError("png: missing IHDR")
+        w, h = struct.unpack_from(">II", data, 16)
+        bitd, color = data[24], data[25]
+        return {"format": "png", "width": w, "height": h,
+                "bit_depth": bitd, "color_type": color}
+    if kind == "jpeg":
+        return {"format": "jpeg", **_jpeg_header_meta(data)}
+    if data[:3] == b"ID3" or (len(data) > 4 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        return {"format": "mp3", **mp3_metadata(data)}
+    raise ValueError("no known container magic")

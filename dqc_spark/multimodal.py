@@ -9,8 +9,11 @@ RIFF/WAVE PCM audio, netpbm PPM/PGM images, 8-bit non-interlaced PNG
 ``extract_features`` computes genuine duration/RMS/spectral-band
 (audio) and luminance/edge/histogram (image) features, and
 ``resize_media`` does a genuine nearest-neighbor resample for
-PNM/PNG/JPEG.  Formats that need librosa/ffmpeg (MP3, WebM — not in
-this container) and progressive JPEGs fall back per ``decode_stub``:
+PNM/PNG/JPEG.  MP3 gets REAL header-level metadata (frame-header walk:
+duration/bitrate/sample-rate/channels — ``mediacodec.mp3_metadata``,
+surfaced by ``describe_media``) while its PCM decode, which genuinely
+needs librosa/ffmpeg (not in this container), stays stubbed; WebM and
+progressive JPEGs fall back per ``decode_stub``:
 ``True`` (default) substitutes a deterministic fake feature vector
 derived from the bytes; ``False`` raises NotImplementedError at the
 point where a real decoder would plug in.
@@ -59,6 +62,9 @@ def sniff_media_type(data: bytes | None) -> str:
     for magic, mtype in _MAGIC:
         if data.startswith(magic):
             return mtype
+    # bare MPEG audio (no ID3v2 tag): 11-bit frame sync
+    if len(data) > 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        return "audio/mp3"
     return "application/octet-stream"
 
 
@@ -227,6 +233,56 @@ def resize_media(
                     "key": pdf[key_col].astype(str),
                     "media": out_bytes,
                     "media_meta": metas,
+                }
+            )
+
+    return df.select(key_col, media_col).mapInPandas(kernel, schema=out_schema)
+
+
+def describe_media(
+    df: DataFrame,
+    media_col: str = "media",
+    key_col: str = "url",
+) -> DataFrame:
+    """(key, media_type, media_meta) — container metadata from HEADERS
+    only (``mediacodec.media_metadata``): image dimensions, WAV
+    duration from chunk sizes, MP3 duration/bitrate/channels from a
+    frame-header walk.  No pixel or sample decode happens, so this is
+    the operator a corpus-wide media profile runs at 100 TB — the cost
+    per blob is a few hundred header bytes, not an inflate/IDCT.
+    Unparseable blobs get media_meta {'parsed': 'false'} rather than
+    poisoning the stage (profiling wants the histogram plus an error
+    count, not a crash)."""
+    from dqc_spark.mediacodec import media_metadata
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField(
+                "media_meta", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+    def one(raw: bytes | None) -> dict:
+        if not raw:
+            return {"parsed": "false"}
+        try:
+            meta = media_metadata(bytes(raw))
+        except ValueError:
+            return {"parsed": "false"}
+        return {k: str(v) for k, v in meta.items()}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col].astype(str),
+                    "media_type": [
+                        sniff_media_type(bytes(b) if b is not None else None)
+                        for b in pdf[media_col]
+                    ],
+                    "media_meta": [one(b) for b in pdf[media_col]],
                 }
             )
 

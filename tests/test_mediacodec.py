@@ -575,3 +575,97 @@ def test_spark_resize_media_real_jpeg(spark):
     want_bytes = encode_jpeg(
         resize_nearest(decode_jpeg(encode_jpeg(img, quality=100)), 6, 4))
     assert bytes(out["media"]) == want_bytes
+
+
+def _mk_mp3_frame(bitrate_kbps=128, rate=44100, pad=0, mono=False):
+    """Valid MPEG1 Layer III frame: correct 4-byte header + junk body
+    of exactly the spec frame length (the metadata walk reads headers
+    only, so synthetic bodies exercise it fully)."""
+    BR = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    SR = (44100, 48000, 32000)
+    b1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 1  # MPEG1, layer III
+    b2 = (BR.index(bitrate_kbps) << 4) | (SR.index(rate) << 2) | (pad << 1)
+    b3 = (0b11 << 6) if mono else 0x00
+    flen = 144 * bitrate_kbps * 1000 // rate + pad
+    return bytes([0xFF, b1, b2, b3]) + b"\xaa" * (flen - 4)
+
+
+def test_mp3_metadata_frame_walk():
+    from dqc_spark.mediacodec import media_metadata, mp3_metadata
+
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    cbr = id3v2 + b"".join(_mk_mp3_frame() for _ in range(10)) \
+        + b"TAG" + b"\x00" * 125
+    m = mp3_metadata(cbr)
+    assert m["n_frames"] == 10 and m["bitrate_kbps"] == 128.0
+    assert m["duration_s"] == pytest.approx(10 * 1152 / 44100, abs=1e-6)
+    assert (m["sample_rate"], m["channels"], m["vbr"]) == (44100, 2, False)
+    assert media_metadata(cbr)["format"] == "mp3"
+
+    # VBR + padding alternation + mono, no tags
+    vbr = b"".join(_mk_mp3_frame(128 if i % 2 else 192, pad=i % 2,
+                                 mono=True) for i in range(8))
+    m2 = mp3_metadata(vbr)
+    assert m2["vbr"] and m2["channels"] == 1 and m2["bitrate_kbps"] == 160.0
+
+    # resync past garbage incl. a false 0xFFEx word (no chained pair)
+    noisy = b"\x00junk\xff\xfbzz" + b"".join(_mk_mp3_frame()
+                                             for _ in range(3))
+    assert mp3_metadata(noisy)["n_frames"] == 3
+
+    for bad in (
+        b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + b"\x00" * 4,  # tag only
+        b"\xff\xfbzz definitely not frames",                     # false sync
+        b"ID3",                                                  # truncated
+    ):
+        with pytest.raises(ValueError):
+            mp3_metadata(bad)
+
+
+def test_media_metadata_header_only_all_formats():
+    """media_metadata must agree with the full decoders on dims/
+    duration while touching only headers."""
+    from dqc_spark.jpegcodec import encode_jpeg
+    from dqc_spark.mediacodec import (encode_png, encode_pnm, encode_wav,
+                                      media_metadata)
+
+    img = _grad_img(10, 14)
+    for blob, fmt in ((encode_pnm(img), "pnm"), (encode_png(img), "png"),
+                      (encode_jpeg(img, quality=90), "jpeg")):
+        m = media_metadata(blob)
+        assert (m["format"], m["width"], m["height"]) == (fmt, 14, 10), m
+    t = np.arange(4000) / 8000.0
+    wav = encode_wav(np.sin(2 * np.pi * 100 * t), rate=8000)
+    mw = media_metadata(wav)
+    assert mw["format"] == "wav" and mw["sample_rate"] == 8000
+    assert mw["duration_s"] == pytest.approx(0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        media_metadata(b"no magic here at all")
+
+
+def test_spark_describe_media(spark):
+    """The profile operator over a mixed-container corpus: every format
+    yields typed header metadata; a corrupt blob degrades to
+    parsed=false instead of failing the stage."""
+    from dqc_spark.jpegcodec import encode_jpeg
+    from dqc_spark.mediacodec import encode_wav
+    from dqc_spark.multimodal import describe_media
+
+    t = np.arange(2000) / 8000.0
+    rows = [
+        ("u1", bytearray(encode_jpeg(_grad_img(8, 12), quality=90))),
+        ("u2", bytearray(encode_wav(np.sin(2 * np.pi * 50 * t), rate=8000))),
+        ("u3", bytearray(b"".join(_mk_mp3_frame() for _ in range(4)))),
+        ("u4", bytearray(b"\x89PNG\r\n\x1a\ncorrupt")),
+        ("u5", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    got = {r["key"]: r for r in describe_media(df).collect()}
+    assert got["u1"]["media_type"] == "image/jpeg"
+    assert got["u1"]["media_meta"]["width"] == "12"
+    assert got["u2"]["media_meta"]["duration_s"] == "0.25"
+    assert got["u3"]["media_type"] == "audio/mp3"
+    assert got["u3"]["media_meta"]["bitrate_kbps"] == "128.0"
+    assert got["u3"]["media_meta"]["n_frames"] == "4"
+    assert got["u4"]["media_meta"] == {"parsed": "false"}
+    assert got["u5"]["media_meta"] == {"parsed": "false"}
