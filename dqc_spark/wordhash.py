@@ -145,13 +145,31 @@ def cjk_isolate(text: str) -> str:
     return _CJK_RE.sub(r" \1 ", text)
 
 
+# Fast-path guard: the UWS regex class equals Python's str.split()
+# whitespace set MINUS the four ASCII information separators \x1c-\x1f
+# — verified by a full 0..0x10FFFF codepoint sweep (pinned in
+# test_unicode_tokens) — and no CJK codepoint is whitespace.  So for
+# any document containing neither a separator nor a CJK codepoint,
+# C-level ``t.split()`` is bit-identical to cjk_isolate + regex split.
+# One early-exit class scan decides; this runs per document inside the
+# scoring/LM/dedup kernels, where the regex pipeline measured 3.5x
+# slower than str.split().
+_NEEDS_SLOW = re.compile(f"[\x1c-\x1f{CJK_CLASS}]")
+
+
 def unicode_tokens(text: str | None) -> list[str]:
     """Whitespace-family Unicode tokens: CJK codepoints isolated, then
     split on the explicit Unicode-whitespace class; empties dropped.
     Case is NOT touched (callers lower first where their gram identity
     is case-folded).  Identical to ``ascii_tokens`` on pure-ASCII text
-    with ASCII whitespace — i.e. a no-op widening on the test corpus."""
-    return [t for t in _UWS_RE.split(cjk_isolate(text or "")) if t]
+    with ASCII whitespace — i.e. a no-op widening on the test corpus.
+    Documents with no CJK and no \\x1c-\\x1f separator (the hot path)
+    take ``str.split()`` — bit-identical per the ``_NEEDS_SLOW``
+    analysis above, pinned by the fast-path property test."""
+    t = text or ""
+    if _NEEDS_SLOW.search(t) is None:
+        return t.split()
+    return [x for x in _UWS_RE.split(cjk_isolate(t)) if x]
 
 
 def join_tokens(tokens: list[str]) -> str:

@@ -108,6 +108,36 @@ def test_scrub_checksum_and_ipv6_rules():
     assert (scrub_text_py("at 1:2:3::ffff:10.0.0.7 !") == "at <IP> !")
 
 
+def test_scrub_prescan_covers_every_rule():
+    """_PRESCAN must match a sample hit of EVERY rule — extend this
+    list whenever SCRUB_RULES grows, or the prescan silently skips the
+    new rule's documents."""
+    from dqc_spark.scrub import _PRESCAN, SCRUB_RULES, scrub_text_py
+
+    samples = {
+        "email": "bob@example.com",
+        "ssn": "123-45-6789",
+        "iban": "DE89 3704 0044 0532 0130 00",
+        "phone": "555-867-5309",
+        "ipv6": "2001:db8::1",
+        "ipv4": "10.0.0.1",
+        "credit_card": "4111 1111 1111 1111",
+        "toxicity": "badword1",
+    }
+    assert set(samples) == {name for name, _, _ in SCRUB_RULES}
+    for name, hit in samples.items():
+        assert _PRESCAN.search(hit), name
+    # and the two-stage kernel equals the rules run unconditionally
+    import re as _re
+    from dqc_spark.scrub import COMPILED
+
+    for text in [*samples.values(), "no pii words only", "", "x@y a 7"]:
+        unconditional = text
+        for _, rx, repl in COMPILED:
+            unconditional = rx.sub(repl, unconditional)
+        assert scrub_text_py(text) == unconditional, text
+
+
 def test_table_checks_and_audit(spark, pages):
     from dqc_spark.audit import MemoryAuditSink
 

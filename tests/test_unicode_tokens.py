@@ -149,3 +149,53 @@ def test_fold_case_pins_duckdb_divergences():
     # the two raw-lower() divergences the fold exists for
     assert fold_case("ΣΙΓΜΑΣ") == "σιγμασ"  # no contextual final sigma
     assert fold_case("İ") == "i"  # no combining-dot residue
+
+
+def test_ascii_fast_path_bit_identical():
+    """The str.split() fast path must equal the regex pipeline on every
+    ASCII input — including the \\x1c-\\x1f information separators that
+    str.split() treats as whitespace but the UWS class does not (those
+    docs must take the slow path)."""
+    import random
+    import re as _re
+
+    from dqc_spark.wordhash import (UWS_SPLIT, cjk_isolate, fold_tokens,
+                                    unicode_tokens)
+
+    uws = _re.compile(UWS_SPLIT)
+
+    def slow(t):
+        return [x for x in uws.split(cjk_isolate(t)) if x]
+
+    rng = random.Random(7)
+    alphabet = ("abcXYZ019 \t\n\r\x0b\x0c!@#.,-_"
+                "\x1c\x1d\x1e\x1f")  # separators force the slow path
+    cases = ["", " ", "plain ascii words", "a\x1cb c", "\x1f", "x\x1d\x1ey",
+             "日本 mixed ascii", "tab\tsep"]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+              for _ in range(500)]
+    for t in cases:
+        assert unicode_tokens(t) == slow(t), repr(t)
+    # fold_tokens composes fold_case with the same fast path
+    assert fold_tokens("Mixed CASE\x1cWords") == ["mixed", "case\x1cwords"]
+    assert fold_tokens("Mixed CASE Words") == ["mixed", "case", "words"]
+
+
+def test_fast_path_guard_is_exact_over_all_codepoints():
+    """The _NEEDS_SLOW analysis: UWS regex class == python whitespace
+    minus \\x1c-\\x1f for EVERY codepoint, and no CJK codepoint is
+    whitespace — the two facts that make the str.split() fast path
+    bit-identical.  Sweeping the BMP + astral planes pins it against
+    both UWS_CLASS edits and python unicodedata upgrades."""
+    import re as _re
+
+    from dqc_spark.wordhash import CJK_CLASS, UWS_SPLIT
+
+    rx = _re.compile(UWS_SPLIT)
+    cjk = _re.compile(f"[{CJK_CLASS}]")
+    for i in range(0x110000):
+        c = chr(i)
+        in_rx = rx.fullmatch(c) is not None
+        in_py = c.isspace() and not (0x1C <= i <= 0x1F)
+        assert in_rx == in_py, hex(i)
+        assert not (c.isspace() and cjk.fullmatch(c)), hex(i)
