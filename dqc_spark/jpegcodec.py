@@ -235,7 +235,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except ValueError:
         raise
-    except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+    except (struct.error, IndexError, KeyError, ZeroDivisionError,
+            OverflowError) as e:
+        # OverflowError: corrupt DC diff magnitudes can accumulate the
+        # predictor past int64 before any structural check trips
         raise ValueError(f"jpeg: corrupt stream ({type(e).__name__})") from e
 
 

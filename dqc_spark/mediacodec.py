@@ -665,7 +665,8 @@ def _jpeg_header_meta(data: bytes) -> dict:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if pos + 7 > n:
+            # '>BHHB' reads 6 bytes at pos+2, so pos+8 must be in range
+            if pos + 8 > n:
                 raise ValueError("jpeg: truncated SOF")
             prec, h, w, nc = struct.unpack_from(">BHHB", data, pos + 2)
             return {"width": w, "height": h, "channels": nc,

@@ -115,13 +115,17 @@ _ANY_PII = re.compile("|".join(f"(?:{pat})" for _, pat, _ in SCRUB_RULES))
 # backtracking NFA (~0.4 ms/doc, and it grew 64% with the checksum/IPv6
 # rules), while this tiny class scan is near-memchr speed.  It is a
 # CONSERVATIVE SUPERSET of every rule by construction: every pattern in
-# SCRUB_RULES necessarily matches a digit (ssn/phone/ip/cc/iban all
-# contain mandatory [0-9] atoms), an '@' (email), or the literal
-# 'badword' (the toxicity list) — pinned per rule by
-# test_scrub_prescan_covers_every_rule, which MUST be extended when a
-# rule is added.  Docs failing the prescan skip everything; measured
-# 9.8 s -> ~1.3 s per 20k bench docs (most of which contain no digits).
-_PRESCAN = re.compile(r"[0-9@]|badword")
+# SCRUB_RULES necessarily matches a digit (ssn/phone/ipv4/cc/iban all
+# contain mandatory [0-9] atoms), an '@' (email), the literal 'badword'
+# (the toxicity list), or — for the one digit-OPTIONAL rule, IPv6,
+# whose hex groups can be all letters ('dead:beef::cafe') — a hex
+# letter immediately followed by ':' (a digit-free IPv6 match has every
+# group in [A-Fa-f]{1,4}, and each non-final group is followed by ':').
+# Pinned per rule by test_scrub_prescan_covers_every_rule, which MUST
+# be extended when a rule is added.  Docs failing the prescan skip
+# everything; measured 9.8 s -> ~1.3 s per 20k bench docs (most of
+# which contain no digits).
+_PRESCAN = re.compile(r"[0-9@]|badword|[A-Fa-f]:")
 
 
 def scrub_text_py(text: str | None) -> str | None:

@@ -515,6 +515,50 @@ def test_jpeg_corrupt_streams_raise_valueerror_only():
     for bad in cases:
         with pytest.raises(ValueError):
             decode_jpeg(bad)
+    # fuzz: byte-flipped valid streams must ALWAYS reject as ValueError
+    # (r4 review found corrupt DC predictors escaping as OverflowError)
+    import random
+
+    rng = random.Random(3)
+    for _ in range(400):
+        b = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass  # honest reject — the only allowed failure
+
+
+def test_media_metadata_never_escapes_valueerror():
+    """describe_media's degradation contract: media_metadata raises
+    ValueError (only) on every corrupt input.  The 11-byte truncated
+    SOF is the r4-review off-by-one; the fuzz sweep guards the rest."""
+    import random
+
+    from dqc_spark.jpegcodec import encode_jpeg
+    from dqc_spark.mediacodec import encode_png, encode_wav, media_metadata
+
+    with pytest.raises(ValueError):
+        media_metadata(b"\xff\xd8\xff\xc0\x00\x0b" + b"\x01" * 5)
+    rng = random.Random(11)
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    seeds = [
+        encode_jpeg(_grad_img(8, 8), quality=80),
+        encode_png(_grad_img(8, 8)),
+        encode_wav(np.zeros(400), rate=8000),
+        (hdr + b"\xaa" * 413) * 3,
+    ]
+    for seed_blob in seeds:
+        for _ in range(200):
+            b = bytearray(seed_blob)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            n = rng.choice([len(b), rng.randrange(1, len(b))])
+            try:
+                media_metadata(bytes(b[:n]))
+            except ValueError:
+                pass  # the only allowed exception type
 
 
 def test_jpeg_quality_drops_bytes_monotonically():

@@ -127,6 +127,12 @@ def test_scrub_prescan_covers_every_rule():
     assert set(samples) == {name for name, _, _ in SCRUB_RULES}
     for name, hit in samples.items():
         assert _PRESCAN.search(hit), name
+    # the one digit-OPTIONAL rule: hex-letter-only IPv6 forms must pass
+    # the prescan too (r4 review: a [0-9@]-only prescan leaked them)
+    for v6 in ("dead:beef:cafe:face:feed:face:dead:beef",
+               "ab:cd::ef", "AbCd:ef::Fa"):
+        assert _PRESCAN.search(v6), v6
+    assert scrub_text_py("peer dead:beef::cafe here") == "peer <IP> here"
     # and the two-stage kernel equals the rules run unconditionally
     import re as _re
     from dqc_spark.scrub import COMPILED
