@@ -314,6 +314,8 @@ DRIVER_ORDER = [
     # --- new in round 4 (appended as operators land) ---
     "text_tokens_unicode",
     "media_describe",
+    "url_domain_blocklist",
+    "metric_anomaly_days",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

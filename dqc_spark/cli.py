@@ -281,6 +281,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None,
                    help="also write the per-blob metadata parquet here")
 
+    p = sub.add_parser("induce-blocklist",
+                       help="induce a domain blocklist from a curated "
+                            "run's keep decisions (low keep-rate hosts)")
+    p.add_argument("--data", required=True,
+                   help="curated parquet with url + keep columns")
+    p.add_argument("--url-column", default="url")
+    p.add_argument("--keep-column", default="keep")
+    p.add_argument("--max-keep-rate", type=float, default=0.25,
+                   help="block domains kept at or below this rate")
+    p.add_argument("--min-docs", type=int, default=10,
+                   help="ignore hosts with fewer observed pages")
+    p.add_argument("--output", default=None,
+                   help="write the blocklist parquet here (feeds "
+                        "curate --blocked-domains on the next run)")
+
+    p = sub.add_parser("audit-anomalies",
+                       help="flag check runs whose error_count deviates "
+                            "from that check's history (median/MAD)")
+    p.add_argument("--audit", required=True, help="audit parquet path")
+    p.add_argument("--k", type=int, default=3,
+                   help="flag deviations beyond k median-absolute-"
+                        "deviations")
+    p.add_argument("--value-column", default="error_count")
+
     p = sub.add_parser("snapshot-new",
                        help="keep only docs unseen in a prior snapshot")
     p.add_argument("--input", required=True, help="new snapshot parquet")
@@ -748,6 +772,51 @@ def main(argv=None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = snap.count(), spark.read.parquet(args.output).count()
         print(f"snapshot-new: {n_in} -> {n_out} new docs at {args.output}")
+        return 0
+    if c == "induce-blocklist":
+        from pyspark.sql import functions as F
+
+        from dqc_spark.urlops import induce_domain_blocklist
+
+        df = spark.read.parquet(args.data)
+        for col in (args.url_column, args.keep_column):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"induce-blocklist: column {col!r} not in {args.data} "
+                    f"(has {df.columns})")
+        bl = induce_domain_blocklist(
+            df, args.url_column, args.keep_column,
+            max_keep_rate=args.max_keep_rate, min_docs=args.min_docs)
+        rows = bl.orderBy("keep_rate", "domain").collect()
+        if args.output:
+            bl.write.mode("overwrite").parquet(args.output)
+        for r in rows:
+            print(f"{r['keep_rate']:8.4f}  {r['n_keep']:>7}/"
+                  f"{r['n_docs']:<7}  {r['domain']}")
+        dest = f" -> {args.output}" if args.output else ""
+        print(f"induce-blocklist: {len(rows)} domains at keep-rate <= "
+              f"{args.max_keep_rate} over >= {args.min_docs} docs{dest}")
+        return 0
+    if c == "audit-anomalies":
+        from pyspark.sql import functions as F
+
+        from dqc_spark.monitor import audit_anomalies
+
+        audit = spark.read.parquet(args.audit)
+        if args.value_column not in audit.columns:
+            raise SystemExit(
+                f"audit-anomalies: column {args.value_column!r} not in "
+                f"{args.audit} (has {audit.columns})")
+        out = audit_anomalies(audit, k=args.k,
+                              value_col=args.value_column)
+        flagged = out.filter("is_anomaly").orderBy(
+            F.desc("score"), "check_type", "run_id").collect()
+        for r in flagged:
+            sc = "inf" if r["score"] is None else f"{r['score']:.2f}"
+            print(f"{sc:>8}  {r['check_type']:<24} run={r['run_id']} "
+                  f"value={int(r['value'])} med={r['med']} mad={r['mad']}")
+        print(f"audit-anomalies: {len(flagged)} anomalous runs "
+              f"(k={args.k})")
         return 0
     raise SystemExit(f"unknown command {c}")
 

@@ -1908,6 +1908,77 @@ def q_url_domain_stats(spark, sf):
     )
 
 
+def _keep_flag_col():
+    """Deterministic per-doc keep decision for the blocklist-induction
+    probe: host i (doc_id%4) keeps pages with doc_id%10 >= 2i — rates
+    step 1.0/0.8/0.6/0.4 across the four synthetic hosts — and every
+    17th doc gets a planted NULL keep (counts as drop)."""
+    did = F.col("doc_id")
+    return (
+        F.when(did % 17 == 0, F.lit(None).cast("boolean"))
+        .otherwise((did % 10) >= (did % 4) * 2)
+        .alias("keep")
+    )
+
+
+_KEEP_FLAG_SQL = (
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "ELSE (doc_id % 10) >= (doc_id % 4) * 2 END"
+)
+
+
+def q_url_domain_blocklist(spark, sf):
+    # curation feedback loop: per-domain keep-rate from a labeled run +
+    # the induced blocklist flag (keep_rate <= 0.5 over >= 5 docs).
+    # keep_rate is an int-ratio double (trunc4 per the rounding rule);
+    # the blocked flag multiplies the threshold through (n_keep <=
+    # 0.5*n_docs) so both engines compare exact binary halves.
+    from dqc_spark.urlops import domain_keep_rate, induce_domain_blocklist
+
+    docs = _t(spark, sf, "documents").select(
+        _synthetic_url_col(), _keep_flag_col())
+    rates = domain_keep_rate(docs, "url", "keep")
+    blocked = induce_domain_blocklist(
+        docs, "url", "keep", max_keep_rate=0.5, min_docs=5
+    ).select("domain", F.lit(True).alias("__b"))
+    return rates.join(F.broadcast(blocked), "domain", "left").select(
+        "domain",
+        "n_docs",
+        "n_keep",
+        _trunc4("keep_rate").alias("keep_rate"),
+        F.coalesce(F.col("__b"), F.lit(False)).alias("blocked"),
+    )
+
+
+def q_metric_anomaly_days(spark, sf):
+    # deequ-style anomaly detection over a metric time-series: daily
+    # event volumes per type, one day boosted +1000 (the planted
+    # incident).  Robust median/MAD flags with integer k=3: med/mad
+    # are exact binary fractions of integer series (order statistics,
+    # not sums) so they compare raw across engines; score is trunc4.
+    from dqc_spark.monitor import metric_anomalies
+
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = daily.select(
+        "event_type",
+        "day",
+        (
+            F.col("n")
+            + F.when(
+                F.col("day") == F.lit("2024-01-15").cast("timestamp"), 1000
+            ).otherwise(0)
+        ).alias("value"),
+    )
+    out = metric_anomalies(series, ["event_type"], "value", k=3)
+    return out.select(
+        "event_type", "day", "value", "med", "mad",
+        _trunc4("score").alias("score"), "is_anomaly",
+    )
+
+
 def q_bm25_topk(spark, sf):
     # lexical retrieval over the corpus: pure-Catalyst BM25, posting
     # stream filtered to the query terms BEFORE any shuffle.  Scores
@@ -2207,6 +2278,8 @@ def extra_queries():
         "semantic_dedup_text": q_semantic_dedup_text,
         "snapshot_score_drift": q_score_drift,
         "text_tokens_unicode": q_text_tokens_unicode,
+        "url_domain_blocklist": q_url_domain_blocklist,
+        "metric_anomaly_days": q_metric_anomaly_days,
     }
 
 
@@ -3624,4 +3697,63 @@ def extra_oracle_sql():
             FROM toks GROUP BY 1, 2
         """.replace("{FT}", fold_tokens_sql("ptext"))
            .replace("{AT}", unicode_alnum_tokens_sql("ptext")),
+        # keep_rate = int-ratio double (trunc4); blocked multiplies the
+        # 0.5 threshold through so both engines compare exact halves
+        "url_domain_blocklist": f"""
+            WITH pages AS (
+                SELECT {_synthetic_url_sql()} AS url,
+                       {_KEEP_FLAG_SQL} AS keep
+                FROM documents
+            ),
+            rates AS (
+                SELECT lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           AS domain,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_keep
+                FROM pages GROUP BY 1
+            )
+            SELECT domain, n_docs, n_keep,
+                   FLOOR((CAST(n_keep AS DOUBLE) / n_docs) * 10000)
+                       / 10000 AS keep_rate,
+                   (n_docs >= 5 AND n_keep <= 0.5 * n_docs) AS blocked
+            FROM rates
+        """,
+        # med/mad are order statistics of integer series — exact binary
+        # fractions in both engines, compared raw; score is trunc4 of a
+        # quotient of identical doubles; is_anomaly uses integer k so
+        # k*mad is bit-identical
+        "metric_anomaly_days": """
+            WITH daily AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            series AS (
+                SELECT event_type, day,
+                       n + CASE WHEN day = TIMESTAMP '2024-01-15'
+                                THEN 1000 ELSE 0 END AS value
+                FROM daily
+            ),
+            med AS (
+                SELECT event_type, MEDIAN(CAST(value AS DOUBLE)) AS med
+                FROM series GROUP BY 1
+            ),
+            mad AS (
+                SELECT s.event_type,
+                       MEDIAN(ABS(CAST(s.value AS DOUBLE) - m.med)) AS mad
+                FROM series s JOIN med m USING (event_type) GROUP BY 1
+            )
+            SELECT s.event_type, s.day, s.value, m.med, d.mad,
+                   CASE WHEN d.mad <> 0
+                        THEN FLOOR(ABS(CAST(s.value AS DOUBLE) - m.med)
+                                   / d.mad * 10000) / 10000
+                        END AS score,
+                   COALESCE(ABS(CAST(s.value AS DOUBLE) - m.med)
+                            > 3 * d.mad, FALSE) AS is_anomaly
+            FROM series s
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+        """,
     }

@@ -40,6 +40,8 @@ __all__ = [
     "domain_of_py",
     "domain_stats",
     "domain_filter",
+    "domain_keep_rate",
+    "induce_domain_blocklist",
     "url_dedup",
 ]
 
@@ -147,6 +149,64 @@ def domain_stats(
         "n_docs",
         "total_chars",
         (F.col("n_docs") / F.col("__t")).alias("share"),
+    )
+
+
+def domain_keep_rate(
+    df: DataFrame,
+    url_col: str = "url",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-domain curation outcome: (domain, n_docs, n_keep, keep_rate).
+
+    The feedback half of the quality loop: after ``curate()`` labels
+    every page, aggregate the keep decision per host.  A domain whose
+    pages are overwhelmingly dropped is itself the signal — content
+    farms, parked domains and SEO spam concentrate per-host long before
+    any single page looks unusual.  One partial-aggregatable groupBy on
+    the (lowercased) host; keep_rate is an int-ratio double, so it
+    compares raw across engines (the CLAUDE.md rounding rule).  NULL
+    ``keep`` counts as drop (a page the pipeline never cleared is not
+    kept)."""
+    kept = F.sum(
+        F.when(F.col(keep_col).eqNullSafe(F.lit(True)), 1).otherwise(0)
+    )
+    return df.groupBy(domain_of(url_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("bigint").alias("n_keep"),
+    ).select(
+        "domain",
+        "n_docs",
+        "n_keep",
+        (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+    )
+
+
+def induce_domain_blocklist(
+    df: DataFrame,
+    url_col: str = "url",
+    keep_col: str = "keep",
+    max_keep_rate: float = 0.25,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Domains whose observed keep-rate is <= ``max_keep_rate`` over at
+    least ``min_docs`` pages — a blocklist INDUCED from a curated run
+    rather than curated by hand.
+
+    Feed the result straight into ``domain_filter(df, blocklist=...)``
+    (it selects the same ``domain`` column name) so the NEXT crawl
+    snapshot skips the spam hosts before any per-page work runs — at
+    10^12 docs the cheapest page to score is the one the scan prunes.
+    ``min_docs`` guards small-sample hosts (3 drops out of 3 pages is
+    noise, 300 out of 300 is a content farm).  The threshold compare
+    multiplies through (``n_keep <= rate * n_docs``) instead of
+    dividing, so a caller's exact-binary rate (0.25, 0.5) stays exact.
+    Output: (domain, n_docs, n_keep, keep_rate), keep_rate for report
+    rendering."""
+    rates = domain_keep_rate(df, url_col, keep_col)
+    return rates.filter(
+        (F.col("n_docs") >= int(min_docs))
+        & (F.col("n_keep") <= F.lit(float(max_keep_rate)) * F.col("n_docs"))
     )
 
 

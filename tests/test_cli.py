@@ -315,3 +315,43 @@ def test_cli_media_profile(capsys, spark, db_path, tmp_path):
     rc2, txt2 = _run(capsys, ["--db-path", db_path, "media-profile",
                               "--data", src])
     assert rc2 == 0 and "unparseable: 1" in txt2
+
+
+def test_cli_induce_blocklist_and_reuse(capsys, spark, db_path, tmp_path):
+    src = str(tmp_path / "labeled.parquet")
+    rows = ([(f"http://farm.net/{i}", i % 10 == 0) for i in range(20)]
+            + [(f"http://ok.com/{i}", True) for i in range(20)])
+    spark.createDataFrame(rows, "url string, keep boolean") \
+         .write.parquet(src)
+    bl_p = str(tmp_path / "blocklist.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "induce-blocklist",
+                            "--data", src, "--max-keep-rate", "0.25",
+                            "--min-docs", "5", "--output", bl_p])
+    assert rc == 0
+    assert "farm.net" in out and "ok.com" not in out
+    assert "induce-blocklist: 1 domains" in out
+    # the written parquet feeds curate --blocked-domains directly
+    doms = {r["domain"] for r in spark.read.parquet(bl_p).collect()}
+    assert doms == {"farm.net"}
+    # missing column errors cleanly, not a traceback
+    with pytest.raises(SystemExit, match="keep"):
+        cli.main(["--db-path", db_path, "induce-blocklist",
+                  "--data", src, "--keep-column", "nope"])
+
+
+def test_cli_audit_anomalies(capsys, spark, db_path, tmp_path):
+    audit_p = str(tmp_path / "audit_hist.parquet")
+    rows = []
+    for i in range(6):
+        rows.append((f"r{i}", "check-unique", 200 + (i % 3)))
+        rows.append((f"r{i}", "check-not-null", 0))
+    rows.append(("r6", "check-unique", 40000))
+    rows.append(("r6", "check-not-null", 0))
+    spark.createDataFrame(
+        rows, "run_id string, check_type string, error_count long"
+    ).write.parquet(audit_p)
+    rc, out = _run(capsys, ["--db-path", db_path, "audit-anomalies",
+                            "--audit", audit_p, "--k", "3"])
+    assert rc == 0
+    assert "check-unique" in out and "run=r6" in out
+    assert "audit-anomalies: 1 anomalous runs" in out

@@ -257,3 +257,42 @@ def test_domain_of_py_matches_column(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(domain_of("url")).collect()]
     assert got == [domain_of_py(u) for u in urls]
+
+
+def test_domain_keep_rate_counts(spark):
+    from dqc_spark.urlops import domain_keep_rate
+
+    rows = [
+        ("http://spam.com/1", True), ("http://spam.com/2", False),
+        ("http://spam.com/3", False), ("http://spam.com/4", None),
+        ("http://good.org/1", True), ("http://good.org/2", True),
+    ]
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    got = {r.domain: r for r in
+           domain_keep_rate(df, "url", "keep").collect()}
+    assert got["spam.com"].n_docs == 4
+    # NULL keep counts as drop
+    assert got["spam.com"].n_keep == 1
+    assert got["spam.com"].keep_rate == 0.25
+    assert got["good.org"].keep_rate == 1.0
+
+
+def test_induce_blocklist_feeds_domain_filter(spark):
+    """End-to-end feedback loop: induce the blocklist from a labeled
+    run, feed it to domain_filter, the spam host's pages drop and the
+    small-sample host survives min_docs."""
+    from dqc_spark.urlops import domain_filter, induce_domain_blocklist
+
+    rows = (
+        [(f"http://farm.net/{i}", i % 10 == 0) for i in range(20)]  # 10%
+        + [(f"http://ok.com/{i}", True) for i in range(20)]
+        + [("http://tiny.io/1", False), ("http://tiny.io/2", False)]
+    )
+    df = spark.createDataFrame(rows, "url string, keep boolean")
+    bl = induce_domain_blocklist(df, max_keep_rate=0.25, min_docs=5)
+    assert {r.domain for r in bl.collect()} == {"farm.net"}
+    kept = domain_filter(df, bl, url_col="url", mode="block")
+    doms = {r[0] for r in
+            kept.selectExpr("url").collect()}
+    assert all("farm.net" not in u for u in doms)
+    assert any("tiny.io" in u for u in doms)  # below min_docs -> kept
