@@ -316,6 +316,8 @@ DRIVER_ORDER = [
     "media_describe",
     "url_domain_blocklist",
     "metric_anomaly_days",
+    "attr_refilter",
+    "attr_tag_regate",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -305,6 +305,34 @@ def build_parser() -> argparse.ArgumentParser:
                         "deviations")
     p.add_argument("--value-column", default="error_count")
 
+    p = sub.add_parser("tag",
+                       help="one tagging pass -> narrow per-document "
+                            "attribute table (Dolma-style: tag once, "
+                            "re-filter many times)")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True, help="attribute parquet path")
+    p.add_argument("--key-column", default="url")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--lang-column", default="lang",
+                   help="claimed-language column stored for the "
+                        "mismatch gate ('' = none)")
+
+    p = sub.add_parser("apply-attributes",
+                       help="filter a corpus by a stored attribute "
+                            "table; --thresholds re-gates from the "
+                            "stored features (pure Catalyst, no "
+                            "re-tagging)")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--attributes", required=True,
+                   help="attribute parquet written by 'tag'")
+    p.add_argument("--output", required=True)
+    p.add_argument("--key-column", default="url")
+    p.add_argument("--thresholds", default=None,
+                   help="gate overrides 'min_words=150,...'; omit to "
+                        "use the stored keep decision")
+    p.add_argument("--max-ppl", type=float, default=-1.0,
+                   help="re-gate perplexity cutoff (<0 = default)")
+
     p = sub.add_parser("snapshot-new",
                        help="keep only docs unseen in a prior snapshot")
     p.add_argument("--input", required=True, help="new snapshot parquet")
@@ -758,6 +786,40 @@ def main(argv=None) -> int:
         for r in rows:
             print(f"{r['n_shared']:>8}  {r['source_a']} ~ {r['source_b']}")
         print(f"source-overlap: {len(rows)} overlapping pairs")
+        return 0
+    if c == "tag":
+        from dqc_spark.attributes import tag as tag_attrs
+
+        pages = spark.read.parquet(args.input)
+        attrs = tag_attrs(
+            pages, key_col=args.key_column, text_col=args.text_column,
+            lang_col=args.lang_column or None)
+        attrs.write.mode("overwrite").parquet(args.output)
+        # counts re-read the written table: the tag frame embeds the
+        # scoring Python stage (multi-consumer rule)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        kept = written.filter("keep").count()
+        print(f"tagged {n} docs -> {args.output} "
+              f"(keep at tagging thresholds: {kept})")
+        return 0
+    if c == "apply-attributes":
+        from dqc_spark.attributes import apply_filter, regate
+        from dqc_spark.perplexity import DEFAULT_MAX_PPL
+
+        pages = spark.read.parquet(args.input)
+        attrs = spark.read.parquet(args.attributes)
+        if args.thresholds or args.max_ppl >= 0:
+            attrs = regate(
+                attrs,
+                thresholds=(_parse_kv_floats(args.thresholds)
+                            if args.thresholds else None),
+                max_ppl=(args.max_ppl if args.max_ppl >= 0
+                         else DEFAULT_MAX_PPL))
+        out = apply_filter(pages, attrs, key_col=args.key_column)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"kept {n} of {pages.count()} docs -> {args.output}")
         return 0
     if c == "snapshot-new":
         from dqc_spark.snapshot import new_docs, new_docs_bloom

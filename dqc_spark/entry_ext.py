@@ -2176,8 +2176,48 @@ def q_text_tokens_unicode(spark, sf):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+def q_attr_refilter(spark, sf):
+    """Attribute-store mechanism (attributes.py): per-doc attributes
+    live in a narrow stored table, keep is re-derived from the STORED
+    columns as pure Catalyst predicates, and the corpus is filtered by
+    a key semi-join (apply_filter).  The attribute set here is the
+    SQL-expressible quality_scores family so the whole
+    store->regate->apply path is cross-engine verifiable; the full
+    gate-feature tag() (Python kernels: features+langid+ppl) is pinned
+    against annotate() in tests/test_attributes.py.  Thresholds compare
+    raw doubles safely: both engines compute the IDENTICAL int-ratio
+    expression (CLAUDE.md rounding-mode rule)."""
+    from dqc_spark.attributes import apply_filter
+    from dqc_spark.textstats import quality_scores
+
+    docs = _t(spark, sf, "documents")
+    attrs = quality_scores(docs, "doc_id").withColumn(
+        "keep",
+        (F.col("n_words") >= 50)
+        & (F.col("alpha_ratio") >= 0.6)
+        & (F.col("stopword_ratio") >= 0.05),
+    )
+    return apply_filter(docs, attrs, key_col="doc_id").select(
+        "doc_id", "lang", "n_chars")
+
+
+def q_attr_tag_regate(spark, sf):
+    """Full attribute-store path over the real gate features + langid +
+    perplexity (Python kernels -> rows-only); exact keep parity vs a
+    fresh annotate() at swept thresholds is pinned in
+    tests/test_attributes.py."""
+    from dqc_spark.attributes import regate, tag
+
+    docs = _t(spark, sf, "documents")
+    attrs = tag(docs, key_col="doc_id")
+    return regate(attrs, thresholds={"min_words": 150}).select(
+        "doc_id", "keep")
+
+
 def extra_queries():
     return {
+        "attr_refilter": q_attr_refilter,
+        "attr_tag_regate": q_attr_tag_regate,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_distinct_count": q_dedup_distinct_count,
         "dedup_approx_distinct": q_approx_distinct,
@@ -2322,6 +2362,33 @@ def _noindex_oracle_sql() -> str:
 
 def extra_oracle_sql():
     return {
+        # attribute store: the f CTE mirrors the quality_scores
+        # spelling above; raw-double threshold compares are safe (same
+        # int-ratio expression in both engines -> identical bits)
+        "attr_refilter": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS nw,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_r,
+                     CASE WHEN length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                  x -> x <> '')) > 0 THEN
+                       CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                       / length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) ELSE 0.0 END AS sw_r
+              FROM documents
+            ),
+            kept AS (
+              SELECT doc_id FROM f
+              WHERE nw >= 50 AND alpha_r >= 0.6 AND sw_r >= 0.05
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = d.doc_id)
+        """,
         # BM25: every per-(doc,term) partial is bit-identical across
         # engines (int tf/df/dl; avgdl = int-sum/int-count; ln of an
         # identical double; literal arithmetic spelled with the SAME

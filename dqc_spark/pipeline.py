@@ -53,8 +53,13 @@ def annotate(
     lang_col: str | None = "lang",
     engine: str = "pandas",
     lm: dict | None = None,
+    scrub: bool = True,
 ) -> DataFrame:
     """Append feature, gate, keep and scrubbed_text columns in one pass.
+
+    ``scrub=False`` skips the scrubbed_text column entirely (the
+    attribute-store tagging path, which persists a narrow frame and
+    must not pay the scrub UDF).
 
     ``engine="pandas"`` (default): one fused Arrow UDF computes all
     features + langid + perplexity in a single tokenization pass — the
@@ -107,9 +112,10 @@ def annotate(
     # dropped docs ship a NULL through Arrow instead of their full text
     # (a when() around the UDF call would still evaluate it on all rows —
     # pandas UDFs are extracted into an unconditional ArrowEvalPython node)
-    df = df.withColumn(
-        "scrubbed_text", scrub_udf(F.when(F.col("keep"), text))
-    )
+    if scrub:
+        df = df.withColumn(
+            "scrubbed_text", scrub_udf(F.when(F.col("keep"), text))
+        )
     return df
 
 

@@ -355,3 +355,32 @@ def test_cli_audit_anomalies(capsys, spark, db_path, tmp_path):
     assert rc == 0
     assert "check-unique" in out and "run=r6" in out
     assert "audit-anomalies: 1 anomalous runs" in out
+
+
+def test_cli_tag_and_apply_attributes(capsys, spark, db_path, tmp_path):
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import annotate
+
+    src = str(tmp_path / "pages_attr.parquet")
+    attrs_p = str(tmp_path / "attrs.parquet")
+    out_p = str(tmp_path / "filtered.parquet")
+    pages = generate_pages(spark, 80, n_partitions=2).dropDuplicates(["url"])
+    pages.write.parquet(src)
+
+    rc, out = _run(capsys, ["--db-path", db_path, "tag",
+                            "--input", src, "--output", attrs_p])
+    assert rc == 0 and "tagged" in out
+    attrs = spark.read.parquet(attrs_p)
+    assert "text" not in attrs.columns and "keep" in attrs.columns
+
+    # re-gate from the stored table with a tighter word floor
+    rc, out = _run(capsys, ["--db-path", db_path, "apply-attributes",
+                            "--input", src, "--attributes", attrs_p,
+                            "--output", out_p,
+                            "--thresholds", "min_words=150"])
+    assert rc == 0 and "kept" in out
+    got = {r["url"] for r in spark.read.parquet(out_p).select("url").collect()}
+    want = {r["url"] for r in
+            annotate(spark.read.parquet(src), thresholds={"min_words": 150})
+            .filter("keep").select("url").collect()}
+    assert got == want
