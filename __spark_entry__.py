@@ -318,6 +318,7 @@ DRIVER_ORDER = [
     "metric_anomaly_days",
     "attr_refilter",
     "attr_tag_regate",
+    "langid_train_profile",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -60,6 +60,7 @@ def tag(
     max_ppl: float = DEFAULT_MAX_PPL,
     lm: dict | None = None,
     engine: str = "pandas",
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """One tagging pass -> the narrow per-document attribute table.
 
@@ -80,6 +81,7 @@ def tag(
         engine=engine,
         lm=lm,
         scrub=False,
+        langid_model=langid_model,
     )
     keep_cols = [key_col]
     if lang_col is not None and lang_col in pages.columns:

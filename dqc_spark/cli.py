@@ -201,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pick the cutoff from the labeled sample's PR "
                         "curve instead: loosest threshold whose "
                         "precision meets this bound (max recall)")
+    p.add_argument("--langid-model", default=None,
+                   help="(lang, gram, weight) model parquet from "
+                        "train-langid: swap the language-ID profile "
+                        "for the trained one")
     p.add_argument("--incremental", action="store_true",
                    help="curate only content never processed before "
                         "(digest state at <output>_ingested) and APPEND "
@@ -304,6 +308,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="flag deviations beyond k median-absolute-"
                         "deviations")
     p.add_argument("--value-column", default="error_count")
+
+    p = sub.add_parser("train-langid",
+                       help="train the fastText-style langid profile "
+                            "model from a lang-labeled corpus (one "
+                            "distributed counting pass); writes a "
+                            "(lang, gram, weight) parquet for "
+                            "curate --langid-model")
+    p.add_argument("--input", required=True,
+                   help="labeled parquet: text + lang columns")
+    p.add_argument("--output", required=True, help="model parquet path")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--lang-column", default="lang")
+    p.add_argument("--max-trigrams", type=int, default=20000,
+                   help="profile cap per language")
 
     p = sub.add_parser("tag",
                        help="one tagging pass -> narrow per-document "
@@ -500,6 +518,7 @@ def main(argv=None) -> int:
         print(f"wrote {args.docs} pages to {args.output}")
         return 0
     if c == "curate":
+        from dqc_spark.langid import model_from_df
         from dqc_spark.pipeline import curate
 
         if args.domain_ranks and args.min_domain_rank < 0:
@@ -621,6 +640,9 @@ def main(argv=None) -> int:
                                if args.split else None),
                 quality_model=quality_model,
                 quality_model_threshold=quality_thr,
+                langid_model=(
+                    model_from_df(spark.read.parquet(args.langid_model))
+                    if args.langid_model else None),
             )
             if args.incremental:
                 from dqc_spark.audit import ParquetAuditSink
@@ -786,6 +808,17 @@ def main(argv=None) -> int:
         for r in rows:
             print(f"{r['n_shared']:>8}  {r['source_a']} ~ {r['source_b']}")
         print(f"source-overlap: {len(rows)} overlapping pairs")
+        return 0
+    if c == "train-langid":
+        from dqc_spark.langid import model_to_df, train_langid_model
+
+        labeled = spark.read.parquet(args.input)
+        model = train_langid_model(
+            labeled, lang_col=args.lang_column, text_col=args.text_column,
+            max_trigrams_per_lang=args.max_trigrams)
+        model_to_df(spark, model).write.mode("overwrite").parquet(args.output)
+        print(f"trained langid profiles for {len(model['langs'])} "
+              f"languages ({len(model['keys'])} grams) -> {args.output}")
         return 0
     if c == "tag":
         from dqc_spark.attributes import tag as tag_attrs

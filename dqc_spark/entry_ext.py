@@ -2214,9 +2214,22 @@ def q_attr_tag_regate(spark, sf):
         "doc_id", "keep")
 
 
+def q_langid_train_profile(spark, sf):
+    """Distributed fastText-style langid training (langid.py): top-10
+    trigram-profile rows per language from the documents table's lang
+    labels — rows-only (trigram hashes are fused codepoint arithmetic,
+    not reasonably SQL-expressible); exact Spark==python trainer parity
+    and partition invariance are pinned in tests/test_langid_train.py."""
+    from dqc_spark.langid import _cap_per_lang, trigram_counts
+
+    docs = _t(spark, sf, "documents")
+    return _cap_per_lang(trigram_counts(docs), 10)
+
+
 def extra_queries():
     return {
         "attr_refilter": q_attr_refilter,
+        "langid_train_profile": q_langid_train_profile,
         "attr_tag_regate": q_attr_tag_regate,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_distinct_count": q_dedup_distinct_count,

@@ -54,12 +54,14 @@ def annotate(
     engine: str = "pandas",
     lm: dict | None = None,
     scrub: bool = True,
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """Append feature, gate, keep and scrubbed_text columns in one pass.
 
     ``scrub=False`` skips the scrubbed_text column entirely (the
     attribute-store tagging path, which persists a narrow frame and
-    must not pay the scrub UDF).
+    must not pay the scrub UDF).  ``langid_model`` swaps the language-
+    ID profile for one trained IN Spark (langid.train_langid_model).
 
     ``engine="pandas"`` (default): one fused Arrow UDF computes all
     features + langid + perplexity in a single tokenization pass — the
@@ -79,7 +81,7 @@ def annotate(
     if engine == "pandas":
         from dqc_spark.scoring import with_scores
 
-        df = with_scores(df, text_col, lm=lm)
+        df = with_scores(df, text_col, lm=lm, langid_model=langid_model)
         feat_names = list(gates.feature_columns(text))
     else:
         feats = gates.feature_columns(text)
@@ -89,7 +91,7 @@ def annotate(
         from dqc_spark.langid import with_langid
         from dqc_spark.perplexity import with_perplexity
 
-        df = with_langid(df, text_col)
+        df = with_langid(df, text_col, model=langid_model)
         df = with_perplexity(df, text_col, lm=lm)
 
     preds = gates.gate_predicates(
@@ -222,6 +224,7 @@ def curate(
     split_weights: dict | None = None,
     quality_model=None,
     quality_model_threshold: float | None = None,
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -472,7 +475,8 @@ def curate(
     # ``lm``: a trained perplexity model (lmtrain.train_bigram_lm) for
     # the high-ppl gate — the CCNet loop (train on a trusted slice,
     # score the crawl); None keeps the default broadcast LM
-    ann = annotate(pages, text_col=text_col, thresholds=thresholds, lm=lm)
+    ann = annotate(pages, text_col=text_col, thresholds=thresholds, lm=lm,
+                   langid_model=langid_model)
     # persist the annotated survivors: the frame embeds the fused Arrow
     # scoring UDF and feeds 4+ downstream consumers (exact-dedup winners
     # + semi join, minhash signatures, canonical anti-join) — without

@@ -40,6 +40,7 @@ def gate_flags_py(
     thresholds: dict | None = None,
     max_ppl: float = DEFAULT_MAX_PPL,
     lm: dict | None = None,
+    langid_model: dict | None = None,
 ) -> dict:
     t = dict(gates.DEFAULT_THRESHOLDS)
     if thresholds:
@@ -48,6 +49,8 @@ def gate_flags_py(
     model, default_lm = _models()
     if lm is None:  # custom lm mirrors annotate(lm=...) exactly
         lm = default_lm
+    if langid_model is not None:  # mirrors annotate(langid_model=...)
+        model = langid_model
     lang_pred, lang_conf = langid_score(text, model)
     ppl = perplexity(text, lm)
 
@@ -81,13 +84,14 @@ def gate_flags_py(
 def oracle_labels(
     rows: list[dict], thresholds: dict | None = None,
     max_ppl: float = DEFAULT_MAX_PPL, lm: dict | None = None,
+    langid_model: dict | None = None,
 ) -> list[dict]:
     """Golden (url, keep, scrubbed_text) per input row — scrubbed_text is
     None for dropped docs, mirroring the pipeline's keep-gated scrub."""
     out = []
     for row in rows:
         flags = gate_flags_py(row["text"], row.get("lang"), thresholds,
-                              max_ppl, lm=lm)
+                              max_ppl, lm=lm, langid_model=langid_model)
         keep = not any(v for k, v in flags.items() if k.startswith("gate_"))
         out.append(
             {

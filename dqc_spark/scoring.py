@@ -66,15 +66,20 @@ def _broadcast_models(spark: SparkSession) -> tuple:
     return _BC_CACHE[key]
 
 
-def make_score_udf(spark: SparkSession, lm: dict | None = None):
+def make_score_udf(spark: SparkSession, lm: dict | None = None,
+                   langid_model: dict | None = None):
     """Fused scoring UDF; ``lm`` swaps the perplexity model for a
     caller-supplied dict (e.g. trained IN Spark on a trusted slice via
-    ``lmtrain.train_bigram_lm``) — the CCNet loop.  A custom ``lm`` is
-    broadcast here and owned by the caller; langid stays the default
-    broadcast model either way."""
+    ``lmtrain.train_bigram_lm``) — the CCNet loop — and
+    ``langid_model`` swaps the language-ID profile for one trained IN
+    Spark on a labeled slice (``langid.train_langid_model``).  Custom
+    models are broadcast here and owned by the caller; whichever is
+    None stays the default broadcast model."""
     bc_model, bc_lm = _broadcast_models(spark)
     if lm is not None:
         bc_lm = spark.sparkContext.broadcast(lm)
+    if langid_model is not None:
+        bc_model = spark.sparkContext.broadcast(langid_model)
 
     @F.pandas_udf(_SCORE_TYPE)
     def score_udf(texts: pd.Series) -> pd.DataFrame:
@@ -104,12 +109,13 @@ def make_score_udf(spark: SparkSession, lm: dict | None = None):
 
 
 def with_scores(
-    df: DataFrame, text_col: str = "text", lm: dict | None = None
+    df: DataFrame, text_col: str = "text", lm: dict | None = None,
+    langid_model: dict | None = None,
 ) -> DataFrame:
     """Append all feature/score columns in one UDF stage (a single
     projection — a withColumn-per-field chain costs one analyzer pass
     per column)."""
-    udf = make_score_udf(df.sparkSession, lm=lm)
+    udf = make_score_udf(df.sparkSession, lm=lm, langid_model=langid_model)
     tagged = df.withColumn("__sc", udf(F.col(text_col)))
     return tagged.select(
         *[F.col(c) for c in df.columns],
