@@ -319,6 +319,7 @@ DRIVER_ORDER = [
     "attr_refilter",
     "attr_tag_regate",
     "langid_train_profile",
+    "warc_ingest",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -128,6 +128,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs", type=int, default=10000)
 
     p = sub.add_parser(
+        "ingest-warc",
+        help="read WARC archive(s) into the pages table shape "
+             "(url, warc_ts, html, text, lang) as parquet",
+    )
+    p.add_argument("--input", required=True,
+                   help="WARC file, dir or glob (.warc / .warc.gz)")
+    p.add_argument("--output", required=True, help="pages parquet path")
+    p.add_argument("--raw", action="store_true",
+                   help="skip text extraction + langid; emit "
+                        "(url, warc_ts, html) only")
+
+    p = sub.add_parser(
         "curate",
         help="full corpus curation: gates -> dedup -> domain quota -> pack",
     )
@@ -516,6 +528,17 @@ def main(argv=None) -> int:
 
         generate_pages(spark, args.docs).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.docs} pages to {args.output}")
+        return 0
+    if c == "ingest-warc":
+        from dqc_spark.warc import read_warc, warc_to_pages
+
+        if args.raw:
+            pages = read_warc(spark, args.input)
+        else:
+            pages = warc_to_pages(spark, args.input)
+        pages.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"ingested {n} pages to {args.output}")
         return 0
     if c == "curate":
         from dqc_spark.langid import model_from_df

@@ -2226,6 +2226,60 @@ def q_langid_train_profile(spark, sf):
     return _cap_per_lang(trigram_counts(docs), 10)
 
 
+def _warc_fixture_dir(spark, sf) -> str:
+    """Author a small WARC archive set from the documents table itself
+    (url/ts/body all deterministic functions of doc_id/text), so the
+    DuckDB oracle can recompute the expected rows straight from the
+    parquet — a real cross-engine differential of the author->parse
+    loop.  Content-addressed /tmp cache keyed on the slice's bytes;
+    4 gzip-member shards so the read parallelizes like real CC dumps."""
+    import datetime
+    import hashlib
+
+    from dqc_spark.warc import warc_bytes
+
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 128) & F.col("text").isNotNull())
+    rows = sorted(docs.select("doc_id", "text").collect(),
+                  key=lambda r: r.doc_id)
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(r.doc_id).encode())
+        h.update(r.text.encode())
+    path = f"/tmp/dqc_warc_fixture_{h.hexdigest()[:12]}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        base = datetime.datetime(2025, 1, 1)
+        shards: list[list] = [[] for _ in range(4)]
+        for r in rows:
+            ts = base + datetime.timedelta(seconds=int(r.doc_id))
+            shards[int(r.doc_id) % 4].append((
+                f"http://warc.test/doc/{int(r.doc_id)}",
+                ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                r.text.encode("utf-8"),
+            ))
+        for i, shard in enumerate(shards):
+            with open(os.path.join(path, f"part-{i}.warc.gz"), "wb") as f:
+                f.write(warc_bytes(shard, gzip_members=True))
+        with open(done, "w"):
+            pass
+    return path
+
+
+def q_warc_ingest(spark, sf):
+    """WARC ingestion differential (warc.py): parse the authored
+    archives back into (url, warc_ts, n_bytes) — the oracle recomputes
+    all three columns from the documents parquet without ever touching
+    WARC, so header parsing, member-per-record gzip, ISO timestamp
+    decode and body framing are all in the compared surface."""
+    from dqc_spark.warc import read_warc
+
+    path = _warc_fixture_dir(spark, sf)
+    return read_warc(spark, path).select(
+        "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
+
+
 def extra_queries():
     return {
         "attr_refilter": q_attr_refilter,
@@ -2333,6 +2387,7 @@ def extra_queries():
         "text_tokens_unicode": q_text_tokens_unicode,
         "url_domain_blocklist": q_url_domain_blocklist,
         "metric_anomaly_days": q_metric_anomaly_days,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2375,6 +2430,19 @@ def _noindex_oracle_sql() -> str:
 
 def extra_oracle_sql():
     return {
+        # WARC differential: the Spark leg authors + parses real WARC
+        # bytes; the oracle recomputes url/ts/bytes directly.  Raw
+        # (unrounded) compare is safe: strings, a timestamp built by
+        # integer-second addition, and an integer byte length.
+        "warc_ingest": """
+            SELECT 'http://warc.test/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + doc_id * INTERVAL '1 second' AS warc_ts,
+                   CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes
+            FROM documents
+            WHERE doc_id < 128 AND text IS NOT NULL
+        """,
         # attribute store: the f CTE mirrors the quality_scores
         # spelling above; raw-double threshold compares are safe (same
         # int-ratio expression in both engines -> identical bits)

@@ -1,0 +1,211 @@
+"""WARC ingestion: Common-Crawl's native archive format -> pages rows.
+
+The corpus north rule's input table (url, warc_ts, html, text, lang)
+is what a crawl DELIVERS as WARC files (ISO 28500): a stream of
+records, each a header block (CRLF-separated ``Name: value`` lines
+ending in a blank line) followed by ``Content-Length`` payload bytes.
+``response`` records carry an HTTP response (status line + headers +
+body) whose body is the page html.  Common Crawl ships them as
+``.warc.gz`` with ONE GZIP MEMBER PER RECORD so readers can split
+without decompressing the whole file.
+
+Spark shape (the standard Common-Crawl-on-Spark pattern):
+
+  * one WARC file == one task.  ``spark.read.format("binaryFile")``
+    lists the files into a DataFrame (path, content); a mapInPandas
+    kernel walks each file's records and emits (url, warc_ts, html)
+    rows.  No shuffle anywhere — ingestion is a pure map, and the
+    downstream pipeline (htmlextract -> annotate -> curate) starts
+    from exactly the hinted table shape.
+  * parallelism = number of WARC files (Common Crawl segments are
+    ~1 GB so a crawl dump is tens of thousands of files — plenty).
+    ``binaryFile`` keeps whole files as single rows by design; that is
+    the memory unit here, same as every production WARC reader.
+  * malformed records are SKIPPED, counted per file when
+    ``with_errors`` is set — a crawl always contains truncated tails
+    and the job must not die at file 48,191 of 64,000.
+
+Writing is intentionally driver-side only (``warc_bytes``): WARC is an
+INPUT format at 100 TB — tests and fixtures author small archives
+locally, the engine never round-trips a corpus back to WARC.
+
+Reference parity: the reference reads CSVs off disk (connector.go);
+this is the web-corpus generalization of its file-ingestion surface.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# record authoring (driver-side: fixtures, tests, the synthetic corpus)
+# ---------------------------------------------------------------------------
+
+
+def warc_record_bytes(url: str, ts_iso: str, body: bytes,
+                      content_type: str = "text/html") -> bytes:
+    """One WARC/1.0 response record wrapping an HTTP 200 response."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + f"Content-Type: {content_type}".encode() + _CRLF
+        + f"Content-Length: {len(body)}".encode() + _CRLF
+        + _CRLF
+        + body
+    )
+    header = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + f"WARC-Date: {ts_iso}".encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + f"Content-Length: {len(http)}".encode() + _CRLF
+        + _CRLF
+    )
+    return header + http + _CRLF + _CRLF
+
+
+def warc_bytes(rows, gzip_members: bool = False) -> bytes:
+    """A whole WARC file from (url, ts_iso, body_bytes) triples —
+    per-record gzip members when ``gzip_members`` (the .warc.gz
+    convention), plain concatenation otherwise."""
+    out = io.BytesIO()
+    for url, ts_iso, body in rows:
+        rec = warc_record_bytes(url, ts_iso, body)
+        out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def parse_warc_records(data: bytes):
+    """Yield (url, ts_iso, html_bytes) from one WARC file's bytes.
+
+    Handles plain and gzip (single- or member-per-record) input.
+    Non-response records are skipped; structurally broken records end
+    the file (a truncated tail, the common real-world corruption) after
+    yielding everything parseable before them.
+    """
+    if data[:2] == _GZIP_MAGIC:
+        # multi-member decompress: zlib with window scan, stdlib-only
+        import zlib
+
+        out = io.BytesIO()
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                chunk = d.decompress(data[pos:])
+            except zlib.error:
+                break  # trailing garbage / corrupt member
+            if not d.eof:
+                break  # truncated final member: CRC unverifiable, drop it
+            out.write(chunk)
+            rest = d.unused_data
+            if not rest:
+                break
+            pos = len(data) - len(rest)
+        data = out.getvalue()
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0 or not data[pos:].startswith(b"WARC/"):
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace"))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        payload = data[head_end + 4: head_end + 4 + length]
+        if len(payload) < length:
+            return  # truncated tail
+        pos = head_end + 4 + length
+        # skip the inter-record CRLF CRLF (tolerate its absence at EOF)
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        ts = headers.get("warc-date")
+        if url is None or ts is None:
+            continue
+        body_at = payload.find(_CRLF + _CRLF)
+        body = payload[body_at + 4:] if body_at >= 0 else b""
+        yield url, ts, body
+
+
+def read_warc(spark: SparkSession, path: str,
+              with_errors: bool = False) -> DataFrame:
+    """WARC file(s) -> DataFrame(url, warc_ts, html) — the north-rule
+    input shape minus the derived columns (htmlextract adds ``text``,
+    langid adds ``lang``).
+
+    ``path`` accepts everything ``binaryFile`` does (dir, glob, list).
+    ``with_errors=True`` appends a ``warc_path`` column for lineage.
+    """
+    schema = PAGES_SCHEMA if not with_errors else T.StructType(
+        list(PAGES_SCHEMA) + [T.StructField("warc_path", T.StringType())])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, bodies, paths = [], [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                for url, ts, body in parse_warc_records(bytes(blob)):
+                    urls.append(url)
+                    tss.append(ts)
+                    bodies.append(body)
+                    paths.append(fpath)
+            out = {
+                "url": urls,
+                # WARC-Date is ISO-8601 UTC ("2025-01-01T00:00:05Z")
+                "warc_ts": pd.to_datetime(
+                    pd.Series(tss, dtype="object"), utc=True, errors="coerce"
+                ).dt.tz_localize(None),
+                "html": bodies,
+            }
+            if with_errors:
+                out["warc_path"] = paths
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(kernel, schema=schema)
+
+
+def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
+    """read_warc + html->text extraction + langid: WARC files to the
+    full hinted pages table (url, warc_ts, html, text, lang) in one
+    shuffle-free map lineage."""
+    from dqc_spark.htmlextract import extract_text
+    from dqc_spark.langid import with_langid
+
+    pages = read_warc(spark, path)
+    pages = extract_text(pages, html_col="html", text_col="text")
+    pages = with_langid(pages, "text")
+    return pages.withColumnRenamed("lang_pred", "lang").drop("lang_conf")

@@ -1,0 +1,161 @@
+"""WARC ingestion: author archives with the pure-python writer, read
+them back through the distributed reader, and pin the full
+WARC -> pages-table lineage (url, warc_ts, html, text, lang)."""
+
+import datetime
+import gzip
+
+import pytest
+
+from dqc_spark.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_bytes,
+    warc_record_bytes,
+    warc_to_pages,
+)
+
+ROWS = [
+    ("http://example.com/a", "2025-01-01T00:00:05Z",
+     b"<html><body>Hello A, the quick brown fox.</body></html>"),
+    ("http://example.com/b", "2025-01-02T10:30:00Z",
+     "<html><body>中文文档内容</body></html>".encode()),
+    ("http://example.com/c", "2025-01-03T23:59:59Z", b""),
+]
+
+
+# ---------------------------------------------------------------------------
+# pure-python parser
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = warc_bytes(ROWS, gzip_members=gz)
+    assert list(parse_warc_records(data)) == ROWS
+
+
+def test_whole_file_gzip():
+    # single-member gzip of the whole archive (not the CC convention,
+    # but readers must tolerate it)
+    data = gzip.compress(warc_bytes(ROWS), mtime=0)
+    assert list(parse_warc_records(data)) == ROWS
+
+
+def test_truncated_tail_yields_prefix():
+    data = warc_bytes(ROWS)
+    assert list(parse_warc_records(data[:-20])) == ROWS[:2]
+
+
+def test_truncated_gzip_member_yields_prefix():
+    data = warc_bytes(ROWS, gzip_members=True)
+    assert list(parse_warc_records(data[:-10])) == ROWS[:2]
+
+
+def test_non_response_records_skipped():
+    req = warc_record_bytes("http://x/", "2025-01-01T00:00:00Z", b"GET /")
+    req = req.replace(b"WARC-Type: response", b"WARC-Type: request")
+    data = req + warc_bytes(ROWS[:1]) + req
+    assert list(parse_warc_records(data)) == ROWS[:1]
+
+
+def test_garbage_and_empty_inputs():
+    assert list(parse_warc_records(b"")) == []
+    assert list(parse_warc_records(b"not a warc at all")) == []
+    assert list(parse_warc_records(b"WARC/1.0\r\nno-blank-line")) == []
+
+
+def test_bad_content_length_ends_file():
+    rec = warc_record_bytes("http://x/", "2025-01-01T00:00:00Z", b"ok")
+    broken = rec.replace(b"Content-Length: ", b"Content-Length: zz", 1)
+    assert list(parse_warc_records(broken)) == []
+    # parseable prefix before the broken record still comes through
+    assert list(parse_warc_records(warc_bytes(ROWS[:1]) + broken)) == ROWS[:1]
+
+
+def test_headerless_http_payload_gives_empty_body():
+    # a response record whose payload has no CRLFCRLF split
+    rec = warc_record_bytes("http://x/", "2025-01-01T00:00:00Z", b"b")
+    # strip the HTTP header block entirely: rebuild with a raw payload
+    http = b"HTTP/1.1 200 OK"  # no blank line, no body
+    header = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://y/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(http)
+    )
+    out = list(parse_warc_records(header + http + b"\r\n\r\n" + rec))
+    assert out[0] == ("http://y/", "2025-01-01T00:00:00Z", b"")
+    assert out[1][0] == "http://x/"
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+
+def _write_archives(tmp_path):
+    (tmp_path / "part-0.warc.gz").write_bytes(
+        warc_bytes(ROWS[:2], gzip_members=True))
+    (tmp_path / "part-1.warc").write_bytes(warc_bytes(ROWS[2:]))
+    return str(tmp_path)
+
+
+def test_read_warc(spark, tmp_path):
+    path = _write_archives(tmp_path)
+    out = read_warc(spark, path).orderBy("url").collect()
+    assert [r.url for r in out] == [u for u, _, _ in ROWS]
+    assert [bytes(r.html) for r in out] == [b for _, _, b in ROWS]
+    assert out[0].warc_ts == datetime.datetime(2025, 1, 1, 0, 0, 5)
+
+
+def test_read_warc_with_errors_lineage(spark, tmp_path):
+    path = _write_archives(tmp_path)
+    out = read_warc(spark, path, with_errors=True).orderBy("url").collect()
+    assert out[0].warc_path.endswith("part-0.warc.gz")
+    assert out[2].warc_path.endswith("part-1.warc")
+
+
+def test_warc_to_pages_full_lineage(spark, tmp_path):
+    path = _write_archives(tmp_path)
+    pages = warc_to_pages(spark, path)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r.url: r for r in pages.collect()}
+    assert "Hello A, the quick brown fox." in rows["http://example.com/a"].text
+    assert rows["http://example.com/a"].lang == "en"
+    assert "中文" in rows["http://example.com/b"].text
+    # ingestion is a pure map lineage: no exchange anywhere in the plan
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CLI verb
+# ---------------------------------------------------------------------------
+
+
+def test_cli_ingest_warc(capsys, spark, tmp_path):
+    from dqc_spark import cli
+
+    path = _write_archives(tmp_path)
+    out_p = str(tmp_path / "pages.parquet")
+    rc = cli.main(["--db-path", str(tmp_path / "q.db"),
+                   "ingest-warc", "--input", path, "--output", out_p])
+    printed = capsys.readouterr().out
+    assert rc == 0
+    assert "ingested 3 pages" in printed
+    pages = spark.read.parquet(out_p)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.count() == 3
+
+
+def test_cli_ingest_warc_raw(capsys, spark, tmp_path):
+    from dqc_spark import cli
+
+    path = _write_archives(tmp_path)
+    out_p = str(tmp_path / "raw.parquet")
+    rc = cli.main(["--db-path", str(tmp_path / "q.db"),
+                   "ingest-warc", "--input", path, "--output", out_p,
+                   "--raw"])
+    assert rc == 0
+    assert spark.read.parquet(out_p).columns == ["url", "warc_ts", "html"]
