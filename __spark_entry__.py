@@ -320,6 +320,7 @@ DRIVER_ORDER = [
     "attr_tag_regate",
     "langid_train_profile",
     "warc_ingest",
+    "text_fix_mojibake",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -155,6 +155,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prior-corpus parquet: drop already-ingested content")
     p.add_argument("--normalize", action="store_true",
                    help="NFC/control/whitespace canonicalization first")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-as-cp1252 mojibake before any "
+                        "other text stage")
     p.add_argument("--line-dedup-min-len", type=int, default=0,
                    help="corpus line dedup for lines >= N chars (0 = off)")
     p.add_argument("--line-dedup-unit", default="line",
@@ -239,6 +242,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="docs parquet path")
     p.add_argument("--output", required=True)
     p.add_argument("--text-column", default="text")
+    p.add_argument("--fix-encoding", action="store_true",
+                   help="repair UTF-8-as-cp1252 mojibake first (before "
+                        "the control-strip destroys its evidence)")
 
     p = sub.add_parser("dedup-lines",
                        help="corpus-level line dedup (CCNet-style)")
@@ -640,6 +646,7 @@ def main(argv=None) -> int:
                 pack_budget=args.pack_budget or None,
                 prior=(spark.read.parquet(args.prior) if args.prior else None),
                 normalize_text=args.normalize,
+                fix_encoding=args.fix_encoding,
                 line_dedup_min_len=args.line_dedup_min_len or None,
                 line_dedup_unit=args.line_dedup_unit,
                 benchmark=(spark.read.parquet(args.benchmark)
@@ -714,6 +721,11 @@ def main(argv=None) -> int:
         from dqc_spark.normalize import normalized_col
 
         docs = spark.read.parquet(args.input)
+        if args.fix_encoding:
+            from dqc_spark.encodingfix import fix_mojibake_col
+
+            docs = docs.withColumn(
+                args.text_column, fix_mojibake_col(args.text_column))
         out = docs.withColumn(
             args.text_column, normalized_col(F.col(args.text_column))
         )

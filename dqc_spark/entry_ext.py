@@ -2267,6 +2267,64 @@ def _warc_fixture_dir(spark, sf) -> str:
     return path
 
 
+def _moji_cases():
+    """(corrupt, expected) plants: single- and double-encoded mojibake
+    plus clean fixed-point controls.  Corrupt side generated by the
+    FORWARD corruption (encode/decode in the opposite direction of the
+    repair), expected side is the clean literal — independent spec."""
+    from dqc_spark.encodingfix import make_mojibake
+
+    clean = [
+        "don’t “quote” me — it’s naïve",
+        "café déjà vu £10 €5",
+        "日本語のテキスト",
+        "Ünïcödé mix",
+        "plain ascii text",
+        "résumé – ‘single’ quotes…",
+        "русский текст",
+    ]
+    return ([(make_mojibake(c, 1), c) for c in clean]
+            + [(make_mojibake(c, 2), c) for c in clean[:3]]
+            + [(c, c) for c in clean])
+
+
+def q_fix_mojibake(spark, sf):
+    """Encoding repair differential (encodingfix.py): the real repair
+    UDF runs over planted corrupt literals; the oracle knows only the
+    expected clean text per case — cp1252/latin-1 inverse mapping,
+    strict UTF-8 validation, double-encode iteration and clean-text
+    stability are all in the compared surface."""
+    from dqc_spark.encodingfix import fix_mojibake_col
+
+    cases = _moji_cases()
+    docs = _t(spark, sf, "documents")
+    arr = F.array(*[F.lit(c) for c, _ in cases])
+    base = docs.select(
+        (F.col("doc_id") % len(cases)).alias("case_id"),
+        F.element_at(arr, (F.col("doc_id") % len(cases) + 1).cast("int"))
+        .alias("corrupt"))
+    return (base.select("case_id",
+                        fix_mojibake_col("corrupt").alias("fixed"))
+            .groupBy("case_id", "fixed")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _moji_oracle_sql() -> str:
+    cases = _moji_cases()
+    whens = "\n".join(
+        f"                 WHEN {i} THEN '" + exp.replace("'", "''") + "'"
+        for i, (_, exp) in enumerate(cases))
+    return f"""
+        SELECT doc_id % {len(cases)} AS case_id,
+               CASE doc_id % {len(cases)}
+{whens}
+               END AS fixed,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
 def q_warc_ingest(spark, sf):
     """WARC ingestion differential (warc.py): parse the authored
     archives back into (url, warc_ts, n_bytes) — the oracle recomputes
@@ -2388,6 +2446,7 @@ def extra_queries():
         "url_domain_blocklist": q_url_domain_blocklist,
         "metric_anomaly_days": q_metric_anomaly_days,
         "warc_ingest": q_warc_ingest,
+        "text_fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -2443,6 +2502,9 @@ def extra_oracle_sql():
             FROM documents
             WHERE doc_id < 128 AND text IS NOT NULL
         """,
+        # encoding repair: planted-literal spec oracle (clean expected
+        # strings only; the corrupt inputs live on the Spark side)
+        "text_fix_mojibake": _moji_oracle_sql(),
         # attribute store: the f CTE mirrors the quality_scores
         # spelling above; raw-double threshold compares are safe (same
         # int-ratio expression in both engines -> identical bits)

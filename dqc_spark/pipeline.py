@@ -225,6 +225,7 @@ def curate(
     quality_model=None,
     quality_model_threshold: float | None = None,
     langid_model: dict | None = None,
+    fix_encoding: bool = False,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -256,6 +257,9 @@ def curate(
          the rank table are KEPT (unknown is not evidence of spam).
       0. ``prior`` — incremental snapshot filter: drop pages whose text
          was already ingested (snapshot.py digest anti-join)
+      0a'. ``fix_encoding`` — mojibake repair (encodingfix.py): undo
+         UTF-8-read-as-cp1252 damage BEFORE normalize strips the C1
+         control chars the repair needs as evidence
       0b. ``normalize_text`` — NFC/control/whitespace canonicalization
          (normalize.py) so every later hash sees canonical bytes
       0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
@@ -406,6 +410,13 @@ def curate(
         from dqc_spark.snapshot import new_docs
 
         pages = _mark("prior_snapshot", new_docs(pages, prior, text_col))
+    if fix_encoding:
+        # BEFORE normalize: the C1 controls cp1252's holes map through
+        # are the repair's evidence, and normalize strips them
+        # (encodingfix.py ordering contract)
+        from dqc_spark.encodingfix import fix_mojibake_col
+
+        pages = pages.withColumn(text_col, fix_mojibake_col(text_col))
     if normalize_text:
         from dqc_spark.normalize import normalized_col
 
