@@ -321,6 +321,7 @@ DRIVER_ORDER = [
     "langid_train_profile",
     "warc_ingest",
     "text_fix_mojibake",
+    "robots_gate_verdicts",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

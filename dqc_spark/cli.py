@@ -190,6 +190,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-noindex", action="store_true",
                    help="respect robots-meta opt-outs: drop pages whose "
                         "html carries a noindex/none directive")
+    p.add_argument("--robots", default=None,
+                   help="(host, robots_txt) parquet: drop pages their "
+                        "host's robots.txt disallows (RFC 9309)")
+    p.add_argument("--robots-ua", default="*",
+                   help="user agent evaluated against robots groups")
     p.add_argument("--stage-metrics", action="store_true",
                    help="print per-stage surviving row counts (one "
                         "extra count job per enabled stage)")
@@ -647,6 +652,9 @@ def main(argv=None) -> int:
                 prior=(spark.read.parquet(args.prior) if args.prior else None),
                 normalize_text=args.normalize,
                 fix_encoding=args.fix_encoding,
+                robots=(spark.read.parquet(args.robots)
+                        if args.robots else None),
+                robots_user_agent=args.robots_ua,
                 line_dedup_min_len=args.line_dedup_min_len or None,
                 line_dedup_unit=args.line_dedup_unit,
                 benchmark=(spark.read.parquet(args.benchmark)

@@ -2325,6 +2325,66 @@ def _moji_oracle_sql() -> str:
     """
 
 
+# (robots_txt or None, path, expected-allowed-for-'*') — expectations
+# hand-derived from RFC 9309 / the published REP examples and spelled
+# ONLY in the oracle; the Spark side runs the real parser + matcher.
+_ROBOTS_CASES = [
+    ("User-agent: *\nDisallow: /fish", "/fish.html", False),
+    ("User-agent: *\nDisallow: /fish", "/catfish", True),
+    ("User-agent: *\nDisallow: /fish/", "/fish", True),
+    ("User-agent: *\nDisallow: /fish/", "/fish/salmon", False),
+    ("User-agent: *\nDisallow: /*.php$", "/file.php", False),
+    ("User-agent: *\nDisallow: /*.php$", "/file.php?x=1", True),
+    ("User-agent: *\nAllow: /p\nDisallow: /", "/page", True),
+    ("User-agent: *\nAllow: /p\nDisallow: /", "/other", False),
+    ("User-agent: *\nAllow: /folder\nDisallow: /folder", "/folder/x", True),
+    ("User-agent: *\nDisallow:", "/x", True),
+    ("User-agent: bot\nDisallow: /", "/x", True),   # no '*' group
+    (None, "/x", True),                             # no robots row
+]
+
+
+def q_robots_gate(spark, sf):
+    """robots.txt compliance differential (robots.py): the real RFC
+    9309 parser + longest-match kernel runs over planted policies; the
+    oracle knows only the hand-derived verdict per case — prefix/
+    wildcard/$-anchor matching, allow-tie precedence, empty-disallow,
+    group fallback and missing-policy defaults all in the compared
+    surface."""
+    from dqc_spark.robots import robots_gate
+
+    k = len(_ROBOTS_CASES)
+    docs = _t(spark, sf, "documents")
+    url_arr = F.array(*[F.lit(f"http://case{i}.test{p}")
+                        for i, (_, p, _) in enumerate(_ROBOTS_CASES)])
+    base = docs.select(
+        (F.col("doc_id") % k).alias("case_id"),
+        F.element_at(url_arr, (F.col("doc_id") % k + 1).cast("int"))
+        .alias("url"))
+    robots = spark.createDataFrame(
+        [(f"case{i}.test", txt)
+         for i, (txt, _, _) in enumerate(_ROBOTS_CASES) if txt is not None],
+        "host string, robots_txt string")
+    return (robots_gate(base, robots, flag_col="allowed")
+            .groupBy("case_id", "allowed")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _robots_oracle_sql() -> str:
+    whens = "\n".join(
+        f"                 WHEN {i} THEN {'true' if exp else 'false'}"
+        for i, (_, _, exp) in enumerate(_ROBOTS_CASES))
+    return f"""
+        SELECT doc_id % {len(_ROBOTS_CASES)} AS case_id,
+               CASE doc_id % {len(_ROBOTS_CASES)}
+{whens}
+               END AS allowed,
+               COUNT(*) AS n
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
 def q_warc_ingest(spark, sf):
     """WARC ingestion differential (warc.py): parse the authored
     archives back into (url, warc_ts, n_bytes) — the oracle recomputes
@@ -2447,6 +2507,7 @@ def extra_queries():
         "metric_anomaly_days": q_metric_anomaly_days,
         "warc_ingest": q_warc_ingest,
         "text_fix_mojibake": q_fix_mojibake,
+        "robots_gate_verdicts": q_robots_gate,
     }
 
 
@@ -2505,6 +2566,8 @@ def extra_oracle_sql():
         # encoding repair: planted-literal spec oracle (clean expected
         # strings only; the corrupt inputs live on the Spark side)
         "text_fix_mojibake": _moji_oracle_sql(),
+        # robots.txt gate: hand-derived RFC 9309 verdict spec
+        "robots_gate_verdicts": _robots_oracle_sql(),
         # attribute store: the f CTE mirrors the quality_scores
         # spelling above; raw-double threshold compares are safe (same
         # int-ratio expression in both engines -> identical bits)

@@ -226,6 +226,8 @@ def curate(
     quality_model_threshold: float | None = None,
     langid_model: dict | None = None,
     fix_encoding: bool = False,
+    robots: DataFrame | None = None,
+    robots_user_agent: str = "*",
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -257,6 +259,9 @@ def curate(
          the rank table are KEPT (unknown is not evidence of spam).
       0. ``prior`` — incremental snapshot filter: drop pages whose text
          was already ingested (snapshot.py digest anti-join)
+      0a'''. ``robots`` — RFC 9309 compliance gate (robots.py): drop
+         pages their host's robots.txt disallows for
+         ``robots_user_agent``; hosts without a policy row are kept
       0a'. ``fix_encoding`` — mojibake repair (encodingfix.py): undo
          UTF-8-read-as-cp1252 damage BEFORE normalize strips the C1
          control chars the repair needs as evidence
@@ -362,6 +367,13 @@ def curate(
         # NULL html / no directive -> keep (absence is not an opt-out)
         pages = _mark("drop_noindex", pages.filter(
             ~F.coalesce(noindex_pred("html"), F.lit(False))))
+    if robots is not None:
+        from dqc_spark.robots import robots_gate
+
+        # policy drop right after the scan-level filters: the join
+        # carries only url + the host's tiny rule arrays
+        pages = _mark("robots", robots_gate(
+            pages, robots, user_agent=robots_user_agent, url_col=key_col))
     if trust_seeds and min_domain_rank is None:
         # silently ignoring the seeds would look like the reputation
         # gate ran when it did not (same guard as the CLI's)
