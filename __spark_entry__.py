@@ -322,6 +322,7 @@ DRIVER_ORDER = [
     "warc_ingest",
     "text_fix_mojibake",
     "robots_gate_verdicts",
+    "media_image_near_dups",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

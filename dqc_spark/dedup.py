@@ -440,14 +440,43 @@ def simhash_near_dups(
     5k docs).  At cluster scale: materialize signatures once, join after.
     """
     sh = track(simhash_signatures(df, key_col, text_col))
+    return hamming_near_dups(sh, max_hamming=max_hamming,
+                             max_bucket=max_bucket)
+
+
+def hamming_near_dups(
+    signatures: DataFrame, max_hamming: int = 3,
+    max_bucket: int | None = 500, sim_col: str = "sim",
+) -> DataFrame:
+    """Near-dup pairs over any (key, 64-bit signature) frame — the
+    shared pigeonhole join behind SimHash text dedup and dHash image
+    dedup.  The 64-bit hash splits into n > max_hamming equal chunks
+    (4x16 for hamming<=3, 8x8 for <=7, 16x4 for <=15): any pair within
+    the radius agrees on at least one chunk, so candidates meet in a
+    chunk-equality join (n-fold fanout, never a cross join) and exact
+    hamming is one bit_count(xor).  Caller persists ``signatures`` when
+    it embeds a Python stage (the multi-consumer rule)."""
+    if max_hamming <= 3:
+        n_chunks = 4
+    elif max_hamming <= 7:
+        n_chunks = 8
+    elif max_hamming <= 15:
+        n_chunks = 16
+    else:
+        raise ValueError("max_hamming > 15 defeats pigeonhole banding")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = signatures.withColumnRenamed(sim_col, "sim") \
+        if sim_col != "sim" else signatures
     chunks = sh.select(
         "key",
         "sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("sim"), c * width)
+                    .bitwiseAND(F.lit(mask))
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),

@@ -2325,6 +2325,56 @@ def _moji_oracle_sql() -> str:
     """
 
 
+def q_image_near_dups(spark, sf):
+    """Image near-dup via perceptual dHash (multimodal.image_near_dups):
+    per doc_id a deterministic synthetic 'photo' is planted twice —
+    lossless PNM and a quality-85 baseline-JPEG re-encode — plus
+    undecodable junk rows; the pair search is the shared pigeonhole
+    hamming join.  Rows-only (binary synthesis + raster decode are
+    engine-specific); planted-pair recall, cross-format dHash
+    invariance and junk exclusion are pinned in tests/test_mediadedup."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dqc_spark.jpegcodec import encode_jpeg
+    from dqc_spark.mediacodec import encode_pnm
+    from dqc_spark.multimodal import image_near_dups
+
+    docs = _t(spark, sf, "documents").select("doc_id").limit(24)
+    docs = docs.repartition(4)  # limit() collapses to one partition
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                r = np.random.default_rng(d)
+                yy, xx = np.mgrid[0:32, 0:40]
+                base = np.full((32, 40), 128.0)
+                for _ in range(4):
+                    fx, fy = r.uniform(0.5, 5, 2)
+                    px, py = r.uniform(0, 2 * np.pi, 2)
+                    base += r.uniform(20, 45) * np.sin(
+                        xx / 40 * np.pi * fx + px) * np.cos(
+                        yy / 32 * np.pi * fy + py)
+                img = np.clip(
+                    base[:, :, None] + r.normal(0, 4, (32, 40, 3)),
+                    0, 255).astype(np.uint8)
+                keys += [f"d{d}_pnm", f"d{d}_jpg", f"d{d}_junk"]
+                blobs += [encode_pnm(img), encode_jpeg(img, quality=85),
+                          b"JUNK" + d.to_bytes(4, "big")]
+            yield pd.DataFrame({"key": keys, "media": blobs})
+
+    media = docs.mapInPandas(synth, schema=T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+    ]))
+    return image_near_dups(media, "key", max_hamming=6)
+
+
 # (robots_txt or None, path, expected-allowed-for-'*') — expectations
 # hand-derived from RFC 9309 / the published REP examples and spelled
 # ONLY in the oracle; the Spark side runs the real parser + matcher.
@@ -2508,6 +2558,7 @@ def extra_queries():
         "warc_ingest": q_warc_ingest,
         "text_fix_mojibake": q_fix_mojibake,
         "robots_gate_verdicts": q_robots_gate,
+        "media_image_near_dups": q_image_near_dups,
     }
 
 

@@ -260,6 +260,43 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows[:, None], cols[None, :]]
 
 
+def box_resize_gray(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Grayscale box-mean downsample to (height, width): each output
+    cell averages its source region, so single-pixel noise cannot flip
+    it — the resample perceptual hashing needs (nearest-neighbor would
+    make the hash noise-sensitive)."""
+    a = img.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    ys = (np.arange(height + 1) * h) // height
+    xs = (np.arange(width + 1) * w) // width
+    out = np.empty((height, width))
+    for r in range(height):
+        rows = a[ys[r]:max(ys[r] + 1, ys[r + 1])]
+        for c in range(width):
+            out[r, c] = rows[:, xs[c]:max(xs[c] + 1, xs[c + 1])].mean()
+    return out
+
+
+def image_dhash(data: bytes) -> int | None:
+    """64-bit difference hash (dHash): box-resample to 9x8 gray, one
+    bit per horizontal gradient (right > left), row-major.  Returns a
+    SIGNED 64-bit int (Spark LongType wrap) or None for undecodable
+    input — robust to re-encoding, format conversion and mild noise,
+    which is exactly what near-dup image detection must survive."""
+    try:
+        img, _ = _decode_image(data)
+    except Exception:
+        return None
+    g = box_resize_gray(img, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _decode_image(data: bytes) -> tuple[np.ndarray, float]:
     """(pixels (h, w, {1,3}), maxval) for any really-decodable image
     format.  PNG alpha is stripped (features describe the color

@@ -302,3 +302,58 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: perceptual dHash -> shared pigeonhole hamming join
+# ---------------------------------------------------------------------------
+
+_DHASH_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("sim", T.LongType()),
+])
+
+
+def image_dhash_signatures(
+    df: DataFrame, key_col: str, media_col: str = "media"
+) -> DataFrame:
+    """(key, sim): 64-bit perceptual difference hash per decodable
+    image (mediacodec.image_dhash — PNG/PNM/baseline-JPEG), NULL for
+    anything undecodable.  One Arrow kernel, no shuffle; the raster
+    never leaves the executor — only the 8-byte hash does."""
+    from dqc_spark.mediacodec import image_dhash
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "key": pdf[key_col].astype(str),
+                "sim": pd.Series(
+                    [image_dhash(bytes(b)) if b is not None else None
+                     for b in pdf[media_col]], dtype="object"),
+            })
+
+    return df.select(key_col, media_col).mapInPandas(
+        kernel, schema=_DHASH_SCHEMA)
+
+
+def image_near_dups(
+    df: DataFrame, key_col: str, media_col: str = "media",
+    max_hamming: int = 6, max_bucket: int | None = 500,
+) -> DataFrame:
+    """Near-duplicate image pairs (key_a, key_b, hamming): re-encoded,
+    format-converted or mildly-noised copies of the same picture land
+    within a small dHash hamming radius; the pair search is the SAME
+    pigeonhole chunk join SimHash text dedup uses (dedup.py — 8x8-bit
+    chunks at the default radius 6, never a cross join).  Undecodable
+    media is excluded, not errored: a crawl's media column always
+    carries formats no decoder handles.  Signatures are persisted —
+    the Python decode stage has three consumers (cap + both join
+    sides), the CLAUDE.md multi-consumer rule."""
+    from dqc_spark.cache import track
+    from dqc_spark.dedup import hamming_near_dups
+
+    sig = track(
+        image_dhash_signatures(df, key_col, media_col)
+        .filter(F.col("sim").isNotNull()))
+    return hamming_near_dups(sig, max_hamming=max_hamming,
+                             max_bucket=max_bucket)
