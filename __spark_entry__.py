@@ -323,6 +323,7 @@ DRIVER_ORDER = [
     "text_fix_mojibake",
     "robots_gate_verdicts",
     "media_image_near_dups",
+    "cdx_select_captures",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -2325,6 +2325,64 @@ def _moji_oracle_sql() -> str:
     """
 
 
+def _cdx_fixture_path(spark, sf) -> str:
+    """Author a CDXJ index FROM the documents table (every field a
+    deterministic function of doc_id/text) so the DuckDB oracle can
+    recompute the parsed output without reading CDXJ.  Same
+    content-addressed /tmp cache pattern as the WARC fixture."""
+    import datetime
+    import hashlib
+
+    from dqc_spark.cdx import cdxj_line
+
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 128) & F.col("text").isNotNull())
+    rows = sorted(docs.select("doc_id", "text").collect(),
+                  key=lambda r: r.doc_id)
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(r.doc_id).encode())
+        h.update(r.text.encode())
+    path = f"/tmp/dqc_cdx_fixture_{h.hexdigest()[:12]}.cdxj"
+    if not os.path.exists(path):
+        base = datetime.datetime(2025, 1, 1)
+        lines = []
+        for r in rows:
+            d = int(r.doc_id)
+            ts = base + datetime.timedelta(seconds=d)
+            lines.append(cdxj_line(
+                f"test)/d{d}", ts.strftime("%Y%m%d%H%M%S"),
+                {
+                    "url": f"http://cdx.test/d{d}",
+                    "mime": "text/html" if d % 3 else "image/png",
+                    "status": "200" if d % 4 else "404",
+                    "digest": hashlib.md5(r.text.encode()).hexdigest(),
+                    "length": str(len(r.text.encode("utf-8"))),
+                    "offset": str(d * 1000),
+                    "filename": f"crawl-{d % 2}.warc.gz",
+                    "languages": "eng",
+                },
+            ))
+        lines.append("truncated garbage tail")  # must be dropped
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines))
+        os.replace(tmp, path)
+    return path
+
+
+def q_cdx_select(spark, sf):
+    """CDXJ index differential (cdx.py): parse the authored index with
+    the pure-Catalyst reader, prune to fetchable captures
+    (status 200 + text/html), and compare every parsed field — line
+    split, from_json, 14-digit timestamp decode, casts and the
+    selection predicate are all in the compared surface."""
+    from dqc_spark.cdx import read_cdxj, select_captures
+
+    idx = read_cdxj(spark, _cdx_fixture_path(spark, sf))
+    return select_captures(idx, dedup_digest=False).drop("languages")
+
+
 def q_image_near_dups(spark, sf):
     """Image near-dup via perceptual dHash (multimodal.image_near_dups):
     per doc_id a deterministic synthetic 'photo' is planted twice —
@@ -2559,6 +2617,7 @@ def extra_queries():
         "text_fix_mojibake": q_fix_mojibake,
         "robots_gate_verdicts": q_robots_gate,
         "media_image_near_dups": q_image_near_dups,
+        "cdx_select_captures": q_cdx_select,
     }
 
 
@@ -2619,6 +2678,23 @@ def extra_oracle_sql():
         "text_fix_mojibake": _moji_oracle_sql(),
         # robots.txt gate: hand-derived RFC 9309 verdict spec
         "robots_gate_verdicts": _robots_oracle_sql(),
+        # CDXJ index: every parsed field recomputed from documents
+        "cdx_select_captures": """
+            SELECT 'test)/d' || CAST(doc_id AS VARCHAR) AS urlkey,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + doc_id * INTERVAL '1 second' AS capture_ts,
+                   'http://cdx.test/d' || CAST(doc_id AS VARCHAR) AS url,
+                   'text/html' AS mime,
+                   '200' AS status,
+                   md5(text) AS digest,
+                   CAST(octet_length(ENCODE(text)) AS BIGINT) AS length,
+                   doc_id * 1000 AS "offset",
+                   'crawl-' || CAST(doc_id % 2 AS VARCHAR) || '.warc.gz'
+                     AS filename
+            FROM documents
+            WHERE doc_id < 128 AND text IS NOT NULL
+              AND doc_id % 4 <> 0 AND doc_id % 3 <> 0
+        """,
         # attribute store: the f CTE mirrors the quality_scores
         # spelling above; raw-double threshold compares are safe (same
         # int-ratio expression in both engines -> identical bits)
