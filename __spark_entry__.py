@@ -324,6 +324,7 @@ DRIVER_ORDER = [
     "robots_gate_verdicts",
     "media_image_near_dups",
     "cdx_select_captures",
+    "warc_range_fetch",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -2235,8 +2235,9 @@ def _warc_fixture_dir(spark, sf) -> str:
     4 gzip-member shards so the read parallelizes like real CC dumps."""
     import datetime
     import hashlib
+    import json
 
-    from dqc_spark.warc import warc_bytes
+    from dqc_spark.warc import warc_bytes_with_index
 
     docs = _t(spark, sf, "documents").filter(
         (F.col("doc_id") < 128) & F.col("text").isNotNull())
@@ -2246,7 +2247,7 @@ def _warc_fixture_dir(spark, sf) -> str:
     for r in rows:
         h.update(str(r.doc_id).encode())
         h.update(r.text.encode())
-    path = f"/tmp/dqc_warc_fixture_{h.hexdigest()[:12]}"
+    path = f"/tmp/dqc_warc_fixture_v2_{h.hexdigest()[:12]}"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
@@ -2259,12 +2260,40 @@ def _warc_fixture_dir(spark, sf) -> str:
                 ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
                 r.text.encode("utf-8"),
             ))
+        ranges = []  # the CDX-shaped sidecar the range-fetch entry uses
         for i, shard in enumerate(shards):
-            with open(os.path.join(path, f"part-{i}.warc.gz"), "wb") as f:
-                f.write(warc_bytes(shard, gzip_members=True))
+            fname = f"part-{i}.warc.gz"
+            data, index = warc_bytes_with_index(shard)
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(data)
+            ranges += [[fname, off, length] for off, length in index]
+        with open(os.path.join(path, "ranges.json"), "w") as f:
+            json.dump(ranges, f)
         with open(done, "w"):
             pass
     return path
+
+
+def q_warc_range_fetch(spark, sf):
+    """Selective range fetch (warc.read_warc_ranges — the CDX->WARC
+    path): fetch every record of the authored fixture by its
+    (filename, offset, length) byte range instead of scanning files;
+    the result must equal the whole-file parse, so it shares
+    warc_ingest's documents-derived SQL oracle — seek framing, per-
+    member gzip decode and range bookkeeping are all in the compared
+    surface."""
+    import json
+
+    from dqc_spark.warc import read_warc_ranges
+
+    path = _warc_fixture_dir(spark, sf)
+    with open(os.path.join(path, "ranges.json")) as f:
+        ranges = json.load(f)
+    sel = spark.createDataFrame(
+        [(r[0], int(r[1]), int(r[2])) for r in ranges],
+        "filename string, offset long, length long")
+    return read_warc_ranges(spark, sel, path).select(
+        "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
 
 
 def _moji_cases():
@@ -2618,6 +2647,7 @@ def extra_queries():
         "robots_gate_verdicts": q_robots_gate,
         "media_image_near_dups": q_image_near_dups,
         "cdx_select_captures": q_cdx_select,
+        "warc_range_fetch": q_warc_range_fetch,
     }
 
 
@@ -2665,6 +2695,16 @@ def extra_oracle_sql():
         # (unrounded) compare is safe: strings, a timestamp built by
         # integer-second addition, and an integer byte length.
         "warc_ingest": """
+            SELECT 'http://warc.test/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + doc_id * INTERVAL '1 second' AS warc_ts,
+                   CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes
+            FROM documents
+            WHERE doc_id < 128 AND text IS NOT NULL
+        """,
+        # range fetch must reproduce the whole-file parse exactly
+        "warc_range_fetch": """
             SELECT 'http://warc.test/doc/' || CAST(doc_id AS VARCHAR)
                      AS url,
                    TIMESTAMP '2025-01-01 00:00:00'
