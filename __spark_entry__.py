@@ -325,6 +325,7 @@ DRIVER_ORDER = [
     "media_image_near_dups",
     "cdx_select_captures",
     "warc_range_fetch",
+    "order_shard_assign",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -242,6 +242,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx", action="store_true",
                    help="HLL distinct counts (the at-scale path)")
 
+    p = sub.add_parser("shard",
+                       help="deterministic fixed-size training shards "
+                            "(shard=N/ parquet layout)")
+    p.add_argument("--input", required=True, help="docs parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--docs-per-shard", type=int, required=True)
+    p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+
     p = sub.add_parser("normalize",
                        help="NFC + control-strip + whitespace canonicalization")
     p.add_argument("--input", required=True, help="docs parquet path")
@@ -722,6 +731,19 @@ def main(argv=None) -> int:
             print(f"{r['column']:<20} nulls={r['n_nulls']:<8} "
                   f"distinct={r['n_distinct']:<10} "
                   f"min={r['min_str']!r} max={r['max_str']!r}")
+        return 0
+    if c == "shard":
+        from dqc_spark.ordering import write_shards
+
+        docs = spark.read.parquet(args.input)
+        if args.docs_per_shard <= 0:
+            print("error: --docs-per-shard must be positive",
+                  file=sys.stderr)
+            return 2
+        n = write_shards(docs, args.output, args.docs_per_shard,
+                         key_col=args.key_column,
+                         text_col=args.text_column)
+        print(f"wrote {n} shards to {args.output}")
         return 0
     if c == "normalize":
         from pyspark.sql import functions as F

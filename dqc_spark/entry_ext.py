@@ -2296,6 +2296,18 @@ def q_warc_range_fetch(spark, sf):
         "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
 
 
+def q_shard_assign(spark, sf):
+    """Deterministic training-shard assignment (ordering.assign_shards):
+    global content order chopped into fixed-size shards — position //
+    docs_per_shard, stable across re-runs and parallelism.  Full SQL
+    oracle via the same ROW_NUMBER spelling the training-order entry
+    pins (Spark row_number cast to long per the CLAUDE.md rule)."""
+    from dqc_spark.ordering import assign_shards
+
+    docs = _t(spark, sf, "documents")
+    return assign_shards(docs, 100).select("doc_id", "position", "shard")
+
+
 def _moji_cases():
     """(corrupt, expected) plants: single- and double-encoded mojibake
     plus clean fixed-point controls.  Corrupt side generated by the
@@ -2648,6 +2660,7 @@ def extra_queries():
         "media_image_near_dups": q_image_near_dups,
         "cdx_select_captures": q_cdx_select,
         "warc_range_fetch": q_warc_range_fetch,
+        "order_shard_assign": q_shard_assign,
     }
 
 
@@ -3872,6 +3885,18 @@ def extra_oracle_sql():
                    CAST(ROW_NUMBER() OVER (ORDER BY md5(text) NULLS FIRST,
                                            doc_id) - 1 AS BIGINT) AS position
             FROM documents
+        """,
+        "order_shard_assign": """
+            WITH pos AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY md5(text) NULLS FIRST,
+                                             doc_id) - 1 AS BIGINT)
+                       AS position
+              FROM documents
+            )
+            SELECT doc_id, position,
+                   CAST(position // 100 AS BIGINT) AS shard
+            FROM pos
         """,
         # independent RE2 extraction chain over the SAME synthetic page
         # markup (no backrefs/lookahead: script close-tag spelled out,

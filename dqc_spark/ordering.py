@@ -111,3 +111,42 @@ def training_order(
         with_key, ["__okey"], key_col, num_partitions=num_partitions
     )
     return out.drop("__okey")
+
+
+def assign_shards(
+    df: DataFrame,
+    docs_per_shard: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic training-shard assignment: the global content
+    order chopped into fixed-size shards (``shard = position //
+    docs_per_shard``).  Stable across re-runs and cluster sizes — the
+    property a resumable training job needs to map "shard 1234" back
+    to the same documents forever.  Cost is exactly training_order's
+    one narrow range shuffle; the division adds nothing."""
+    if docs_per_shard <= 0:
+        raise ValueError("docs_per_shard must be positive")
+    ordered = training_order(df, key_col, text_col,
+                             num_partitions=num_partitions)
+    return ordered.withColumn(
+        shard_col, (F.col("position") / docs_per_shard).cast("long"))
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    docs_per_shard: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Materialize shard-partitioned parquet (``shard=N/`` dirs, one
+    file per shard via an in-partition repartition on the shard key) —
+    the standard layout a data loader streams sequentially.  Returns
+    the number of shards written."""
+    sharded = assign_shards(df, docs_per_shard, key_col, text_col)
+    (sharded.repartition("shard")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    return (sharded.select("shard").distinct().count())

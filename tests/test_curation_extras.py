@@ -367,3 +367,53 @@ def test_curate_split_weights_stage(spark):
     # default: no split column
     assert "split" not in curate(pages, near_dup_threshold=None,
                                  domain_quota=None).columns
+
+
+def test_assign_shards_deterministic_and_fixed_size(spark, sf_dir):
+    from dqc_spark.ordering import assign_shards, training_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = assign_shards(docs, 64).select("doc_id", "shard")
+    got = {r.doc_id: r.shard for r in a.collect()}
+    # python twin over the same global order
+    ordered = sorted(
+        (r.position, r.doc_id)
+        for r in training_order(docs).select("position", "doc_id").collect())
+    for pos, did in ordered:
+        assert got[did] == pos // 64, did
+    # every shard but the last holds exactly 64 docs
+    from collections import Counter
+    sizes = Counter(got.values())
+    for s in range(max(sizes)):
+        assert sizes[s] == 64, s
+    # partition invariance
+    b = assign_shards(docs.repartition(13), 64).select("doc_id", "shard")
+    assert {r.doc_id: r.shard for r in b.collect()} == got
+
+
+def test_assign_shards_validates(spark, sf_dir):
+    import pytest
+
+    from dqc_spark.ordering import assign_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="positive"):
+        assign_shards(docs, 0)
+
+
+def test_write_shards_layout(spark, sf_dir, tmp_path):
+    import os
+
+    from dqc_spark.ordering import write_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(130) \
+        .repartition(4)
+    out = str(tmp_path / "shards")
+    n = write_shards(docs, out, 50)
+    assert n == 3
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 130
+    assert back.filter("shard = 0").count() == 50
+    assert back.filter("shard = 2").count() == 30
