@@ -326,6 +326,7 @@ DRIVER_ORDER = [
     "cdx_select_captures",
     "warc_range_fetch",
     "order_shard_assign",
+    "text_toxicity_scores",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

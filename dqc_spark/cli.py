@@ -195,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "host's robots.txt disallows (RFC 9309)")
     p.add_argument("--robots-ua", default="*",
                    help="user agent evaluated against robots groups")
+    p.add_argument("--toxic-words", default=None,
+                   help="blocklist file (one term per line, # comments):"
+                        " gate documents on blocked-token fraction")
+    p.add_argument("--max-toxicity", type=float, default=0.0,
+                   help="max blocked-token fraction kept (default 0.0 ="
+                        " one blocked token drops the page)")
     p.add_argument("--stage-metrics", action="store_true",
                    help="print per-stage surviving row counts (one "
                         "extra count job per enabled stage)")
@@ -563,6 +569,7 @@ def main(argv=None) -> int:
     if c == "curate":
         from dqc_spark.langid import model_from_df
         from dqc_spark.pipeline import curate
+        from dqc_spark.toxicity import load_wordlist
 
         if args.domain_ranks and args.min_domain_rank < 0:
             # silently ignoring a supplied rank table would look like
@@ -664,6 +671,9 @@ def main(argv=None) -> int:
                 robots=(spark.read.parquet(args.robots)
                         if args.robots else None),
                 robots_user_agent=args.robots_ua,
+                toxic_words=(load_wordlist(args.toxic_words)
+                             if args.toxic_words else None),
+                max_toxicity=args.max_toxicity,
                 line_dedup_min_len=args.line_dedup_min_len or None,
                 line_dedup_unit=args.line_dedup_unit,
                 benchmark=(spark.read.parquet(args.benchmark)

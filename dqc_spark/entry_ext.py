@@ -2296,6 +2296,43 @@ def q_warc_range_fetch(spark, sf):
         "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
 
 
+# stand-in 'toxic' terms for the synthetic corpus (real deployments
+# supply their own list file); mixed case proves the fold
+_TOX_WORDS = ("Spark", "merge", "WINDOW")
+
+
+def q_toxicity_scores(spark, sf):
+    """Word-list toxicity scoring (toxicity.py): blocked-token
+    fraction per document via the shared alnum-token kernel — the
+    oracle recomputes the identical int-ratio double from the shared
+    alnum tokenizer SQL, so list folding, token matching and the ratio all
+    compare raw-bit."""
+    from dqc_spark.toxicity import load_wordlist, with_toxicity
+
+    docs = _t(spark, sf, "documents")
+    return with_toxicity(docs, load_wordlist(_TOX_WORDS)) \
+        .select("doc_id", "toxicity")
+
+
+def _toxicity_oracle_sql() -> str:
+    from dqc_spark.toxicity import load_wordlist
+
+    words = sorted(load_wordlist(_TOX_WORDS))
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_ALTOKS_SQL} AS t FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(t) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(t,
+                             x -> list_contains({lst}, x))) AS DOUBLE)
+                         / len(t)
+               END AS toxicity
+        FROM toks
+    """
+
+
 def q_shard_assign(spark, sf):
     """Deterministic training-shard assignment (ordering.assign_shards):
     global content order chopped into fixed-size shards — position //
@@ -2661,6 +2698,7 @@ def extra_queries():
         "cdx_select_captures": q_cdx_select,
         "warc_range_fetch": q_warc_range_fetch,
         "order_shard_assign": q_shard_assign,
+        "text_toxicity_scores": q_toxicity_scores,
     }
 
 
@@ -2731,6 +2769,8 @@ def extra_oracle_sql():
         "text_fix_mojibake": _moji_oracle_sql(),
         # robots.txt gate: hand-derived RFC 9309 verdict spec
         "robots_gate_verdicts": _robots_oracle_sql(),
+        # toxicity: int-ratio double over the shared tokenizer SQL
+        "text_toxicity_scores": _toxicity_oracle_sql(),
         # CDXJ index: every parsed field recomputed from documents
         "cdx_select_captures": """
             SELECT 'test)/d' || CAST(doc_id AS VARCHAR) AS urlkey,

@@ -228,6 +228,8 @@ def curate(
     fix_encoding: bool = False,
     robots: DataFrame | None = None,
     robots_user_agent: str = "*",
+    toxic_words=None,
+    max_toxicity: float = 0.0,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -259,6 +261,10 @@ def curate(
          the rank table are KEPT (unknown is not evidence of spam).
       0. ``prior`` — incremental snapshot filter: drop pages whose text
          was already ingested (snapshot.py digest anti-join)
+      1a''. ``toxic_words`` — word-list toxicity gate (toxicity.py):
+         drop pages whose blocked-token fraction exceeds
+         ``max_toxicity`` (default 0.0: one listed token drops the
+         page, the C4 bad-words rule); runs after the heuristic gates
       0a'''. ``robots`` — RFC 9309 compliance gate (robots.py): drop
          pages their host's robots.txt disallows for
          ``robots_user_agent``; hosts without a policy row are kept
@@ -512,6 +518,13 @@ def curate(
         ann.filter(F.col("keep")).withColumn("doc_key", F.xxhash64(key_col))
     )
     kept = _mark("quality_gates", kept)
+    if toxic_words is not None:
+        from dqc_spark.toxicity import toxicity_gate
+
+        # after the heuristic gates (cheapest rows already gone); the
+        # list broadcasts, scoring is one Arrow kernel, no shuffle
+        kept = _mark("toxicity", toxicity_gate(
+            kept, toxic_words, max_toxicity, text_col=text_col))
     if quality_model is not None:
         from dqc_spark.qualitymodel import score_col
 
