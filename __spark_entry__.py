@@ -323,6 +323,7 @@ DRIVER_ORDER = [
     "text_fix_mojibake",
     "robots_gate_verdicts",
     "media_image_near_dups",
+    "media_audio_near_dups",
     "cdx_select_captures",
     "warc_range_fetch",
     "order_shard_assign",

@@ -2511,6 +2511,57 @@ def q_image_near_dups(spark, sf):
     return image_near_dups(media, "key", max_hamming=6)
 
 
+def q_audio_near_dups(spark, sf):
+    """Audio near-dup via the spectral fingerprint
+    (multimodal.audio_near_dups): per doc_id a deterministic synthetic
+    'recording' (broadband bed + enveloped tones) is planted twice —
+    original 16 kHz WAV and a band-limited 8 kHz resample — plus
+    undecodable junk rows; the pair search is the shared pigeonhole
+    hamming join.  Rows-only (waveform synthesis + FFT fingerprints are
+    engine-specific); transform invariance, distinct-recording
+    separation and junk exclusion are pinned in tests/test_mediadedup."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from dqc_spark.mediacodec import encode_wav
+    from dqc_spark.multimodal import audio_near_dups
+
+    docs = _t(spark, sf, "documents").select("doc_id").limit(24)
+    docs = docs.repartition(4)  # limit() collapses to one partition
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                r = np.random.default_rng(d)
+                n = 8000
+                t = np.arange(n) / 16000.0
+                sig = 0.04 * r.standard_normal(n)
+                for _ in range(5):
+                    f = r.uniform(150, 3500)
+                    env = 0.5 + 0.5 * np.sin(
+                        2 * np.pi * r.uniform(0.5, 3) * t
+                        + r.uniform(0, 2 * np.pi))
+                    sig = sig + r.uniform(0.1, 0.25) * env * np.sin(
+                        2 * np.pi * f * t + r.uniform(0, 2 * np.pi))
+                sig = np.clip(sig, -1, 1)
+                rs = np.fft.irfft(np.fft.rfft(sig)[: 2001], n=4000) * 0.5
+                keys += [f"d{d}_16k", f"d{d}_8k", f"d{d}_junk"]
+                blobs += [encode_wav(sig, 16000), encode_wav(rs, 8000),
+                          b"JUNK" + d.to_bytes(4, "big")]
+            yield pd.DataFrame({"key": keys, "media": blobs})
+
+    media = docs.mapInPandas(synth, schema=T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("media", T.BinaryType()),
+    ]))
+    return audio_near_dups(media, "key", max_hamming=8)
+
+
 # (robots_txt or None, path, expected-allowed-for-'*') — expectations
 # hand-derived from RFC 9309 / the published REP examples and spelled
 # ONLY in the oracle; the Spark side runs the real parser + matcher.
@@ -2695,6 +2746,7 @@ def extra_queries():
         "text_fix_mojibake": q_fix_mojibake,
         "robots_gate_verdicts": q_robots_gate,
         "media_image_near_dups": q_image_near_dups,
+        "media_audio_near_dups": q_audio_near_dups,
         "cdx_select_captures": q_cdx_select,
         "warc_range_fetch": q_warc_range_fetch,
         "order_shard_assign": q_shard_assign,

@@ -305,7 +305,7 @@ def frame_sample_plan(
 
 
 # ---------------------------------------------------------------------------
-# image near-dup: perceptual dHash -> shared pigeonhole hamming join
+# image/audio near-dup: perceptual 64-bit hash -> shared pigeonhole join
 # ---------------------------------------------------------------------------
 
 _DHASH_SCHEMA = T.StructType([
@@ -314,26 +314,54 @@ _DHASH_SCHEMA = T.StructType([
 ])
 
 
-def image_dhash_signatures(
-    df: DataFrame, key_col: str, media_col: str = "media"
-) -> DataFrame:
-    """(key, sim): 64-bit perceptual difference hash per decodable
-    image (mediacodec.image_dhash — PNG/PNM/baseline-JPEG), NULL for
-    anything undecodable.  One Arrow kernel, no shuffle; the raster
-    never leaves the executor — only the 8-byte hash does."""
-    from dqc_spark.mediacodec import image_dhash
+def _media_signatures(df: DataFrame, key_col: str, media_col: str,
+                      hash_fn) -> DataFrame:
+    """(key, sim): 64-bit perceptual hash per decodable blob via
+    ``hash_fn(bytes) -> int | None``, NULL for anything undecodable.
+    One Arrow kernel, no shuffle; the raster/samples never leave the
+    executor — only the 8-byte hash does."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "key": pdf[key_col].astype(str),
                 "sim": pd.Series(
-                    [image_dhash(bytes(b)) if b is not None else None
+                    [hash_fn(bytes(b)) if b is not None else None
                      for b in pdf[media_col]], dtype="object"),
             })
 
     return df.select(key_col, media_col).mapInPandas(
         kernel, schema=_DHASH_SCHEMA)
+
+
+def _media_near_dups(df: DataFrame, key_col: str, media_col: str,
+                     hash_fn, max_hamming: int,
+                     max_bucket: int | None) -> DataFrame:
+    """Shared tail of image/audio near-dup: hash, drop undecodable
+    (a crawl's media column always carries formats no decoder
+    handles — excluded, not errored), persist (the Python decode
+    stage has three consumers: cap + both join sides, the CLAUDE.md
+    multi-consumer rule), then the SAME pigeonhole chunk join SimHash
+    text dedup uses (dedup.py — never a cross join)."""
+    from dqc_spark.cache import track
+    from dqc_spark.dedup import hamming_near_dups
+
+    sig = track(
+        _media_signatures(df, key_col, media_col, hash_fn)
+        .filter(F.col("sim").isNotNull()))
+    return hamming_near_dups(sig, max_hamming=max_hamming,
+                             max_bucket=max_bucket)
+
+
+def image_dhash_signatures(
+    df: DataFrame, key_col: str, media_col: str = "media"
+) -> DataFrame:
+    """(key, sim): 64-bit perceptual difference hash per decodable
+    image (mediacodec.image_dhash — PNG/PNM/baseline-JPEG), NULL for
+    anything undecodable."""
+    from dqc_spark.mediacodec import image_dhash
+
+    return _media_signatures(df, key_col, media_col, image_dhash)
 
 
 def image_near_dups(
@@ -342,18 +370,37 @@ def image_near_dups(
 ) -> DataFrame:
     """Near-duplicate image pairs (key_a, key_b, hamming): re-encoded,
     format-converted or mildly-noised copies of the same picture land
-    within a small dHash hamming radius; the pair search is the SAME
-    pigeonhole chunk join SimHash text dedup uses (dedup.py — 8x8-bit
-    chunks at the default radius 6, never a cross join).  Undecodable
-    media is excluded, not errored: a crawl's media column always
-    carries formats no decoder handles.  Signatures are persisted —
-    the Python decode stage has three consumers (cap + both join
-    sides), the CLAUDE.md multi-consumer rule."""
-    from dqc_spark.cache import track
-    from dqc_spark.dedup import hamming_near_dups
+    within a small dHash hamming radius (8x8-bit pigeonhole chunks at
+    the default radius 6)."""
+    from dqc_spark.mediacodec import image_dhash
 
-    sig = track(
-        image_dhash_signatures(df, key_col, media_col)
-        .filter(F.col("sim").isNotNull()))
-    return hamming_near_dups(sig, max_hamming=max_hamming,
-                             max_bucket=max_bucket)
+    return _media_near_dups(df, key_col, media_col, image_dhash,
+                            max_hamming, max_bucket)
+
+
+def audio_fingerprints(
+    df: DataFrame, key_col: str, media_col: str = "media"
+) -> DataFrame:
+    """(key, sim): 64-bit spectral fingerprint per decodable audio
+    blob (mediacodec.audio_fingerprint — WAV; MP3 is header-only in
+    this environment so it hashes NULL), NULL for anything
+    undecodable."""
+    from dqc_spark.mediacodec import audio_fingerprint
+
+    return _media_signatures(df, key_col, media_col, audio_fingerprint)
+
+
+def audio_near_dups(
+    df: DataFrame, key_col: str, media_col: str = "media",
+    max_hamming: int = 8, max_bucket: int | None = 500,
+) -> DataFrame:
+    """Near-duplicate audio pairs (key_a, key_b, hamming): gain-scaled,
+    resampled, re-quantized or stereo/mono copies of the same recording
+    land within a small fingerprint hamming radius (measured worst-case
+    6 bits under band-limited 2x resample, >=18 between distinct
+    signals; the default radius 8 splits that margin and uses 16x4-bit
+    pigeonhole chunks).  Same distributed shape as image_near_dups."""
+    from dqc_spark.mediacodec import audio_fingerprint
+
+    return _media_near_dups(df, key_col, media_col, audio_fingerprint,
+                            max_hamming, max_bucket)

@@ -1,5 +1,6 @@
-"""Image near-dup via perceptual dHash: cross-format invariance,
-noise robustness, distinct-image separation, and the distributed
+"""Image near-dup via perceptual dHash and audio near-dup via the
+spectral fingerprint: cross-format/transform invariance, noise
+robustness, distinct-content separation, and the distributed
 pigeonhole join (shared with SimHash)."""
 
 import numpy as np
@@ -7,12 +8,19 @@ import pytest
 
 from dqc_spark.jpegcodec import encode_jpeg
 from dqc_spark.mediacodec import (
+    audio_fingerprint,
     box_resize_gray,
     encode_png,
     encode_pnm,
+    encode_wav,
     image_dhash,
 )
-from dqc_spark.multimodal import image_dhash_signatures, image_near_dups
+from dqc_spark.multimodal import (
+    audio_fingerprints,
+    audio_near_dups,
+    image_dhash_signatures,
+    image_near_dups,
+)
 
 
 def _rng(seed):
@@ -142,3 +150,125 @@ def test_image_near_dups_radius_zero_lossless(spark):
     df = spark.createDataFrame(rows, "key string, media binary")
     pairs = image_near_dups(df, "key", max_hamming=0).collect()
     assert [(p.key_a, p.key_b, p.hamming) for p in pairs] == [("p", "q", 0)]
+
+
+# ---------------------------------------------------------------------------
+# audio spectral fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _clip(sig):
+    return np.clip(sig, -1, 1)
+
+
+def _recording(seed, rate=16000, dur=0.5):
+    """Music-like test signal: a broadband bed plus enveloped tones, so
+    every band carries energy and band energies move across slices."""
+    r = _rng(seed)
+    n = int(rate * dur)
+    t = np.arange(n) / rate
+    sig = 0.04 * r.standard_normal(n)
+    for _ in range(5):
+        f = r.uniform(150, 3500)
+        env = 0.5 + 0.5 * np.sin(
+            2 * np.pi * r.uniform(0.5, 3) * t + r.uniform(0, 2 * np.pi))
+        sig = sig + r.uniform(0.1, 0.25) * env * np.sin(
+            2 * np.pi * f * t + r.uniform(0, 2 * np.pi))
+    return _clip(sig)
+
+
+def _resample_bl(sig, rate, new_rate):
+    """Ideal band-limited resample (what a real resampler approximates:
+    low-pass THEN pick samples — linear interp without the low-pass
+    aliases genuinely new energy into the bands)."""
+    n = len(sig)
+    n_new = int(round(n * new_rate / rate))
+    return np.fft.irfft(np.fft.rfft(sig)[: n_new // 2 + 1],
+                        n=n_new) * (n_new / n)
+
+
+def test_audio_fp_deterministic_and_signed():
+    sig = _recording(1)
+    h1 = audio_fingerprint(encode_wav(sig, 16000))
+    assert h1 == audio_fingerprint(encode_wav(sig, 16000))
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+def test_audio_fp_gain_and_stereo_invariant():
+    sig = _recording(2)
+    base = audio_fingerprint(encode_wav(sig, 16000))
+    assert audio_fingerprint(encode_wav(_clip(sig * 0.4), 16000)) == base
+    stereo = np.stack([sig, sig], axis=1)
+    assert audio_fingerprint(encode_wav(stereo, 16000)) == base
+
+
+def test_audio_fp_survives_resample_quantize_noise():
+    for seed in range(6):
+        sig = _recording(seed)
+        base = audio_fingerprint(encode_wav(sig, 16000))
+        rs = audio_fingerprint(
+            encode_wav(_resample_bl(sig, 16000, 8000), 8000))
+        assert hamming(base, rs) <= 8, ("resample", seed)
+        q8 = audio_fingerprint(encode_wav(sig, 16000, bits=8))
+        assert hamming(base, q8) <= 8, ("8bit", seed)
+        noisy = _clip(sig + 0.005 * _rng(99).standard_normal(len(sig)))
+        assert hamming(base, audio_fingerprint(
+            encode_wav(noisy, 16000))) <= 8, ("noise", seed)
+
+
+def test_audio_fp_separates_distinct_recordings():
+    hs = [audio_fingerprint(encode_wav(_recording(s), 16000))
+          for s in range(8)]
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            assert hamming(hs[i], hs[j]) > 8, (i, j)
+
+
+def test_audio_fp_undecodable_is_none():
+    assert audio_fingerprint(b"not audio") is None
+    assert audio_fingerprint(b"") is None
+    # header-only MP3 path must not pretend to fingerprint
+    assert audio_fingerprint(b"\xff\xfb\x90\x00" + b"\x00" * 64) is None
+    # too short to slice
+    assert audio_fingerprint(encode_wav(np.zeros(4), 16000)) is None
+
+
+def test_audio_fp_silence_is_stable():
+    z = encode_wav(np.zeros(4000), 16000)
+    assert audio_fingerprint(z) == audio_fingerprint(z)
+
+
+# ---------------------------------------------------------------------------
+# Spark: audio near-dup join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def audio_df(spark):
+    rows = []
+    # 5 distinct recordings, planted as (original 16k, resampled 8k copy)
+    for s in range(5):
+        sig = _recording(s)
+        rows.append((f"aud{s}_a", bytearray(encode_wav(sig, 16000))))
+        rows.append((f"aud{s}_b", bytearray(
+            encode_wav(_resample_bl(sig, 16000, 8000), 8000))))
+    rows.append(("junk", bytearray(b"\x00\x01 not media")))
+    return spark.createDataFrame(rows, "key string, media binary")
+
+
+def test_audio_fingerprints_spark(audio_df):
+    sig = {r.key: r.sim for r in
+           audio_fingerprints(audio_df, "key").collect()}
+    assert sig["junk"] is None
+    assert sig["aud0_a"] == audio_fingerprint(
+        encode_wav(_recording(0), 16000))
+
+
+def test_audio_near_dups_finds_planted_pairs(audio_df):
+    pairs = audio_near_dups(audio_df, "key", max_hamming=8).collect()
+    got = {tuple(sorted((r.key_a, r.key_b))) for r in pairs}
+    want = {(f"aud{s}_a", f"aud{s}_b") for s in range(5)}
+    assert want <= got
+    for a, b in got:
+        assert a.split("_")[0] == b.split("_")[0]
+        assert "junk" not in (a, b)
