@@ -328,6 +328,7 @@ DRIVER_ORDER = [
     "warc_range_fetch",
     "order_shard_assign",
     "text_toxicity_scores",
+    "pack_fixed_sequences",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

@@ -257,6 +257,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key-column", default="doc_id")
     p.add_argument("--text-column", default="text")
 
+    p = sub.add_parser("pack-sequences",
+                       help="GPT-style fixed-length sequence-packing "
+                            "manifest (seq_id, doc slice) parquet")
+    p.add_argument("--input", required=True, help="docs parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--seq-len", type=int, required=True)
+    p.add_argument("--eos-tokens", type=int, default=1)
+    p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--tokens-column", default=None,
+                   help="pack by this precomputed token-count column "
+                        "instead of the whitespace rule")
+
     p = sub.add_parser("normalize",
                        help="NFC + control-strip + whitespace canonicalization")
     p.add_argument("--input", required=True, help="docs parquet path")
@@ -754,6 +767,26 @@ def main(argv=None) -> int:
                          key_col=args.key_column,
                          text_col=args.text_column)
         print(f"wrote {n} shards to {args.output}")
+        return 0
+    if c == "pack-sequences":
+        from dqc_spark.seqpack import sequence_manifest
+
+        if args.seq_len <= 0:
+            print("error: --seq-len must be positive", file=sys.stderr)
+            return 2
+        if args.eos_tokens < 0:
+            print("error: --eos-tokens must be >= 0", file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.input)
+        man = sequence_manifest(
+            docs, args.seq_len, key_col=args.key_column,
+            text_col=args.text_column, eos_tokens=args.eos_tokens,
+            tokens_col=args.tokens_column)
+        man.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n_seq = written.select("seq_id").distinct().count()
+        print(f"wrote manifest for {n_seq} sequences of "
+              f"{args.seq_len} tokens to {args.output}")
         return 0
     if c == "normalize":
         from pyspark.sql import functions as F

@@ -2345,6 +2345,20 @@ def q_shard_assign(spark, sf):
     return assign_shards(docs, 100).select("doc_id", "position", "shard")
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style fixed-length sequence packing (seqpack.sequence_manifest):
+    documents concatenated in the deterministic content order with one
+    EOS token, chopped into 512-token windows; one manifest row per
+    (sequence, document) slice.  Full SQL oracle: whitespace token
+    counts (the text_token_counts spelling), exclusive prefix-sum over
+    the same (md5, doc_id) order the shard entry pins, pure integer
+    span arithmetic — raw-bit."""
+    from dqc_spark.seqpack import sequence_manifest
+
+    docs = _t(spark, sf, "documents")
+    return sequence_manifest(docs, seq_len=512)
+
+
 def _moji_cases():
     """(corrupt, expected) plants: single- and double-encoded mojibake
     plus clean fixed-point controls.  Corrupt side generated by the
@@ -2750,6 +2764,7 @@ def extra_queries():
         "cdx_select_captures": q_cdx_select,
         "warc_range_fetch": q_warc_range_fetch,
         "order_shard_assign": q_shard_assign,
+        "pack_fixed_sequences": q_pack_sequences,
         "text_toxicity_scores": q_toxicity_scores,
     }
 
@@ -3989,6 +4004,36 @@ def extra_oracle_sql():
             SELECT doc_id, position,
                    CAST(position // 100 AS BIGINT) AS shard
             FROM pos
+        """,
+        "pack_fixed_sequences": r"""
+            WITH toks AS (
+              SELECT doc_id, md5(text) AS okey,
+                     CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+                                             x -> x <> '')) + 1 AS BIGINT)
+                       AS n_total
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, n_total,
+                     CAST(COALESCE(SUM(n_total) OVER (
+                          ORDER BY okey NULLS FIRST, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS tok_start
+              FROM toks
+            )
+            SELECT CAST(u.seq_id AS BIGINT) AS seq_id,
+                   s.doc_id,
+                   CAST(GREATEST(s.tok_start, u.seq_id*512) - u.seq_id*512
+                        AS BIGINT) AS offset_in_seq,
+                   CAST(GREATEST(s.tok_start, u.seq_id*512) - s.tok_start
+                        AS BIGINT) AS doc_from,
+                   CAST(LEAST(s.tok_start + s.n_total, (u.seq_id+1)*512)
+                        - GREATEST(s.tok_start, u.seq_id*512)
+                        AS BIGINT) AS n_tok
+            FROM spans s,
+                 UNNEST(generate_series(s.tok_start // 512,
+                                        (s.tok_start + s.n_total - 1) // 512))
+                   AS u(seq_id)
+            WHERE s.n_total > 0
         """,
         # independent RE2 extraction chain over the SAME synthetic page
         # markup (no backrefs/lookahead: script close-tag spelled out,

@@ -50,6 +50,73 @@ def content_order_key(text_col: str = "text") -> "F.Column":
     return F.md5(F.col(text_col))
 
 
+def global_enumerate(
+    df: DataFrame,
+    order_cols: list[str],
+    tiebreak_col: str,
+    value_col: str | None = None,
+    num_partitions: int | None = None,
+    position_col: str = "position",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Add a 0-based ``position`` column (the row's rank in the total
+    order) and — when ``value_col`` is given — an ``offset`` column:
+    the EXCLUSIVE running total of ``value_col`` over everything
+    earlier in that order (the prefix-sum a token-stream packer
+    needs).  Both come out of the SAME narrow range shuffle: the
+    driver metadata job collects one (count, sum) pair per partition
+    instead of one count.  ``tiebreak_col`` must be unique per row —
+    it both completes the total order (positions are deterministic
+    regardless of range-boundary sampling) and keys the join that
+    carries results back.  Scalable: see module docstring.
+    """
+    sort_cols = [F.col(c) for c in order_cols] + [F.col(tiebreak_col)]
+
+    proj = [F.col(c) for c in order_cols] + [F.col(tiebreak_col)]
+    if value_col is not None:
+        proj.append(F.col(value_col).cast("long").alias("__val"))
+    keyed = df.select(*proj)
+    if num_partitions is None:
+        ranged = keyed.repartitionByRange(*sort_cols)
+    else:
+        ranged = keyed.repartitionByRange(num_partitions, *sort_cols)
+    ranged = track(ranged.withColumn("__pid", F.spark_partition_id()))
+
+    # metadata job: one (count, sum) per partition; runs against the
+    # cached narrow frame, so the range shuffle happens exactly once
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.coalesce(F.sum("__val"), F.lit(0)).alias("v"))
+    part_rows = {r["__pid"]: r
+                 for r in ranged.groupBy("__pid").agg(*aggs).collect()}
+    offsets, acc_n, acc_v = [], 0, 0
+    for pid in sorted(part_rows):
+        offsets.append((pid, acc_n, acc_v))
+        acc_n += part_rows[pid]["n"]
+        acc_v += part_rows[pid]["v"] if value_col is not None else 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            offsets or [(0, 0, 0)], "__pid int, __off long, __voff long")
+    )
+
+    w = W.partitionBy("__pid").orderBy(*sort_cols)
+    out_cols = [
+        F.col(tiebreak_col),
+        (F.col("__off") + F.col("__rank") - 1).alias(position_col),
+    ]
+    enum = ranged.withColumn("__rank", F.row_number().over(w))
+    if value_col is not None:
+        # exclusive prefix within the partition + partition base
+        enum = enum.withColumn(
+            "__cum", F.coalesce(
+                F.sum("__val").over(
+                    w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+        out_cols.append((F.col("__voff") + F.col("__cum")).alias(offset_col))
+    positions = enum.join(off_df, on="__pid", how="inner").select(*out_cols)
+    return df.join(positions, on=tiebreak_col, how="inner")
+
+
 def global_order_index(
     df: DataFrame,
     order_cols: list[str],
@@ -58,44 +125,10 @@ def global_order_index(
     position_col: str = "position",
 ) -> DataFrame:
     """Add a 0-based ``position`` column: the row's rank in the total
-    order (``order_cols``, ``tiebreak_col``).  ``tiebreak_col`` must be
-    unique per row — it both completes the total order (positions are
-    deterministic regardless of range-boundary sampling) and keys the
-    join that carries positions back.  Scalable: see module docstring.
-    """
-    sort_cols = [F.col(c) for c in order_cols] + [F.col(tiebreak_col)]
-
-    keyed = df.select(*[F.col(c) for c in order_cols], F.col(tiebreak_col))
-    if num_partitions is None:
-        ranged = keyed.repartitionByRange(*sort_cols)
-    else:
-        ranged = keyed.repartitionByRange(num_partitions, *sort_cols)
-    ranged = track(ranged.withColumn("__pid", F.spark_partition_id()))
-
-    # metadata job: one long per partition; runs against the cached
-    # narrow frame, so the range shuffle happens exactly once
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    )
-
-    w = W.partitionBy("__pid").orderBy(*sort_cols)
-    positions = (
-        ranged.withColumn("__rank", F.row_number().over(w))
-        .join(off_df, on="__pid", how="inner")
-        .select(
-            F.col(tiebreak_col),
-            (F.col("__off") + F.col("__rank") - 1).alias(position_col),
-        )
-    )
-    return df.join(positions, on=tiebreak_col, how="inner")
+    order (``order_cols``, ``tiebreak_col``).  See global_enumerate."""
+    return global_enumerate(
+        df, order_cols, tiebreak_col, value_col=None,
+        num_partitions=num_partitions, position_col=position_col)
 
 
 def training_order(
