@@ -329,6 +329,7 @@ DRIVER_ORDER = [
     "order_shard_assign",
     "text_toxicity_scores",
     "pack_fixed_sequences",
+    "text_boilerplate_removal",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is

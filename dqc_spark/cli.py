@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "other text stage")
     p.add_argument("--line-dedup-min-len", type=int, default=0,
                    help="corpus line dedup for lines >= N chars (0 = off)")
+    p.add_argument("--boilerplate-frac", type=float, default=-1.0,
+                   help="per-domain template stripping: remove lines on "
+                        ">= this fraction of a domain's pages (<0 = off)")
+    p.add_argument("--boilerplate-min-pages", type=int, default=0,
+                   help="domain page floor for --boilerplate-frac "
+                        "(0 = default 4)")
     p.add_argument("--line-dedup-unit", default="line",
                    choices=["line", "paragraph"],
                    help="hash unit for --line-dedup-min-len: C4-style "
@@ -689,6 +695,10 @@ def main(argv=None) -> int:
                 max_toxicity=args.max_toxicity,
                 line_dedup_min_len=args.line_dedup_min_len or None,
                 line_dedup_unit=args.line_dedup_unit,
+                boilerplate_max_frac=(args.boilerplate_frac
+                                      if args.boilerplate_frac >= 0
+                                      else None),
+                boilerplate_min_pages=(args.boilerplate_min_pages or None),
                 benchmark=(spark.read.parquet(args.benchmark)
                        if args.benchmark else None),
                 mix_alpha=(args.mix_alpha if args.mix_alpha >= 0 else None),

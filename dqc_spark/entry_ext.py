@@ -2359,6 +2359,47 @@ def q_pack_sequences(spark, sf):
     return sequence_manifest(docs, seq_len=512)
 
 
+def q_boilerplate(spark, sf):
+    """Per-source boilerplate line removal (boilerplate.py): a planted
+    navigation banner appears on 50% of each source's pages (removed at
+    max_frac=0.4 from EVERY page of that source), a rare promo line on
+    ~2.7% (kept).  Full SQL oracle: the DuckDB side recomputes group
+    page counts, per-(source, line) distinct-page counts and the
+    integer cross-multiplied threshold over raw line strings — the
+    Spark side's md5-digest equality is identical up to collisions."""
+    from dqc_spark.boilerplate import remove_boilerplate
+    from dqc_spark.gates import words_col
+
+    docs = _t(spark, sf, "documents")
+    w = words_col(F.col("text"))
+    n_segs = F.greatest(F.ceil(F.size(w) / F.lit(8)), F.lit(1)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)),
+    )
+    nav = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("NAVIGATION MENU "), F.col("source"),
+                 F.lit(" HOME\n")),
+    ).otherwise(F.lit(""))
+    promo = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(F.lit("RARE PROMO "), F.col("source"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    lined = F.concat(nav, promo, F.concat_ws("\n", segs))
+    src = docs.select("doc_id", "source", lined.alias("text"))
+    out = remove_boilerplate(
+        src, "doc_id", "source", max_frac=0.4, min_pages=4, min_len=4
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_lines_kept",
+    )
+
+
 def _moji_cases():
     """(corrupt, expected) plants: single- and double-encoded mojibake
     plus clean fixed-point controls.  Corrupt side generated by the
@@ -2766,6 +2807,7 @@ def extra_queries():
         "order_shard_assign": q_shard_assign,
         "pack_fixed_sequences": q_pack_sequences,
         "text_toxicity_scores": q_toxicity_scores,
+        "text_boilerplate_removal": q_boilerplate,
     }
 
 
@@ -3983,6 +4025,75 @@ def extra_oracle_sql():
                    t.n_lines,
                    COALESCE(r.n_kept, 0) AS n_lines_kept
             FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # per-source boilerplate: page counts + distinct-page line
+        # frequencies over RAW line strings (Spark uses md5 digests —
+        # identical up to collisions); threshold is integer
+        # cross-multiplied parts-per-million, no float ratio anywhere
+        "text_boilerplate_removal": r"""
+            WITH src AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), lined AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'NAVIGATION MENU ' || source || ' HOME'
+                               || chr(10)
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 37 = 0
+                          THEN 'RARE PROMO ' || source || chr(10)
+                          ELSE '' END ||
+                     array_to_string(
+                       list_transform(
+                         generate_series(0,
+                           GREATEST(CAST(ceil(len(w) / 8.0) AS INT), 1) - 1),
+                         i -> array_to_string(w[i*8+1:i*8+8], ' ')),
+                       chr(10)) AS text
+              FROM src
+            ), ls AS (
+              SELECT doc_id, source, string_split(text, chr(10)) AS arr
+              FROM lined
+            ), lines AS (
+              SELECT doc_id, source, i - 1 AS line_no, arr[i] AS line
+              FROM ls, LATERAL (SELECT unnest(generate_series(1, len(arr)))
+                                AS i) t
+            ), gp AS (
+              SELECT source, COUNT(*) AS gp FROM lined
+              WHERE source IS NOT NULL
+              GROUP BY source HAVING COUNT(*) >= 4
+            ), lp AS (
+              SELECT source, line, COUNT(DISTINCT doc_id) AS np
+              FROM lines
+              WHERE length(line) >= 4 AND source IS NOT NULL
+              GROUP BY source, line
+            ), boiler AS (
+              SELECT lp.source, lp.line
+              FROM lp JOIN gp USING (source)
+              WHERE lp.np * 1000000 >= 400000 * gp.gp
+            ), kept AS (
+              SELECT l.doc_id, l.line_no, l.line
+              FROM lines l
+              WHERE length(l.line) < 4 OR NOT EXISTS (
+                SELECT 1 FROM boiler b
+                WHERE b.source = l.source AND b.line = l.line)
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM lines
+              GROUP BY doc_id
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_no) AS txt,
+                     COUNT(*) AS nk
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, l.source,
+                   md5(COALESCE(r.txt, '')) AS clean_md5,
+                   t.n_lines,
+                   COALESCE(r.nk, 0) AS n_lines_kept
+            FROM totals t
+            JOIN lined l USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
         # NULLS FIRST pins DuckDB to Spark's asc_nulls_first default
         # (no NULL texts in the testdata, but the contract should not

@@ -230,6 +230,8 @@ def curate(
     robots_user_agent: str = "*",
     toxic_words=None,
     max_toxicity: float = 0.0,
+    boilerplate_max_frac: float | None = None,
+    boilerplate_min_pages: int | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -273,6 +275,12 @@ def curate(
          control chars the repair needs as evidence
       0b. ``normalize_text`` — NFC/control/whitespace canonicalization
          (normalize.py) so every later hash sees canonical bytes
+      0b'. ``boilerplate_max_frac`` — per-DOMAIN template stripping
+         (boilerplate.py): a line on >= that fraction of a domain's
+         pages (``boilerplate_min_pages`` floor, default 4) is removed
+         from EVERY page of that domain.  Before corpus line dedup:
+         templates are what keep-first dedup would otherwise preserve
+         once per site
       0c. ``line_dedup_min_len`` — corpus-level boilerplate line dedup
          (linededup.py), BEFORE gating: de-boilerplated text is what
          the quality gates should score.  ``line_dedup_unit`` picks the
@@ -344,6 +352,10 @@ def curate(
         raise ValueError(
             "line_dedup_unit='paragraph' has no effect without "
             "line_dedup_min_len (the stage is disabled)")
+    if boilerplate_min_pages is not None and boilerplate_max_frac is None:
+        # no-silent-noop guard, same shape as the unit/threshold guards
+        raise ValueError(
+            "boilerplate_min_pages requires boilerplate_max_frac")
     if quality_model_threshold is not None and quality_model is None:
         # same no-silent-noop guard: a threshold with no model would
         # look like the classifier gate ran when it did not
@@ -439,6 +451,41 @@ def curate(
         from dqc_spark.normalize import normalized_col
 
         pages = pages.withColumn(text_col, normalized_col(F.col(text_col)))
+    if boilerplate_max_frac is not None:
+        from dqc_spark.boilerplate import remove_boilerplate
+        from dqc_spark.cache import track as _track
+        from dqc_spark.urlops import domain_of
+
+        # same unique-content-key + dropDuplicates treatment as the
+        # line-dedup stage below (exact re-crawl rows would fan the
+        # rebuilt text out through the join-back), and the same
+        # 128-bit-per-part injective key construction — see the
+        # line-dedup comment for the full rationale.
+        _bpnull = F.lit("#" * 32)
+        keyed = _track(
+            pages.withColumn("__bp_domain", domain_of(key_col))
+            .withColumn(
+                "__bpk",
+                F.concat(
+                    F.coalesce(
+                        F.md5(F.col(key_col).cast("string")), _bpnull),
+                    F.coalesce(F.md5(F.col(text_col)), _bpnull),
+                ),
+            )
+            .dropDuplicates(["__bpk"])
+        )
+        stripped = remove_boilerplate(
+            keyed, "__bpk", "__bp_domain", text_col,
+            max_frac=boilerplate_max_frac,
+            min_pages=(4 if boilerplate_min_pages is None
+                       else boilerplate_min_pages),
+        )
+        pages = (
+            keyed.join(stripped.select("__bpk", "text_clean"), on="__bpk")
+            .withColumn(text_col, F.col("text_clean"))
+            .drop("text_clean", "__bpk", "__bp_domain")
+        )
+        pages = _mark("boilerplate_strip", pages)
     if line_dedup_min_len is not None:
         from dqc_spark.cache import track as _track
         from dqc_spark.linededup import dedup_lines
