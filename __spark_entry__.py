@@ -336,6 +336,10 @@ DRIVER_ORDER = [
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
+    # newest entry, landed after the 50-row window filled — NO driver
+    # row yet (unlike the rest of the tail): pinned by the local
+    # differential + pytest this round, first r5 rotation candidate
+    "html_main_content",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",

@@ -138,6 +138,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--raw", action="store_true",
                    help="skip text extraction + langid; emit "
                         "(url, warc_ts, html) only")
+    p.add_argument("--main-content", action="store_true",
+                   help="extract only the block-classified article "
+                        "text (drop nav/footer/link boxes) instead of "
+                        "everything textual")
 
     p = sub.add_parser(
         "curate",
@@ -578,9 +582,14 @@ def main(argv=None) -> int:
         from dqc_spark.warc import read_warc, warc_to_pages
 
         if args.raw:
+            if args.main_content:
+                raise SystemExit(
+                    "error: --raw and --main-content are mutually "
+                    "exclusive")
             pages = read_warc(spark, args.input)
         else:
-            pages = warc_to_pages(spark, args.input)
+            pages = warc_to_pages(spark, args.input,
+                                  main_content=args.main_content)
         pages.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"ingested {n} pages to {args.output}")

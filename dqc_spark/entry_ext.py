@@ -2400,6 +2400,62 @@ def q_boilerplate(spark, sf):
     )
 
 
+_MC_TAIL1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+_MC_TAIL2 = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen "
+             "eighteen nineteen twenty")
+_MC_HEAD = (
+    '<html><head><title>Doc page</title>'
+    '<script>var nav = "<p>no</p>";</script></head><body>'
+    '<div id="nav"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a> <a href="/pricing">Pricing</a></div>'
+    "<h2>Section overview</h2><p>"
+)
+_MC_RELATED = ('<div>Related stories: <a href="/1">one</a> '
+               '<a href="/2">two</a> <a href="/3">three</a></div>')
+_MC_TEASER = "<p>Read the quick summary below</p>"
+_MC_FOOT = ('<footer><a href="/p">Privacy</a> <a href="/t">Terms</a> '
+            '<a href="/i">Imprint</a> Copyright 2026</footer>'
+            "</body></html>")
+
+
+def q_main_content(spark, sf):
+    """Main-content extraction (maincontent.py) over pages built from
+    the documents table: title/nav/related-box/footer are boilerplate
+    (dropped), the heading + two long paragraphs + the planted short
+    teaser are the article (kept — teaser via the context rule, heading
+    via the following-GOOD rule).  Planted-spec SQL oracle: DuckDB
+    builds the EXPECTED article directly from the same word slices; the
+    Spark side must recover it from the full HTML byte-for-byte."""
+    from dqc_spark.gates import words_col
+    from dqc_spark.maincontent import main_content_col
+
+    docs = _t(spark, sf, "documents")
+    w = words_col(F.col("text"))
+    p1 = F.trim(F.concat(F.concat_ws(" ", F.slice(w, 1, 12)),
+                         F.lit(" " + _MC_TAIL1)))
+    p2 = F.trim(F.concat(F.concat_ws(" ", F.slice(w, 13, 12)),
+                         F.lit(" " + _MC_TAIL2)))
+    html = F.concat(
+        F.lit(_MC_HEAD), p1, F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MC_RELATED))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_MC_TEASER))
+        .otherwise(F.lit("")),
+        F.lit("<p>"), p2, F.lit("</p>"), F.lit(_MC_FOOT),
+    )
+    out = docs.select(
+        "doc_id",
+        main_content_col(F.encode(html, "utf-8")).alias("main_text"),
+    )
+    return out.select(
+        "doc_id",
+        F.md5("main_text").alias("main_md5"),
+        F.length("main_text").cast("long").alias("main_len"),
+    )
+
+
 def _moji_cases():
     """(corrupt, expected) plants: single- and double-encoded mojibake
     plus clean fixed-point controls.  Corrupt side generated by the
@@ -2808,6 +2864,7 @@ def extra_queries():
         "pack_fixed_sequences": q_pack_sequences,
         "text_toxicity_scores": q_toxicity_scores,
         "text_boilerplate_removal": q_boilerplate,
+        "html_main_content": q_main_content,
     }
 
 
@@ -4094,6 +4151,38 @@ def extra_oracle_sql():
             FROM totals t
             JOIN lined l USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # main-content extraction: planted-spec oracle — DuckDB builds
+        # the expected ARTICLE (heading + p1 + conditional teaser + p2)
+        # directly from the same word slices; boilerplate (title, nav,
+        # related box, footer) exists only on the Spark side's HTML and
+        # must be absent from the recovered text byte-for-byte
+        "html_main_content": rf"""
+            WITH src AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), built AS (
+              -- COALESCE: DuckDB's array_to_string is NULL on the empty
+              -- slice a short doc leaves behind; Spark's concat_ws is ''
+              SELECT doc_id,
+                     trim(COALESCE(array_to_string(w[1:12], ' '), '')
+                          || ' {_MC_TAIL1}') AS p1,
+                     trim(COALESCE(array_to_string(w[13:24], ' '), '')
+                          || ' {_MC_TAIL2}') AS p2
+              FROM src
+            ), expect AS (
+              SELECT doc_id,
+                     'Section overview' || chr(10) || p1 || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'Read the quick summary below' || chr(10)
+                          ELSE '' END || p2 AS main_text
+              FROM built
+            )
+            SELECT doc_id, md5(main_text) AS main_md5,
+                   length(main_text) AS main_len
+            FROM expect
         """,
         # NULLS FIRST pins DuckDB to Spark's asc_nulls_first default
         # (no NULL texts in the testdata, but the contract should not

@@ -258,14 +258,25 @@ def read_warc_ranges(spark: SparkSession, selected: DataFrame,
     return sel.mapInPandas(kernel, schema=PAGES_SCHEMA)
 
 
-def warc_to_pages(spark: SparkSession, path: str) -> DataFrame:
+def warc_to_pages(
+    spark: SparkSession, path: str, main_content: bool = False
+) -> DataFrame:
     """read_warc + html->text extraction + langid: WARC files to the
     full hinted pages table (url, warc_ts, html, text, lang) in one
-    shuffle-free map lineage."""
-    from dqc_spark.htmlextract import extract_text
+    shuffle-free map lineage.  ``main_content=True`` swaps the
+    everything-textual extractor for the block-classified article text
+    (maincontent.py) — nav/footer/link-box boilerplate never enters the
+    corpus, so langid and every downstream stage score the article."""
     from dqc_spark.langid import with_langid
 
     pages = read_warc(spark, path)
-    pages = extract_text(pages, html_col="html", text_col="text")
+    if main_content:
+        from dqc_spark.maincontent import main_content_col
+
+        pages = pages.withColumn("text", main_content_col("html"))
+    else:
+        from dqc_spark.htmlextract import extract_text
+
+        pages = extract_text(pages, html_col="html", text_col="text")
     pages = with_langid(pages, "text")
     return pages.withColumnRenamed("lang_pred", "lang").drop("lang_conf")
