@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dqc_spark.cache import track
-from dqc_spark.linededup import explode_lines
+from dqc_spark.linededup import explode_lines, rebuild_docs, resolve_join_sep
 
 # parts-per-million quantization for the frequency threshold: both
 # engines compare pure int64 products, never a float ratio
@@ -59,11 +59,13 @@ _DENOM = 1_000_000
 
 
 def _lines_with_group(df, key_col, group_col, text_col, sep):
-    """explode_lines plus the group column carried per line."""
-    groups = df.select(
-        F.col(key_col).alias("key"), F.col(group_col).alias("__g")
+    """explode_lines with the group column carried per line — replicated
+    in the SAME map-side explode (a join-back by key would shuffle the
+    exploded line text, exactly what the digest design avoids)."""
+    return explode_lines(
+        df.withColumn("__g", F.col(group_col)),
+        key_col, text_col, sep, carry=("__g",),
     )
-    return explode_lines(df, key_col, text_col, sep).join(groups, on="key")
 
 
 def _group_pages(df, group_col, min_pages):
@@ -146,13 +148,7 @@ def remove_boilerplate(
     ``linededup.dedup_lines``.
     """
     _validate(max_frac, min_pages)
-    if join_sep is None:
-        if any(ch in sep for ch in r"\^$.|?*+()[]{}") and sep != "\n":
-            raise ValueError(
-                f"sep {sep!r} is a regex; pass join_sep= with the literal "
-                "separator to rebuild documents with"
-            )
-        join_sep = sep
+    join_sep = resolve_join_sep(sep, join_sep)
     lines = track(_lines_with_group(df, key_col, group_col, text_col, sep))
     verdicts = _verdicts(
         lines, _group_pages(df, group_col, min_pages), max_frac, min_len
@@ -163,16 +159,7 @@ def remove_boilerplate(
     # NULL __h (exempt short lines) / NULL __g never equal a verdict row
     # under anti-join's null-unsafe equality -> always kept, by design
     kept = judged.join(verdicts, on=["__g", "__h"], how="left_anti")
-    rebuilt = kept.groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_lines_kept"),
-        F.concat_ws(
-            join_sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("text_clean"),
-    )
+    rebuilt = rebuild_docs(kept, join_sep, "text_clean")
     totals = lines.groupBy("key", "__g").agg(
         F.count(F.lit(1)).alias("n_lines")
     )

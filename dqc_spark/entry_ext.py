@@ -2400,6 +2400,10 @@ def q_boilerplate(spark, sf):
     )
 
 
+# literal-char class, identical bytes in Java regex and DuckDB RE2:
+# HTML metacharacters + the non-ASCII whitespace the kernel's strip()
+# removes but SQL trim() does not
+_MC_SANITIZE = "[<>&\u00a0\u2028\u2029]"
 _MC_TAIL1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
              "lambda mu nu xi omicron pi rho sigma tau upsilon")
 _MC_TAIL2 = ("one two three four five six seven eight nine ten eleven "
@@ -2432,7 +2436,13 @@ def q_main_content(spark, sf):
     from dqc_spark.maincontent import main_content_col
 
     docs = _t(spark, sf, "documents")
-    w = words_col(F.col("text"))
+    # sanitize before the word split (mirrored in the oracle's src CTE):
+    # a word containing <, > or & would be consumed/decoded by the HTML
+    # parse on the Spark side only, and non-ASCII whitespace at a slice
+    # edge is stripped by the kernel's str.strip() but not by SQL trim —
+    # the testdata happens to contain none today, but the differential
+    # must not depend on that (review finding, r4)
+    w = words_col(F.regexp_replace(F.col("text"), _MC_SANITIZE, " "))
     p1 = F.trim(F.concat(F.concat_ws(" ", F.slice(w, 1, 12)),
                          F.lit(" " + _MC_TAIL1)))
     p2 = F.trim(F.concat(F.concat_ws(" ", F.slice(w, 13, 12)),
@@ -4157,11 +4167,14 @@ def extra_oracle_sql():
         # directly from the same word slices; boilerplate (title, nav,
         # related box, footer) exists only on the Spark side's HTML and
         # must be absent from the recovered text byte-for-byte
+        # src mirrors the Spark side's _MC_SANITIZE pre-split scrub
+        # (literal-char class, same bytes in both engines)
         "html_main_content": rf"""
             WITH src AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\s+'),
-                                 x -> x <> '') AS w
+                     list_filter(regexp_split_to_array(
+                       regexp_replace(text, '{_MC_SANITIZE}', ' ', 'g'),
+                       '\s+'), x -> x <> '') AS w
               FROM documents
             ), built AS (
               -- COALESCE: DuckDB's array_to_string is NULL on the empty

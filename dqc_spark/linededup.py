@@ -38,17 +38,61 @@ from dqc_spark.cache import track
 
 
 def explode_lines(
-    df: DataFrame, key_col: str, text_col: str = "text", sep: str = "\n"
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(key, line_no, line) — one row per line, position preserved.
-    NULL text is treated as the empty document (one empty line) so the
-    key still round-trips through the rebuild; ``sep`` is a Java regex
-    (the default matches literal newlines)."""
+    """(key, *carry, line_no, line) — one row per line, position
+    preserved.  NULL text is treated as the empty document (one empty
+    line) so the key still round-trips through the rebuild; ``sep`` is
+    a Java regex (the default matches literal newlines).  ``carry``
+    names extra per-document columns to replicate onto every line —
+    part of the same map-side explode, NOT a join (a join-back would
+    shuffle the line text the digest designs exist to keep local)."""
     return df.select(
         F.col(key_col).alias("key"),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("line_no", "line"),
+    )
+
+
+def resolve_join_sep(sep: str, join_sep: str | None) -> str:
+    """The split/rebuild separator contract shared by every line
+    operator (``dedup_lines``, ``boilerplate.remove_boilerplate``):
+    ``sep`` is a Java REGEX for splitting, ``join_sep`` the LITERAL
+    rejoin string.  ``join_sep=None`` defaults to ``sep`` only when
+    ``sep`` is literal-safe — regex-mode callers (``sep=r'\\n{2,}'``)
+    must pass the literal or the rebuild would glue lines with the
+    regex source text."""
+    if join_sep is not None:
+        return join_sep
+    if any(ch in sep for ch in r"\^$.|?*+()[]{}") and sep != "\n":
+        raise ValueError(
+            f"sep {sep!r} is a regex; pass join_sep= with the literal "
+            "separator to rebuild documents with"
+        )
+    return sep
+
+
+def rebuild_docs(kept: DataFrame, join_sep: str, out_col: str) -> DataFrame:
+    """(key, n_lines_kept, <out_col>) from a kept-lines frame — one
+    groupBy over the document key: collect surviving (line_no, line)
+    structs, array_sort, concat_ws, all JVM-side.  Shared by
+    ``dedup_lines`` and ``boilerplate.remove_boilerplate`` so the
+    rebuild semantics can never drift between them."""
+    return kept.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col),
     )
 
 
@@ -75,13 +119,7 @@ def dedup_lines(
     must pass an explicit literal (e.g. ``'\\n\\n'``) or the rebuild
     would glue paragraphs with the regex source text.
     """
-    if join_sep is None:
-        if any(ch in sep for ch in r"\^$.|?*+()[]{}") and sep != "\n":
-            raise ValueError(
-                f"sep {sep!r} is a regex; pass join_sep= with the literal "
-                "separator to rebuild documents with"
-            )
-        join_sep = sep
+    join_sep = resolve_join_sep(sep, join_sep)
     lines = explode_lines(df, key_col, text_col, sep)
     # persisted: the exploded frame feeds THREE consumers (winner
     # election + exempt branch + per-doc totals) — without a persist the
@@ -106,19 +144,7 @@ def dedup_lines(
     ).drop("__h")
     exempt = lines.filter(F.length("line") < min_dup_len)
     kept = survivors_long.unionByName(exempt)
-    rebuilt = (
-        kept.groupBy("key")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines_kept"),
-            F.concat_ws(
-                join_sep,
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-            ).alias("text_dedup"),
-        )
-    )
+    rebuilt = rebuild_docs(kept, join_sep, "text_dedup")
     totals = lines.groupBy("key").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         totals.join(rebuilt, on="key", how="left")

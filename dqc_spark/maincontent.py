@@ -67,7 +67,11 @@ __all__ = [
 ]
 
 _TAG = re.compile(r"<[^>]+>")
-_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+# the lookahead pins the name to a real delimiter: custom elements are
+# REQUIRED to contain a hyphen (<a-card>, <p-foo>), and without it the
+# leading run would parse as 'a'/'p' — an <a-card>-wrapped article
+# would count as 100% linked and be deleted (review finding, r4)
+_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)(?=[\s/>])")
 # the block-boundary set htmlextract turns into newlines, minus the
 # purely-void/inline-ish ``br`` (a <br> inside a paragraph is a soft
 # wrap, not a content boundary — jusText splits on structural tags)

@@ -196,6 +196,27 @@ def run_pipeline(
     return ann
 
 
+def _content_key(key_col: str, text_col: str) -> Column:
+    """128-bit-per-part injective content key for the text-rewrite
+    stages (boilerplate strip, corpus line dedup): at the 1e9–1e12-doc
+    scale this module targets, 64-bit birthday collisions (~n^2/2^65)
+    are expected, and a collision silently drops a distinct document.
+    ``md5(key)||md5(text)`` is INJECTIVE over the pair up to md5
+    collisions — a separator-joined md5 is not (concat_ws SKIPS NULL
+    args and the separator can occur inside crawl text, so
+    ('a\\x00b', 'c') and ('a', 'b\\x00c') collide deterministically).
+    NULL parts map to a 32-char non-hex marker no real digest can
+    equal.  Callers dropDuplicates on this key BEFORE the stage and
+    join the rebuilt text back on it — byte-identical re-crawl rows
+    would otherwise share a key and fan the rebuilt text out doubled
+    through the join-back (review finding, r4)."""
+    nullmark = F.lit("#" * 32)
+    return F.concat(
+        F.coalesce(F.md5(F.col(key_col).cast("string")), nullmark),
+        F.coalesce(F.md5(F.col(text_col)), nullmark),
+    )
+
+
 def curate(
     pages: DataFrame,
     thresholds: dict | None = None,
@@ -456,22 +477,15 @@ def curate(
         from dqc_spark.cache import track as _track
         from dqc_spark.urlops import domain_of
 
-        # same unique-content-key + dropDuplicates treatment as the
-        # line-dedup stage below (exact re-crawl rows would fan the
-        # rebuilt text out through the join-back), and the same
-        # 128-bit-per-part injective key construction — see the
-        # line-dedup comment for the full rationale.
-        _bpnull = F.lit("#" * 32)
+        # nullif: domain_of returns '' (not NULL) for unparseable /
+        # host-less keys — left as '', every such page would pool into
+        # ONE fake domain and share "templates" across unrelated sites;
+        # NULL routes them to boilerplate.py's no-group exemption
+        # (review finding, r4)
         keyed = _track(
-            pages.withColumn("__bp_domain", domain_of(key_col))
-            .withColumn(
-                "__bpk",
-                F.concat(
-                    F.coalesce(
-                        F.md5(F.col(key_col).cast("string")), _bpnull),
-                    F.coalesce(F.md5(F.col(text_col)), _bpnull),
-                ),
-            )
+            pages.withColumn(
+                "__bp_domain", F.nullif(domain_of(key_col), F.lit("")))
+            .withColumn("__bpk", _content_key(key_col, text_col))
             .dropDuplicates(["__bpk"])
         )
         stripped = remove_boilerplate(
@@ -498,25 +512,9 @@ def curate(
         # exact-dedup anyway; removing them here is pure reduction.
         # persisted: the keyed frame embeds the (optional) normalize
         # pandas UDF + prior anti-join and feeds BOTH dedup_lines and
-        # the join-back left side.
-        # 128-bit-per-part content key: at the 1e9-1e12-doc scale this
-        # module targets, 64-bit birthday collisions (~n^2/2^65) are
-        # expected, and a collision here silently drops a distinct
-        # document.  md5(key)||md5(text) is INJECTIVE over the pair up
-        # to md5 collisions — a separator-joined md5 is not (concat_ws
-        # SKIPS NULL args and the separator can occur inside crawl
-        # text, so ('a\x00b', 'c') and ('a', 'b\x00c') collide
-        # deterministically).  NULL parts map to a 32-char non-hex
-        # marker no real digest can equal.
-        _nullmark = F.lit("#" * 32)
+        # the join-back left side.  Key rationale: _content_key.
         with_key = _track(
-            pages.withColumn(
-                "__ldk",
-                F.concat(
-                    F.coalesce(F.md5(F.col(key_col).cast("string")), _nullmark),
-                    F.coalesce(F.md5(F.col(text_col)), _nullmark),
-                ),
-            )
+            pages.withColumn("__ldk", _content_key(key_col, text_col))
             .dropDuplicates(["__ldk"])
         )
         if line_dedup_unit == "line":

@@ -195,6 +195,21 @@ def test_curate_boilerplate_stage(spark):
         curate(pages, near_dup_threshold=None, boilerplate_min_pages=2)
 
 
+def test_curate_hostless_keys_are_exempt(spark):
+    """domain_of returns '' for unparseable keys; the stage must route
+    those to the NULL-group exemption instead of pooling every host-less
+    page into one fake '' domain (review finding)."""
+    from dqc_spark.pagesgen import make_page
+    from dqc_spark.pipeline import curate
+
+    rows = [(f"not a url {i}", BANNER + "\n" + make_page(i)["text"])
+            for i in range(12)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = curate(pages, near_dup_threshold=None, boilerplate_max_frac=0.5)
+    got = [r["scrubbed_text"] for r in out.collect()]
+    assert got and all(BANNER in t for t in got)
+
+
 def test_cli_curate_boilerplate(spark, tmp_path):
     from dqc_spark import cli
 

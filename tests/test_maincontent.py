@@ -95,6 +95,18 @@ def test_parser_edges():
     assert main_content_py(f"<p><a/>{long}</p>") == long
 
 
+def test_custom_elements_are_not_anchors_or_blocks():
+    long = " ".join(f"x{i}" for i in range(30))
+    # <a-card> is a custom element, NOT an anchor: the wrapped article
+    # must not count as linked (review finding)
+    assert main_content_py(f"<a-card><p>{long}</p></a-card>") == long
+    r = classify_blocks_py(f"<a-card><p>{long}</p></a-card>")[0]
+    assert r["link_density"] == 0.0
+    # <p-foo> is not a block boundary: one block, not two
+    assert len(classify_blocks_py(f"<p>{long} <p-foo>inline</p-foo> "
+                                  f"{long}</p>")) == 1
+
+
 def test_null_empty_invalid():
     assert main_content_py(None) is None
     assert main_content_py("") == ""
