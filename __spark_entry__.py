@@ -340,6 +340,7 @@ TAIL_ORDER = [
     # row yet (unlike the rest of the tail): pinned by the local
     # differential + pytest this round, first r5 rotation candidate
     "html_main_content",
+    "wet_ingest",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",

@@ -266,6 +266,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs-per-shard", type=int, required=True)
     p.add_argument("--key-column", default="doc_id")
     p.add_argument("--text-column", default="text")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json"],
+                   help="sink encoding (json = JSON Lines)")
+    p.add_argument("--compression", default=None,
+                   help="codec passed to the writer (e.g. gzip)")
 
     p = sub.add_parser("pack-sequences",
                        help="GPT-style fixed-length sequence-packing "
@@ -784,7 +789,8 @@ def main(argv=None) -> int:
             return 2
         n = write_shards(docs, args.output, args.docs_per_shard,
                          key_col=args.key_column,
-                         text_col=args.text_column)
+                         text_col=args.text_column,
+                         fmt=args.format, compression=args.compression)
         print(f"wrote {n} shards to {args.output}")
         return 0
     if c == "pack-sequences":

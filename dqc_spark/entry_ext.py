@@ -2743,6 +2743,58 @@ def _robots_oracle_sql() -> str:
     """
 
 
+def _wet_fixture_dir(spark, sf):
+    """Author a WET shard set (WARC ``conversion`` records) from the
+    documents table — same content-addressed caching and 4-shard layout
+    as ``_warc_fixture_dir``, but the payload is the text itself."""
+    import datetime
+    import hashlib
+
+    from dqc_spark.warc import wet_bytes
+
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 128) & F.col("text").isNotNull())
+    rows = sorted(docs.select("doc_id", "text").collect(),
+                  key=lambda r: r.doc_id)
+    h = hashlib.md5(b"wet_v1")
+    for r in rows:
+        h.update(str(r.doc_id).encode())
+        h.update(r.text.encode())
+    path = f"/tmp/dqc_wet_fixture_{h.hexdigest()[:12]}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        base = datetime.datetime(2025, 1, 1)
+        shards: list[list] = [[] for _ in range(4)]
+        for r in rows:
+            ts = base + datetime.timedelta(seconds=int(r.doc_id))
+            shards[int(r.doc_id) % 4].append((
+                f"http://wet.test/doc/{int(r.doc_id)}",
+                ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                r.text,
+            ))
+        for i, shard in enumerate(shards):
+            with open(os.path.join(path,
+                                   f"part-{i}.warc.wet.gz"), "wb") as f:
+                f.write(wet_bytes(shard))
+        with open(done, "w"):
+            pass
+    return path
+
+
+def q_wet_ingest(spark, sf):
+    """WET ingestion differential (warc.read_wet): parse the authored
+    conversion-record shards back to (url, warc_ts, text) — the oracle
+    recomputes all three from the documents parquet without touching
+    WET bytes, so conversion-record framing, member gzip and the utf-8
+    round trip (encode at author time, decode at read time) are all in
+    the compared surface, with the TEXT compared byte-for-byte."""
+    from dqc_spark.warc import read_wet
+
+    path = _wet_fixture_dir(spark, sf)
+    return read_wet(spark, path).select("url", "warc_ts", "text")
+
+
 def q_warc_ingest(spark, sf):
     """WARC ingestion differential (warc.py): parse the authored
     archives back into (url, warc_ts, n_bytes) — the oracle recomputes
@@ -2864,6 +2916,7 @@ def extra_queries():
         "url_domain_blocklist": q_url_domain_blocklist,
         "metric_anomaly_days": q_metric_anomaly_days,
         "warc_ingest": q_warc_ingest,
+        "wet_ingest": q_wet_ingest,
         "text_fix_mojibake": q_fix_mojibake,
         "robots_gate_verdicts": q_robots_gate,
         "media_image_near_dups": q_image_near_dups,
@@ -2927,6 +2980,17 @@ def extra_oracle_sql():
                    TIMESTAMP '2025-01-01 00:00:00'
                      + doc_id * INTERVAL '1 second' AS warc_ts,
                    CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes
+            FROM documents
+            WHERE doc_id < 128 AND text IS NOT NULL
+        """,
+        # WET differential: conversion-record framing + utf-8 round
+        # trip; text compared byte-for-byte (strings compare raw)
+        "wet_ingest": """
+            SELECT 'http://wet.test/doc/' || CAST(doc_id AS VARCHAR)
+                     AS url,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + doc_id * INTERVAL '1 second' AS warc_ts,
+                   text
             FROM documents
             WHERE doc_id < 128 AND text IS NOT NULL
         """,

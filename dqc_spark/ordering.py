@@ -174,12 +174,26 @@ def write_shards(
     docs_per_shard: int,
     key_col: str = "doc_id",
     text_col: str = "text",
+    fmt: str = "parquet",
+    compression: str | None = None,
 ) -> int:
-    """Materialize shard-partitioned parquet (``shard=N/`` dirs, one
+    """Materialize shard-partitioned output (``shard=N/`` dirs, one
     file per shard via an in-partition repartition on the shard key) —
     the standard layout a data loader streams sequentially.  Returns
-    the number of shards written."""
+    the number of shards written.
+
+    ``fmt``: ``"parquet"`` (default) or ``"json"`` — JSON means JSON
+    Lines, the training-data interchange format every loader speaks
+    (one doc per line; pass ``compression="gzip"`` for ``.json.gz``
+    shards).  Both writers are the same distributed lineage; only the
+    sink encoding differs.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     sharded = assign_shards(df, docs_per_shard, key_col, text_col)
-    (sharded.repartition("shard")
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    w = (sharded.repartition("shard")
+         .write.mode("overwrite").partitionBy("shard"))
+    if compression is not None:
+        w = w.option("compression", compression)
+    getattr(w, fmt)(path)
     return (sharded.select("shard").distinct().count())

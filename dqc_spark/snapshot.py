@@ -194,6 +194,48 @@ def build_bloom(
     return BloomFilter(n_bits, k, out)
 
 
+# bytes of bitmap per artifact row: large enough that even a 10^10-item
+# 1%-fp bitmap (~12 GiB) is a few thousand rows, small enough that a
+# row never strains Arrow/parquet cell limits
+_BLOOM_CHUNK = 8 << 20
+
+
+def save_bloom(bloom: BloomFilter, spark, path: str) -> None:
+    """Persist a bloom filter as a parquet artifact — the cross-run
+    'seen set': build it once over snapshot N's digests, load it in
+    run N+1 instead of re-scanning the whole prior corpus.  Layout is
+    (chunk, n_bits, k, bits) rows so any reader can reassemble it and
+    a multi-GiB bitmap never has to fit one parquet cell."""
+    b = bloom.bits.tobytes()
+    rows = [
+        (i, bloom.n_bits, bloom.k,
+         bytearray(b[off:off + _BLOOM_CHUNK]))
+        for i, off in enumerate(range(0, len(b), _BLOOM_CHUNK))
+    ]
+    (spark.createDataFrame(
+        rows, "chunk long, n_bits long, k int, bits binary")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    """Inverse of ``save_bloom`` — validates the reassembled size so a
+    truncated artifact fails loudly instead of answering 'definitely
+    new' for everything (a silent-false-negative disaster for a
+    dedup prefilter)."""
+    rows = sorted(spark.read.parquet(path).collect(),
+                  key=lambda r: r["chunk"])
+    if not rows:
+        raise ValueError(f"empty bloom artifact at {path}")
+    n_bits, k = int(rows[0]["n_bits"]), int(rows[0]["k"])
+    raw = b"".join(bytes(r["bits"]) for r in rows)
+    if len(raw) != n_bits // 8:
+        raise ValueError(
+            f"bloom artifact at {path} is corrupt: expected "
+            f"{n_bits // 8} bitmap bytes, found {len(raw)}")
+    return BloomFilter(n_bits, k,
+                       np.frombuffer(raw, dtype=np.uint8).copy())
+
+
 def bloom_partition(
     snapshot: DataFrame, bloom: BloomFilter, text_col: str = "text"
 ) -> DataFrame:
@@ -240,6 +282,7 @@ def new_docs_bloom(
     n_bits: int | None = None,
     k: int = 7,
     fp_rate: float = 0.01,
+    bloom: BloomFilter | None = None,
 ) -> DataFrame:
     """Bloom-accelerated ``new_docs``: same answer, but only the
     bloom-maybe rows reach the exact anti-join.  Exactness: bloom has
@@ -250,10 +293,20 @@ def new_docs_bloom(
     parquet-metadata-cheap upper bound on distinct digests) at
     ``fp_rate`` — a fixed default bitmap silently saturates on a large
     prior, making every row 'maybe seen' and the prefilter pure
-    overhead."""
+    overhead.
+
+    Pass ``bloom=`` (e.g. ``load_bloom`` of a ``save_bloom`` artifact
+    from the run that WROTE the prior) to skip the build scan entirely.
+    Exactness contract: the artifact must cover every prior digest — a
+    SUPERSET is safe (stale entries only add maybes, which the exact
+    join re-checks), a subset would let true duplicates bypass the
+    join.  Covering-ness is the caller's lifecycle invariant: save the
+    bloom in the same job that appends to the prior."""
     from dqc_spark.cache import track
 
-    if n_bits is None:
+    if bloom is not None:
+        pass
+    elif n_bits is None:
         bloom = BloomFilter.sized_for(max(1, prior.count()), fp_rate)
         bloom = build_bloom(
             content_digests(prior, text_col), "digest", bloom.n_bits, bloom.k

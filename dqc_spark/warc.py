@@ -83,6 +83,32 @@ def warc_record_bytes(url: str, ts_iso: str, body: bytes,
     return header + http + _CRLF + _CRLF
 
 
+def wet_record_bytes(url: str, ts_iso: str, text: str) -> bytes:
+    """One WARC/1.0 conversion record (the WET shape): the payload is
+    the extracted text itself — no HTTP envelope."""
+    body = text.encode("utf-8")
+    header = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + f"WARC-Date: {ts_iso}".encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + f"Content-Length: {len(body)}".encode() + _CRLF
+        + _CRLF
+    )
+    return header + body + _CRLF + _CRLF
+
+
+def wet_bytes(rows, gzip_members: bool = True) -> bytes:
+    """A whole WET file from (url, ts_iso, text_str) triples —
+    member-per-record gzip by default (the .warc.wet.gz convention)."""
+    out = io.BytesIO()
+    for url, ts_iso, text in rows:
+        rec = wet_record_bytes(url, ts_iso, text)
+        out.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+    return out.getvalue()
+
+
 def warc_bytes(rows, gzip_members: bool = False) -> bytes:
     """A whole WARC file from (url, ts_iso, body_bytes) triples —
     per-record gzip members when ``gzip_members`` (the .warc.gz
@@ -99,13 +125,19 @@ def warc_bytes(rows, gzip_members: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_warc_records(data: bytes):
-    """Yield (url, ts_iso, html_bytes) from one WARC file's bytes.
+def parse_warc_records(data: bytes, record_types: tuple = ("response",)):
+    """Yield (url, ts_iso, body_bytes) from one WARC file's bytes.
 
     Handles plain and gzip (single- or member-per-record) input.
-    Non-response records are skipped; structurally broken records end
-    the file (a truncated tail, the common real-world corruption) after
-    yielding everything parseable before them.
+    Records whose WARC-Type is not in ``record_types`` are skipped;
+    structurally broken records end the file (a truncated tail, the
+    common real-world corruption) after yielding everything parseable
+    before them.
+
+    Body framing is per-type, per ISO 28500: a ``response`` payload is
+    an HTTP message (status line + headers + CRLFCRLF + body — the body
+    is yielded), while a ``conversion`` payload (WET files: Common
+    Crawl's pre-extracted text) IS the body verbatim.
     """
     if data[:2] == _GZIP_MAGIC:
         # multi-member decompress: zlib with window scan, stdlib-only
@@ -150,14 +182,18 @@ def parse_warc_records(data: bytes):
         # skip the inter-record CRLF CRLF (tolerate its absence at EOF)
         while data[pos:pos + 2] == _CRLF:
             pos += 2
-        if headers.get("warc-type") != "response":
+        rtype = headers.get("warc-type")
+        if rtype not in record_types:
             continue
         url = headers.get("warc-target-uri")
         ts = headers.get("warc-date")
         if url is None or ts is None:
             continue
-        body_at = payload.find(_CRLF + _CRLF)
-        body = payload[body_at + 4:] if body_at >= 0 else b""
+        if rtype == "response":
+            body_at = payload.find(_CRLF + _CRLF)
+            body = payload[body_at + 4:] if body_at >= 0 else b""
+        else:
+            body = payload
         yield url, ts, body
 
 
@@ -196,6 +232,59 @@ def read_warc(spark: SparkSession, path: str,
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(kernel, schema=schema)
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET file(s) (WARC ``conversion`` records — Common Crawl's
+    pre-extracted text dumps, ~1/5 the bytes of the WARC) ->
+    DataFrame(url, warc_ts, text).  Pipelines that trust CC's own
+    extraction start HERE and skip htmlextract entirely; the text
+    column feeds `with_langid`/`annotate`/`curate` unchanged.
+
+    Same execution shape as ``read_warc``: one file == one task, a
+    pure map, no shuffle; decode is utf-8 with replacement (a crawl
+    conversion record is utf-8 by convention but never by guarantee —
+    `encodingfix.py` downstream repairs what survives as mojibake).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, texts = [], [], []
+            for blob in pdf["content"]:
+                for url, ts, body in parse_warc_records(
+                        bytes(blob), record_types=("conversion",)):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame({
+                "url": urls,
+                "warc_ts": pd.to_datetime(
+                    pd.Series(tss, dtype="object"), utc=True,
+                    errors="coerce").dt.tz_localize(None),
+                "text": texts,
+            })
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInPandas(kernel, schema=WET_SCHEMA)
+
+
+def wet_to_pages(spark: SparkSession, path: str) -> DataFrame:
+    """read_wet + langid: WET files straight to (url, warc_ts, text,
+    lang) — the hinted pages shape minus ``html`` (WET never carried
+    it), one shuffle-free map lineage."""
+    from dqc_spark.langid import with_langid
+
+    pages = with_langid(read_wet(spark, path), "text")
+    return pages.withColumnRenamed("lang_pred", "lang").drop("lang_conf")
 
 
 def warc_bytes_with_index(rows) -> tuple[bytes, list[tuple[int, int]]]:

@@ -417,3 +417,112 @@ def test_write_shards_layout(spark, sf_dir, tmp_path):
     assert back.count() == 130
     assert back.filter("shard = 0").count() == 50
     assert back.filter("shard = 2").count() == 30
+
+
+def test_write_shards_jsonl(spark, sf_dir, tmp_path):
+    """JSON Lines shard export: same layout and content as parquet,
+    gzip-compressed part files, readable by any loader."""
+    import gzip as _gzip
+    import json as _json
+    import os
+
+    from dqc_spark.ordering import assign_shards, write_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(90) \
+        .repartition(4).select("doc_id", "text")
+    out = str(tmp_path / "shards_json")
+    n = write_shards(docs, out, 40, fmt="json", compression="gzip")
+    assert n == 3
+    back = spark.read.json(out)
+    assert back.count() == 90
+    assert back.filter("shard = 0").count() == 40
+    # the files really are gzipped JSONL a non-Spark loader can read
+    d0 = os.path.join(out, "shard=0")
+    files = [f for f in os.listdir(d0) if f.endswith(".json.gz")]
+    assert files
+    with _gzip.open(os.path.join(d0, files[0]), "rt") as f:
+        rec = _json.loads(f.readline())
+    assert {"doc_id", "text", "position"} <= set(rec)
+    # positions inside shard 0 are exactly [0, 40) — the deterministic
+    # global-order contract, independent of sink format
+    got = sorted(r.position for r in back.filter("shard = 0")
+                 .select("position").collect())
+    assert got == list(range(40))
+    exp = assign_shards(docs, 40)
+    pairs_json = {(r.doc_id, r.shard) for r in
+                  back.select("doc_id", "shard").collect()}
+    pairs_pq = {(r.doc_id, r.shard) for r in
+                exp.select("doc_id", "shard").collect()}
+    assert pairs_json == pairs_pq
+
+
+def test_write_shards_bad_format(spark, sf_dir):
+    import pytest
+
+    from dqc_spark.ordering import write_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    with pytest.raises(ValueError, match="fmt"):
+        write_shards(docs, "/tmp/never", 5, fmt="csv")
+
+
+def test_bloom_artifact_roundtrip(spark, tmp_path):
+    """save_bloom/load_bloom: the persisted seen-set answers byte-
+    identically to the in-memory filter, and new_docs_bloom(bloom=)
+    returns the exact new_docs answer without rebuilding."""
+    import numpy as np
+
+    from dqc_spark.snapshot import (BloomFilter, build_bloom,
+                                    content_digests, load_bloom,
+                                    new_docs, new_docs_bloom, save_bloom)
+
+    prior = spark.createDataFrame(
+        [(i, f"prior doc {i} body") for i in range(200)],
+        "doc_id int, text string")
+    snap = spark.createDataFrame(
+        [(i, f"prior doc {i} body") for i in range(150, 200)]
+        + [(i, f"new doc {i} body") for i in range(40)],
+        "doc_id int, text string")
+
+    sized = BloomFilter.sized_for(200)
+    bloom = build_bloom(content_digests(prior), "digest",
+                        sized.n_bits, sized.k)
+    path = str(tmp_path / "seen.bloom")
+    save_bloom(bloom, spark, path)
+    back = load_bloom(spark, path)
+    assert back.n_bits == bloom.n_bits and back.k == bloom.k
+    assert np.array_equal(back.bits, bloom.bits)
+
+    got = sorted(r.doc_id for r in
+                 new_docs_bloom(snap, prior, bloom=back).collect())
+    exp = sorted(r.doc_id for r in new_docs(snap, prior).collect())
+    assert got == exp == list(range(40))
+
+
+def test_bloom_artifact_multichunk_and_corrupt(spark, tmp_path):
+    import dqc_spark.snapshot as snapmod
+    from dqc_spark.snapshot import BloomFilter, load_bloom, save_bloom
+    import numpy as np
+    import pytest
+
+    # force multiple chunks with a tiny chunk size
+    orig = snapmod._BLOOM_CHUNK
+    snapmod._BLOOM_CHUNK = 16
+    try:
+        b = BloomFilter(512, 3)  # 64 bitmap bytes -> 4 chunks
+        for v in ("alpha", "beta", "gamma"):
+            b.add(v)
+        path = str(tmp_path / "multi.bloom")
+        save_bloom(b, spark, path)
+        back = load_bloom(spark, path)
+        assert np.array_equal(back.bits, b.bits)
+        assert back.might_contain("alpha") and not back.might_contain("zzz")
+    finally:
+        snapmod._BLOOM_CHUNK = orig
+
+    # a truncated artifact must fail loudly, not answer 'all new'
+    bad = spark.read.parquet(path).filter("chunk < 2")
+    bad_path = str(tmp_path / "trunc.bloom")
+    bad.write.parquet(bad_path)
+    with pytest.raises(ValueError, match="corrupt"):
+        load_bloom(spark, bad_path)

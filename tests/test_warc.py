@@ -216,3 +216,68 @@ def test_cdx_to_warc_end_to_end(spark, tmp_path):
     pages = read_warc_ranges(spark, picked, str(tmp_path)).collect()
     assert sorted(r.url for r in pages) == [
         rows[i][0] for i in range(10) if i % 2]
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion records)
+# ---------------------------------------------------------------------------
+
+WET_ROWS = [
+    ("http://example.com/a", "2025-01-01T00:00:05Z",
+     "Hello A, the quick brown fox."),
+    ("http://example.com/b", "2025-01-02T10:30:00Z", "中文文档内容 line\ntwo"),
+    ("http://example.com/c", "2025-01-03T23:59:59Z", ""),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_wet_roundtrip(gz):
+    from dqc_spark.warc import parse_warc_records, wet_bytes
+
+    data = wet_bytes(WET_ROWS, gzip_members=gz)
+    got = list(parse_warc_records(data, record_types=("conversion",)))
+    assert [(u, t, b.decode()) for u, t, b in got] == WET_ROWS
+    # default record_types must NOT surface conversion records
+    assert list(parse_warc_records(data)) == []
+
+
+def test_wet_mixed_archive_type_routing():
+    """An archive holding response + conversion records routes each
+    record type to the right reader — and a conversion body containing
+    CRLFCRLF is NOT mis-framed as an HTTP envelope."""
+    from dqc_spark.warc import (parse_warc_records, warc_bytes,
+                                wet_record_bytes)
+
+    tricky = "para one\r\n\r\npara two"
+    data = (warc_bytes(ROWS[:1])
+            + wet_record_bytes("http://w/", "2025-01-01T00:00:00Z", tricky))
+    assert list(parse_warc_records(data)) == ROWS[:1]
+    got = list(parse_warc_records(data, record_types=("conversion",)))
+    assert got == [("http://w/", "2025-01-01T00:00:00Z", tricky.encode())]
+
+
+def test_read_wet(spark, tmp_path):
+    from dqc_spark.warc import read_wet, wet_bytes
+
+    (tmp_path / "part-0.warc.wet.gz").write_bytes(wet_bytes(WET_ROWS[:2]))
+    (tmp_path / "part-1.warc.wet.gz").write_bytes(wet_bytes(WET_ROWS[2:]))
+    got = {r.url: r for r in read_wet(spark, str(tmp_path)).collect()}
+    assert set(got) == {u for u, _, _ in WET_ROWS}
+    assert got["http://example.com/b"].text == WET_ROWS[1][2]
+    assert got["http://example.com/c"].text == ""
+    assert got["http://example.com/a"].warc_ts == datetime.datetime(
+        2025, 1, 1, 0, 0, 5)
+
+
+def test_wet_to_pages(spark, tmp_path):
+    from dqc_spark.warc import wet_bytes, wet_to_pages
+
+    en = ("the quick brown fox jumps over the lazy dog and then "
+          "the fox sleeps because it is tired of all the jumping")
+    (tmp_path / "d.warc.wet.gz").write_bytes(wet_bytes(
+        [("http://example.com/en", "2025-01-01T00:00:00Z", en)]))
+    rows = wet_to_pages(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].text == en
+    assert rows[0].lang == "en"
+    assert set(rows[0].asDict()) == {"url", "warc_ts", "text", "lang"}
