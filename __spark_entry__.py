@@ -341,6 +341,7 @@ TAIL_ORDER = [
     # differential + pytest this round, first r5 rotation candidate
     "html_main_content",
     "wet_ingest",
+    "text_unigram_token_counts",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",

@@ -1346,6 +1346,32 @@ def q_bpe_token_counts(spark, sf):
     )
 
 
+def q_unigram_token_counts(spark, sf):
+    # distributed unigram-LM (SentencePiece-style) tokenizer training
+    # (one combiner pass + driver EM/prune loop) then trained-piece
+    # counting via one broadcast-model Arrow kernel.  Rows-only: EM is
+    # iterative/engine-specific; Spark-vs-python model equality, the
+    # Viterbi encode contract and coverage are pinned by
+    # tests/test_unigramlm.py.  Same per-lang summary frame as the BPE
+    # twin so the two tokenizer families are directly comparable.
+    from dqc_spark.unigramlm import train_unigram, unigram_token_counts
+
+    docs = _t(spark, sf, "documents")
+    model = train_unigram(docs, vocab_size=500, max_words=20_000,
+                          seed_size=4000)
+    counted = unigram_token_counts(docs, model)
+    return (
+        docs.select("doc_id", "lang")
+        .join(counted.select("doc_id", "n_unigram_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_unigram_tokens").alias("sum_unigram_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_profile_documents(spark, sf):
     # deequ-style one-scan column profiler over documents (exact
     # distincts at this scale; approx=True is the 100 TB path)
@@ -2883,6 +2909,7 @@ def extra_queries():
         "quality_model_fit": q_quality_model,
         "dsir_select": q_dsir_select,
         "text_bpe_token_counts": q_bpe_token_counts,
+        "text_unigram_token_counts": q_unigram_token_counts,
         "text_c4_line_filter": q_c4_line_filter,
         "html_noindex": q_html_noindex,
         "snapshot_drift_by_source": q_snapshot_drift,
