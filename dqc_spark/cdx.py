@@ -102,13 +102,29 @@ def select_captures(
             F.arrays_overlap(lang_arr,
                              F.array(*[F.lit(x) for x in languages])))
     if dedup_digest:
-        # partial-aggregatable winner election, never a window
+        # partial-aggregatable winner election, never a window.  The
+        # group key coalesces a MISSING digest to a per-capture
+        # sentinel: grouping raw NULLs would elect ONE winner among all
+        # digest-less captures and silently drop the rest (groupBy
+        # groups NULL keys together, unlike join equality).  digest
+        # itself rides in the winner struct so the output column keeps
+        # the raw (possibly NULL) value.
+        gkey = F.coalesce(
+            F.col("digest"),
+            F.concat(F.lit("\x00nodigest:"), F.col("urlkey"), F.lit("@"),
+                     F.col("capture_ts").cast("string"), F.lit("@"),
+                     F.col("filename"), F.lit(":"),
+                     F.col("offset").cast("string")))
         winner = F.struct(
             F.col("capture_ts"), F.col("urlkey"), F.col("filename"),
             F.col("offset"), F.col("length"), F.col("url"),
-            F.col("mime"), F.col("status"), F.col("languages"))
-        out = (out.groupBy("digest").agg(F.max(winner).alias("w"))
-               .select("digest", "w.*"))
+            F.col("mime"), F.col("status"), F.col("languages"),
+            F.col("digest"))
+        out = (out.groupBy(gkey.alias("__gk"))
+               .agg(F.max(winner).alias("w"))
+               .select("w.digest", "w.capture_ts", "w.urlkey",
+                       "w.filename", "w.offset", "w.length", "w.url",
+                       "w.mime", "w.status", "w.languages"))
     return out
 
 

@@ -88,7 +88,15 @@ def _parse_blocks(s: str) -> list[tuple[str, str, int, int]]:
     """(opening_tag, text, linked_chars, total_chars) per non-empty
     block.  ``opening_tag`` is the last block-boundary tag seen before
     the block's text ('' when the block follows a closing boundary).
-    Anchor depth tracks nested/unbalanced ``<a>`` with a floor at 0."""
+
+    Anchor state is BOOLEAN, per the HTML5 recovery rule: opening an
+    ``<a>`` while one is open implies ``</a>`` first (nested anchors
+    cannot exist in a DOM), and a stray ``</a>`` is ignored.  Depth
+    counting here would let one unclosed ``<a>`` — the most common
+    crawl-HTML breakage — mark the whole rest of the page as linked
+    and delete the article.  An anchor legitimately spanning block
+    boundaries (HTML5 card links: ``<a><div>…</div></a>``) keeps its
+    state across the flush, matching the DOM."""
     s = _COMMENT.sub("", s)
     s = _SCRIPT_STYLE.sub("", s)
     blocks: list[tuple[str, str, int, int]] = []
@@ -120,9 +128,9 @@ def _parse_blocks(s: str) -> list[tuple[str, str, int, int]]:
         closing = m.group(0).startswith("</")
         if name == "a":
             if closing:
-                anchor = max(0, anchor - 1)
+                anchor = 0
             elif not m.group(0).endswith("/>"):
-                anchor += 1
+                anchor = 1
         elif name in _BLOCK_TAGS:
             _flush()
             cur_tag = "" if closing else name

@@ -86,3 +86,23 @@ def test_fetch_plan_groups_and_sorts(spark, index_path):
         assert offs == sorted(offs)
         assert row.n_ranges == len(offs)
         assert row.total_bytes == sum(x.length for x in row.ranges)
+
+
+def test_select_captures_null_digest_not_collapsed(spark, tmp_path):
+    """Captures MISSING a digest must each survive dedup_digest —
+    grouping raw NULLs would elect one winner among all of them."""
+    lines = []
+    for i in range(4):
+        payload = {
+            "url": f"http://x.test/p{i}", "mime": "text/html",
+            "status": "200", "length": "10", "offset": str(i * 100),
+            "filename": "f.warc.gz", "languages": "eng",
+        }
+        if i == 0:
+            payload["digest"] = "DD"  # one real digest
+        lines.append(cdxj_line(f"test,x)/p{i}", "20250101000000", payload))
+    p = tmp_path / "nd.cdxj"
+    p.write_text("\n".join(lines))
+    out = select_captures(read_cdxj(spark, str(p))).collect()
+    assert len(out) == 4
+    assert sorted(r.digest is None for r in out) == [False, True, True, True]

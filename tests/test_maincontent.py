@@ -78,12 +78,24 @@ def test_context_rules():
 
 def test_parser_edges():
     long = " ".join(f"x{i}" for i in range(30))
-    # unbalanced </a> floors at 0; nested <a> counts once per char
+    # stray </a> is ignored; nested <a> implies </a> first (the HTML5
+    # recovery rule — nested anchors cannot exist in a DOM), so the
+    # first </a> ends ALL linking
     assert main_content_py(f"</a></a><p>{long}</p>") == long
     r = classify_blocks_py("<p><a><a>linked</a> still</a> free</p>",
                            long_words=2)[0]
-    assert r["link_density"] == pytest.approx(len("linked still") /
+    assert r["link_density"] == pytest.approx(len("linked") /
                                               len("linked still free"))
+    # one unclosed <a> followed by more links must NOT mark the whole
+    # rest of the page linked (the common crawl-HTML breakage)
+    r = classify_blocks_py(
+        f"<p><a href=1>one <a href=2>two</a> {long}</p>")[0]
+    assert r["keep"] and r["link_density"] < 0.25
+    # ...but a card link legitimately spanning block boundaries keeps
+    # its anchor state across the flush, matching the DOM
+    rows = classify_blocks_py("<a><div>card one</div><div>card two"
+                              "</div></a>", short_words=1)
+    assert all(x["link_density"] == 1.0 for x in rows)
     # entities decode before char counts; comments/script/style gone
     out = main_content_py(
         f"<!--<p>no</p>--><style>p {{}}</style><p>{long} &amp; more</p>")
