@@ -201,10 +201,14 @@ def _allowed_udf(path: pd.Series, allows: pd.Series,
 
 def url_path_col(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
-    # path-plus-query: everything after the authority, fragment cut
+    # path-plus-query: everything after the authority, fragment cut.
+    # regexp_extract returns '' BOTH for a no-match (unparseable URL)
+    # and for a matched-but-empty path — the rlike guard separates
+    # them so the Column twin agrees with url_path_py: unparseable ->
+    # NULL, parseable-no-path -> '/'
     p = F.regexp_extract(u, _PATH.pattern, 1)
-    return F.when(u.isNull(), F.lit(None)).otherwise(
-        F.when(p == "", F.lit("/")).otherwise(p))
+    return F.when(u.isNull() | ~u.rlike(_PATH.pattern), F.lit(None)) \
+        .otherwise(F.when(p == "", F.lit("/")).otherwise(p))
 
 
 def robots_gate(pages: DataFrame, robots: DataFrame,

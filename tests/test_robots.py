@@ -253,3 +253,14 @@ def test_cli_curate_robots(capsys, spark, tmp_path):
     assert rc == 0
     kept = [r.url for r in spark.read.parquet(out_p).collect()]
     assert kept and all("/pub/" in u for u in kept)
+
+
+def test_url_path_col_matches_python_twin(spark):
+    from dqc_spark.robots import url_path_col
+
+    cases = ["http://a.com/x/y?q=1", "https://a.com", "https://a.com/",
+             "http://a.com/p#frag", "http://a.com:8080/p", None,
+             "no-scheme", "not a url at all", ""]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = [r.p for r in df.select(url_path_col("url").alias("p")).collect()]
+    assert got == [url_path_py(c) for c in cases]
