@@ -129,14 +129,13 @@ def fix_encoding(df: DataFrame, text_col: str = "text",
     ``flag_col`` marks the rows that changed (pure Catalyst compare —
     the UDF runs once, Catalyst CSEs the single call)."""
     fixed = fix_mojibake_col(text_col)
-    out = df.withColumn(out_col or text_col, fixed)
-    if flag_col:
-        # compare against the original column by pre-staging it
-        out = (
-            df.withColumn("__fixed", fixed)
-            .withColumn(flag_col,
-                        ~F.col("__fixed").eqNullSafe(F.col(text_col)))
-            .withColumn(out_col or text_col, F.col("__fixed"))
-            .drop("__fixed")
-        )
-    return out
+    if not flag_col:
+        return df.withColumn(out_col or text_col, fixed)
+    # compare against the original column by pre-staging it
+    return (
+        df.withColumn("__fixed", fixed)
+        .withColumn(flag_col,
+                    ~F.col("__fixed").eqNullSafe(F.col(text_col)))
+        .withColumn(out_col or text_col, F.col("__fixed"))
+        .drop("__fixed")
+    )

@@ -1505,7 +1505,9 @@ _URL_HOSTS = [
     "HTTP://WWW.Example.COM:80",
     "https://cdn.example.org:443",
     "https://News.example.net:8443",
-    "http://blog.example.org",
+    # userinfo prefix: domain_of must skip it (blog.example.org, not
+    # 'user:pw@blog.example.org') in BOTH engines
+    "http://User:Pw@blog.example.org",
 ]
 _URL_TAILS_PRE = ["/Path/", "/p/", "/p/", "/?gclid=g", "/p/"]
 _URL_TAILS_POST = [
@@ -1599,10 +1601,13 @@ _CANON_SQL_CTES = """
                 FROM port)
         ),
         canon AS (
+            -- no-query tails: bare root '/' drops entirely (so
+            -- http://x.com/ == http://x.com), non-root '/x/' -> '/x'
             SELECT doc_id, u, scheme, authority,
-                   CASE WHEN strpos(tail, '?') = 0
-                        THEN regexp_replace(tail, '^(/.+)/$', '\\1')
-                        ELSE tail END AS tail
+                   CASE WHEN strpos(tail, '?') <> 0 THEN tail
+                        WHEN tail = '/' THEN ''
+                        ELSE regexp_replace(tail, '^(/.+)/$', '\\1')
+                        END AS tail
             FROM track
         )
 """
@@ -4397,7 +4402,7 @@ def extra_oracle_sql():
                         ELSE scheme || '://' || authority || tail
                    END AS canonical_url,
                    lower(regexp_extract(u,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1)) AS domain
             FROM canon
         """,
         # independent suffix mechanism: NOT EXISTS + LIKE '%.domain'
@@ -4412,7 +4417,7 @@ def extra_oracle_sql():
             hosts AS (
                 SELECT doc_id, url,
                        lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS d
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1)) AS d
                 FROM urls
             )
             SELECT doc_id, url FROM hosts h
@@ -4498,16 +4503,17 @@ def extra_oracle_sql():
             ),
             doms AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
                            AS src_domain,
                        lower(regexp_extract(l,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
                            AS dst_domain
                 FROM links
             )
             SELECT src_domain, dst_domain, COUNT(*) AS weight
             FROM doms
             WHERE src_domain <> dst_domain AND dst_domain <> ''
+              AND src_domain <> ''
             GROUP BY 1, 2
         """,
         "graph_pagerank": _pagerank_unrolled_sql(_PR_ITER, _PR_DAMP),
@@ -4569,7 +4575,7 @@ def extra_oracle_sql():
             ),
             per AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
                            AS domain,
                        COUNT(*) AS n_docs,
                        CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
@@ -4613,7 +4619,7 @@ def extra_oracle_sql():
             ),
             rates AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
                            AS domain,
                        COUNT(*) AS n_docs,
                        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)

@@ -175,6 +175,13 @@ def _profile_to_model(rows: list[tuple]) -> dict:
     """(lang, gram_i64, n) rows -> the build_langid_model dict shape.
     Integer norm accumulation keeps the result exactly reproducible
     regardless of row order."""
+    if not rows:
+        # fail HERE, loudly: an empty model (every training row had a
+        # NULL lang or sub-trigram text) would otherwise crash with an
+        # opaque IndexError deep inside the first scoring UDF batch
+        raise ValueError(
+            "no usable training rows: every row had a NULL label or "
+            "text shorter than one trigram — check lang_col/text_col")
     per_lang: dict[str, dict[int, int]] = {}
     for lang, gram, n in rows:
         per_lang.setdefault(lang, {})[int(gram)] = int(n)

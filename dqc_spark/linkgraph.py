@@ -157,8 +157,13 @@ def domain_edges(
     ).select("src_domain", domain_of(F.col("__l")).alias("dst_domain"))
     if drop_self:
         links = links.filter(F.col("src_domain") != F.col("dst_domain"))
+    # BOTH endpoints must parse to a host: an unparseable dst is not a
+    # link, and unparseable-src pages would otherwise all collapse into
+    # one phantom '' source node that pagerank then treats as a real
+    # domain (receiving teleport/dangling mass every round)
     return (
-        links.filter(F.col("dst_domain") != "")
+        links.filter((F.col("dst_domain") != "")
+                     & (F.col("src_domain") != ""))
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
@@ -316,9 +321,17 @@ def pagerank(
     # (domain_edges' href-extraction kernel, the curate self-prior
     # path), each unpersisted consumer would re-run that whole stage
     # (CLAUDE.md multi-consumer UDF rule; review finding)
+    # NULL endpoints are dropped up front: an edge to (or from) an
+    # unparseable node is not a link.  Keeping them leaked rank — a
+    # NULL-dst contribution entered `linked` but never joined back to
+    # any node, so ranks summed to < 1, silently breaking the
+    # documented invariant (review finding).  The dropped mass becomes
+    # ordinary dangling mass (src's out-weight no longer includes the
+    # NULL edge), identically in both paths.
     e = track(edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"),
-        w.alias("__w")))
+        w.alias("__w"))
+        .filter(F.col("__src").isNotNull() & F.col("__dst").isNotNull()))
     # ONE cheap count decides the path: distinct edges bound nodes
     # (n <= 2E), so no distinct-nodes shuffle job is spent deciding
     n_edges = e.count()
@@ -334,19 +347,14 @@ def pagerank(
     if n_edges <= driver_threshold * 10:
         edge_rows = [(r["__src"], r["__dst"], r["__w"])
                      for r in e.collect()]
-        # NULL endpoints have join-dropout semantics in the distributed
-        # loop that a dict-keyed numpy mirror cannot reproduce — run
-        # the distributed path for those graphs instead of diverging
-        if all(s is not None and d is not None
-               for s, d, _ in edge_rows):
-            tp_rows = (None if teleport is None else
-                       [(r[0], r[1]) for r in teleport.select(
-                           F.col("node"),
-                           F.col("weight").cast("double")).collect()])
-            ranks_np = _pagerank_np(edge_rows, damping, n_iter, tp_rows)
-            return spark.createDataFrame(
-                sorted(ranks_np.items(), key=lambda kv: str(kv[0])),
-                out_schema)
+        tp_rows = (None if teleport is None else
+                   [(r[0], r[1]) for r in teleport.select(
+                       F.col("node"),
+                       F.col("weight").cast("double")).collect()])
+        ranks_np = _pagerank_np(edge_rows, damping, n_iter, tp_rows)
+        return spark.createDataFrame(
+            sorted(ranks_np.items(), key=lambda kv: str(kv[0])),
+            out_schema)
     nodes = track(
         e.select(F.col("__src").alias("node"))
         .union(e.select("__dst"))
@@ -368,10 +376,16 @@ def pagerank(
         dang_expr = None  # scalar dangling/n, filled per round
     else:
         # node dtype flows through untouched (string domains or long
-        # ids alike); only the weight is normalized to double
-        tp = teleport.select(
-            F.col("node"),
-            F.col("weight").cast("double").alias("__tw"))
+        # ids alike); only the weight is normalized to double.  The
+        # groupBy-sum collapses duplicate node rows in the teleport
+        # frame BEFORE the join: a left join against duplicates would
+        # fan the node out into duplicate rank rows whose out-edge
+        # contributions double-count every round (the numpy fast path
+        # sums duplicates — this pins the same semantics)
+        tp = (teleport.select(
+                F.col("node"),
+                F.col("weight").cast("double").alias("__tw"))
+              .groupBy("node").agg(F.sum("__tw").alias("__tw")))
         joined = nodes.join(tp, "node", "left").withColumn(
             "__tw", F.coalesce(F.col("__tw"), F.lit(0.0)))
         total = joined.agg(F.sum("__tw")).collect()[0][0]
@@ -445,12 +459,18 @@ def trustrank(
     the result wherever a ``domain_ranks`` prior is accepted
     (``curate(min_domain_rank=...)``)."""
     if isinstance(seeds, (list, tuple, set)):
+        if not seeds:
+            raise ValueError(
+                "seeds must be non-empty: TrustRank with no trusted "
+                "nodes has no teleport distribution")
         spark = edges.sparkSession
         # infer the node dtype from the seed values instead of forcing
         # string — a long-keyed graph's seeds must stay longs or the
-        # teleport lookup matches nothing (review finding)
+        # teleport lookup matches nothing (review finding).  set():
+        # uniform trust per UNIQUE seed — a seed accidentally listed
+        # twice must not carry double teleport weight
         tp = spark.createDataFrame(
-            [(s, 1.0) for s in sorted(seeds)], ["node", "weight"])
+            [(s, 1.0) for s in sorted(set(seeds))], ["node", "weight"])
     else:
         tp = seeds
         if "weight" not in tp.columns:

@@ -80,7 +80,6 @@ def metric_anomalies(
     dev = F.abs(v - F.col("med"))
     mads = with_med.groupBy(*group_cols).agg(med_of(dev).alias("mad"))
     out = with_med.join(F.broadcast(mads), on=group_cols, how="left")
-    dev = F.abs(v - F.col("med"))
     return out.select(
         *df.columns,
         "med",

@@ -19,7 +19,9 @@ Canonical form (conservative, lossless for routing purposes):
     may recur inside values; neither is touched); a query left empty
     by the removal loses its '?'
   * trailing '/' dropped from non-root paths, only when no query
-    survives (the query is never rewritten)
+    survives (the query is never rewritten); a bare root '/' with no
+    query also drops, so 'http://x.com/' and 'http://x.com' — the
+    single most common duplicate spelling pair — canonicalize equal
 
 ``domain_of`` returns the lowercased host (no port); per-domain stats
 (the hot-domain skew report feeding quota/salting decisions) are a
@@ -86,9 +88,13 @@ def canonical_url(url: Column | str) -> Column:
     query = F.regexp_replace(query, r"&" + _TRACKING + r"(=[^&]*)?(?=&|$)", "")
     query = F.regexp_replace(query, r"^\?" + _TRACKING + r"(=[^&]*)?&", "?")
     query = F.regexp_replace(query, r"^\?" + _TRACKING + r"(=[^&]*)?$", "")
-    # 6. trailing slash on a non-root path (no query survives)
+    # 6. trailing slash (no query survives): non-root '/x/' -> '/x',
+    #    and the bare root '/' drops entirely so 'http://x.com/' ==
+    #    'http://x.com'
     path = F.when(
-        query == "", F.regexp_replace(path, r"^(/.+?)/$", r"$1")
+        query == "",
+        F.when(path == "/", F.lit(""))
+        .otherwise(F.regexp_replace(path, r"^(/.+?)/$", r"$1")),
     ).otherwise(path)
     tail = F.concat(path, query)
     out = F.when(
@@ -98,13 +104,24 @@ def canonical_url(url: Column | str) -> Column:
 
 
 def domain_of(url: Column | str) -> Column:
-    """Lowercased host without port; '' for unparseable input."""
+    """Lowercased host without port or userinfo; '' for unparseable
+    input.  The optional ``userinfo@`` prefix (RFC 3986 §3.2) is
+    skipped BEFORE the host capture: without it,
+    ``http://spam@x.com/`` reports domain ``spam@x.com`` (or ``u``
+    for ``u:p@x.com``) — which fragments per-domain stats and lets a
+    crawl URL evade a ``domain_filter`` blocklist entry for x.com by
+    prepending ``anything@``."""
     u = F.col(url) if isinstance(url, str) else url
-    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    host = F.regexp_extract(u, _DOMAIN_PATTERN, 1)
     return F.lower(host).alias("domain")
 
 
-_DOMAIN_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)")
+#: ONE spelling for all three engines (Java regex / python re / RE2):
+#: scheme, optional userinfo (anything @-terminated before the first
+#: /?#), then the host capture up to : / ? # @
+_DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)"
+
+_DOMAIN_RE = re.compile(_DOMAIN_PATTERN)
 
 
 def domain_of_py(url: str | None) -> str | None:
@@ -224,7 +241,14 @@ def url_dedup(
     so election is a partial-aggregatable two-phase agg (never a
     hot-partition window) and the winner is always an actual row.
     Shuffle traffic is (canonical_url, keys); document text never
-    moves."""
+    moves.
+
+    Rows that TIE on ``key_cols`` (byte-identical urls — the same page
+    re-crawled, the most common duplicate shape in snapshots) collapse
+    to one output row; the winner KEY is fully deterministic, while
+    non-key column values come from an arbitrary one of the tied rows
+    (comparing them would shuffle text).  Pass a unique id in
+    ``key_cols`` when full row-level determinism matters."""
     key_cols = key_cols or [url_col]
     winners = (
         df.select(canonical_url(url_col).alias("__cu"),
@@ -233,7 +257,8 @@ def url_dedup(
         .agg(F.min("__k").alias("__k"))
         .select("__k.*")
     )
-    return df.join(winners, on=key_cols, how="left_semi")
+    return (df.join(winners, on=key_cols, how="left_semi")
+            .dropDuplicates(key_cols))
 
 
 def _suffix_candidates(domain: Column, max_labels: int) -> Column:

@@ -128,3 +128,23 @@ def test_cli_train_langid_and_curate(spark, tmp_path, capsys):
                    "--langid-model", model_p])
     assert rc == 0
     assert spark.read.parquet(out_p).count() > 0
+
+
+def test_train_langid_no_usable_rows_fails_loudly(spark):
+    """An all-NULL-label (or sub-trigram text) training frame must
+    raise at TRAIN time, not IndexError inside the first scoring
+    batch."""
+    import pytest
+
+    from dqc_spark.langid import train_langid_model, train_langid_py
+
+    df = spark.createDataFrame(
+        [(None, "plenty of text here"), ("en", ""), (None, None)],
+        "lang string, text string")
+    with pytest.raises(ValueError, match="no usable training rows"):
+        train_langid_model(df)
+    with pytest.raises(ValueError, match="no usable training rows"):
+        train_langid_py([
+            {"lang": None, "text": "plenty of text here"},
+            {"lang": "en", "text": ""},
+        ])

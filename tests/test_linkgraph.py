@@ -446,3 +446,74 @@ def test_curate_trust_seeds_without_rank_raises(spark):
     pages = generate_pages(spark, 10, n_partitions=1)
     with pytest.raises(ValueError, match="min_domain_rank"):
         curate(pages, near_dup_threshold=None, trust_seeds=["a.com"])
+
+
+def test_pagerank_null_endpoints_no_rank_leak(spark):
+    """Edges with a NULL endpoint are not links: their mass becomes
+    ordinary dangling mass and ranks still sum to 1 in BOTH paths
+    (the distributed loop used to leak NULL-dst contributions)."""
+    from dqc_spark.linkgraph import pagerank
+
+    rows = [("a", None, 1.0), ("a", "b", 1.0), (None, "a", 1.0),
+            ("b", "a", 1.0)]
+    df = spark.createDataFrame(
+        rows, "src_domain string, dst_domain string, weight double")
+    for thresh in (0, 50_000):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, n_iter=6,
+                                 driver_threshold=thresh).collect()}
+        assert set(got) == {"a", "b"}, got
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_duplicate_seeds_paths_agree(spark):
+    """Duplicate teleport entries: list seeds dedup (uniform trust per
+    unique seed); the distributed path must not fan nodes into
+    duplicate rank rows (it used to double-count their out-edges)."""
+    from dqc_spark.linkgraph import trustrank
+
+    rows = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+            ("a", "c", 2.0)]
+    df = spark.createDataFrame(
+        rows, "src_domain string, dst_domain string, weight double")
+    fast = {r["node"]: r["rank"] for r in trustrank(
+        df, ["a", "a", "b"], n_iter=5).collect()}
+    dist = trustrank(df, ["a", "a", "b"], n_iter=5, driver_threshold=0)
+    rows_d = dist.collect()
+    assert len(rows_d) == 3  # one row per node, no duplicates
+    for r in rows_d:
+        assert r["rank"] == pytest.approx(fast[r["node"]], abs=1e-9)
+    # weighted DataFrame seeds with duplicate rows SUM (both paths)
+    tp = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0)], ["node", "weight"])
+    f2 = {r["node"]: r["rank"] for r in trustrank(
+        df, tp, n_iter=5).collect()}
+    d2 = {r["node"]: r["rank"] for r in trustrank(
+        df, tp, n_iter=5, driver_threshold=0).collect()}
+    for k in f2:
+        assert d2[k] == pytest.approx(f2[k], abs=1e-9)
+
+
+def test_trustrank_empty_seeds_raise(spark):
+    from dqc_spark.linkgraph import trustrank
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0)],
+        "src_domain string, dst_domain string, weight double")
+    with pytest.raises(ValueError, match="non-empty"):
+        trustrank(df, [])
+
+
+def test_domain_edges_drops_unparseable_src(spark):
+    """Pages with unparseable urls must not pool into one phantom ''
+    source domain."""
+    from dqc_spark.linkgraph import domain_edges
+
+    rows = [
+        ("http://a.com/1", b'<a href="http://b.com/x">l</a>'),
+        ("not a url", b'<a href="http://b.com/x">l</a>'),
+        ("also-not-a-url", b'<a href="http://c.com/x">l</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r.src_domain, r.dst_domain) for r in domain_edges(df).collect()}
+    assert got == {("a.com", "b.com")}

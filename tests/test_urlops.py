@@ -34,10 +34,13 @@ def canonical_url_py(url: str) -> str:
         parts = [p for p in q.split("&")
                  if not _TRACK_RE.match(p.split("=", 1)[0])]
         tail = path + ("?" + "&".join(parts) if parts else "")
-    # trailing slash on a non-root path, only when no query survives
-    if "?" not in tail and len(tail) >= 3 and tail[0] == "/" \
-            and tail[-1] == "/":
-        tail = tail[:-1]
+    # trailing slash, only when no query survives: bare root '/'
+    # drops entirely, a non-root trailing slash is stripped
+    if "?" not in tail:
+        if tail == "/":
+            tail = ""
+        elif len(tail) >= 3 and tail[0] == "/" and tail[-1] == "/":
+            tail = tail[:-1]
     return scheme + "://" + authority + tail
 
 
@@ -101,8 +104,10 @@ def test_specific_forms(spark):
         "http://a.com/p?utm_a=1&utm_b=2&utm_c=3": "http://a.com/p",
         # 'refresh' is NOT 'ref'
         "http://a.com/p?refresh=1": "http://a.com/p?refresh=1",
-        # root slash survives, non-root trailing slash dropped
-        "https://a.com/": "https://a.com/",
+        # bare root slash drops (http://x.com/ == http://x.com), non-
+        # root trailing slash stripped
+        "https://a.com/": "https://a.com",
+        "https://a.com": "https://a.com",
         "https://a.com/x/": "https://a.com/x",
         # non-default port survives
         "http://a.com:8080/x": "http://a.com:8080/x",
@@ -117,6 +122,10 @@ def test_specific_forms(spark):
 def test_domain_of(spark):
     rows = [("HTTP://WWW.Ex.COM:80/p", "www.ex.com"),
             ("https://a.b.c/x?y#z", "a.b.c"),
+            # userinfo is skipped, not reported as (part of) the host —
+            # 'http://spam@x.com/' must not evade an x.com blocklist
+            ("http://user@X.com/p", "x.com"),
+            ("http://u:p@x.com/p", "x.com"),
             ("no-scheme/path", ""),
             (None, None)]
     df = spark.createDataFrame(rows, "url string, want string")
@@ -230,6 +239,14 @@ def test_url_dedup_collapses_spellings(spark):
         "HTTP://WWW.EXAMPLE.COM:80/a?utm_source=x",
         "http://www.example.com/b",
     ]
+    # byte-identical urls (the same page re-crawled) collapse to ONE
+    # row even under the default key — the winner key matches both
+    # tied rows, so without the post-join dedup both would survive
+    dup = spark.createDataFrame(
+        [(1, "http://x.com/a"), (2, "http://x.com/a"),
+         (3, "http://x.com/b")], "i long, url string")
+    assert url_dedup(dup).count() == 2
+    assert url_dedup(dup, key_cols=["i"]).count() == 2
 
 
 def test_curate_blocked_domains(spark):
