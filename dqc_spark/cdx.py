@@ -23,7 +23,7 @@ I even open" that a crawl-scale corpus needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -106,15 +106,23 @@ def select_captures(
         # group key coalesces a MISSING digest to a per-capture
         # sentinel: grouping raw NULLs would elect ONE winner among all
         # digest-less captures and silently drop the rest (groupBy
-        # groups NULL keys together, unlike join equality).  digest
-        # itself rides in the winner struct so the output column keeps
-        # the raw (possibly NULL) value.
+        # groups NULL keys together, unlike join equality).  EVERY
+        # sentinel component is null-guarded too — F.concat
+        # null-propagates, so a capture missing digest AND filename
+        # (or with an unparseable timestamp) would otherwise fold the
+        # whole sentinel back to NULL and resurface the same silent
+        # drop one level deeper.  digest itself rides in the winner
+        # struct so the output column keeps the raw (possibly NULL)
+        # value.
+        def _sent(c: Column) -> Column:
+            return F.coalesce(c.cast("string"), F.lit("\x00null"))
+
         gkey = F.coalesce(
             F.col("digest"),
-            F.concat(F.lit("\x00nodigest:"), F.col("urlkey"), F.lit("@"),
-                     F.col("capture_ts").cast("string"), F.lit("@"),
-                     F.col("filename"), F.lit(":"),
-                     F.col("offset").cast("string")))
+            F.concat(F.lit("\x00nodigest:"), _sent(F.col("urlkey")),
+                     F.lit("@"), _sent(F.col("capture_ts")), F.lit("@"),
+                     _sent(F.col("filename")), F.lit(":"),
+                     _sent(F.col("offset"))))
         winner = F.struct(
             F.col("capture_ts"), F.col("urlkey"), F.col("filename"),
             F.col("offset"), F.col("length"), F.col("url"),

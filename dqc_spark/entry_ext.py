@@ -1696,7 +1696,10 @@ def q_url_dedup_canonical(spark, sf):
     from dqc_spark.urlops import url_dedup
 
     docs = _t(spark, sf, "documents").select("doc_id", _collide_url_col())
-    return url_dedup(docs, key_cols=["doc_id"]).select("doc_id", "url")
+    # doc_id is unique per row, so tie-collapse can never fire —
+    # collapse_ties=False keeps document text out of every exchange
+    return (url_dedup(docs, key_cols=["doc_id"], collapse_ties=False)
+            .select("doc_id", "url"))
 
 
 def q_bucket_split(spark, sf):
@@ -4402,7 +4405,7 @@ def extra_oracle_sql():
                         ELSE scheme || '://' || authority || tail
                    END AS canonical_url,
                    lower(regexp_extract(u,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1)) AS domain
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1)) AS domain
             FROM canon
         """,
         # independent suffix mechanism: NOT EXISTS + LIKE '%.domain'
@@ -4417,7 +4420,7 @@ def extra_oracle_sql():
             hosts AS (
                 SELECT doc_id, url,
                        lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1)) AS d
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1)) AS d
                 FROM urls
             )
             SELECT doc_id, url FROM hosts h
@@ -4503,10 +4506,10 @@ def extra_oracle_sql():
             ),
             doms AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1))
                            AS src_domain,
                        lower(regexp_extract(l,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1))
                            AS dst_domain
                 FROM links
             )
@@ -4575,7 +4578,7 @@ def extra_oracle_sql():
             ),
             per AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1))
                            AS domain,
                        COUNT(*) AS n_docs,
                        CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
@@ -4619,7 +4622,7 @@ def extra_oracle_sql():
             ),
             rates AS (
                 SELECT lower(regexp_extract(url,
-                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)', 1))
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)', 1))
                            AS domain,
                        COUNT(*) AS n_docs,
                        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)

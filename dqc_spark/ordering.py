@@ -193,6 +193,13 @@ def write_shards(
     sharded = assign_shards(df, docs_per_shard, key_col, text_col)
     w = (sharded.repartition("shard")
          .write.mode("overwrite").partitionBy("shard"))
+    if fmt == "json":
+        # Spark's JSON writer drops null-valued fields by default,
+        # which would make the JSONL and parquet sinks content-UNequal
+        # (a loader doing rec["text"] would KeyError on null-text
+        # docs).  Emit explicit nulls so every line carries the full
+        # schema.
+        w = w.option("ignoreNullFields", "false")
     if compression is not None:
         w = w.option("compression", compression)
     getattr(w, fmt)(path)

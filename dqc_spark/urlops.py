@@ -117,9 +117,14 @@ def domain_of(url: Column | str) -> Column:
 
 
 #: ONE spelling for all three engines (Java regex / python re / RE2):
-#: scheme, optional userinfo (anything @-terminated before the first
-#: /?#), then the host capture up to : / ? # @
-_DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]*)"
+#: scheme, optional userinfo (anything before an @ that precedes the
+#: first /?#), then the host capture up to : / ? # @.  The userinfo
+#: class must NOT exclude '@' — greedy [^/?#]*@ skips through the
+#: LAST '@' of the authority, matching urlsplit/WHATWG host
+#: resolution: 'http://a@b@x.com/' fetches x.com, and a non-greedy
+#: skip would report 'b' and let that spelling evade an x.com
+#: blocklist entry (the exact evasion this skip exists to close).
+_DOMAIN_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]*)"
 
 _DOMAIN_RE = re.compile(_DOMAIN_PATTERN)
 
@@ -231,6 +236,7 @@ def url_dedup(
     df: DataFrame,
     url_col: str = "url",
     key_cols: list[str] | None = None,
+    collapse_ties: bool = True,
 ) -> DataFrame:
     """One row per CANONICAL url: crawl snapshots list the same page
     under many spellings (tracking params, fragments, case, default
@@ -240,15 +246,20 @@ def url_dedup(
     (default: the url itself) — ``min(struct)`` like dedup.dedup_exact,
     so election is a partial-aggregatable two-phase agg (never a
     hot-partition window) and the winner is always an actual row.
-    Shuffle traffic is (canonical_url, keys); document text never
-    moves.
+    Shuffle traffic for the election is (canonical_url, keys);
+    document text never moves through it.
 
     Rows that TIE on ``key_cols`` (byte-identical urls — the same page
     re-crawled, the most common duplicate shape in snapshots) collapse
-    to one output row; the winner KEY is fully deterministic, while
-    non-key column values come from an arbitrary one of the tied rows
-    (comparing them would shuffle text).  Pass a unique id in
-    ``key_cols`` when full row-level determinism matters."""
+    to one output row when ``collapse_ties`` is True (the default);
+    the winner KEY is fully deterministic, while non-key column values
+    come from an arbitrary one of the tied rows (comparing them would
+    cost even more shuffle).  The tie-collapse pass is the ONE part of
+    this operator that shuffles full rows (a dropDuplicates aggregate
+    keyed on ``key_cols`` carries every column, text included) — when
+    ``key_cols`` is already unique per row (a doc id), pass
+    ``collapse_ties=False`` to skip it: the semi-join output is then
+    identical and the document text stays out of every exchange."""
     key_cols = key_cols or [url_col]
     winners = (
         df.select(canonical_url(url_col).alias("__cu"),
@@ -257,8 +268,8 @@ def url_dedup(
         .agg(F.min("__k").alias("__k"))
         .select("__k.*")
     )
-    return (df.join(winners, on=key_cols, how="left_semi")
-            .dropDuplicates(key_cols))
+    out = df.join(winners, on=key_cols, how="left_semi")
+    return out.dropDuplicates(key_cols) if collapse_ties else out
 
 
 def _suffix_candidates(domain: Column, max_labels: int) -> Column:

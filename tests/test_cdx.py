@@ -101,8 +101,17 @@ def test_select_captures_null_digest_not_collapsed(spark, tmp_path):
         if i == 0:
             payload["digest"] = "DD"  # one real digest
         lines.append(cdxj_line(f"test,x)/p{i}", "20250101000000", payload))
+    # digest AND filename both missing (a sentinel COMPONENT is NULL):
+    # F.concat null-propagates, so an unguarded sentinel would fold to
+    # NULL for both rows and silently drop one — each must survive.
+    for i in (4, 5):
+        lines.append(cdxj_line(
+            f"test,x)/q{i}", "20250101000000",
+            {"url": f"http://x.test/q{i}", "mime": "text/html",
+             "status": "200", "length": "10", "offset": str(i * 100)}))
     p = tmp_path / "nd.cdxj"
     p.write_text("\n".join(lines))
     out = select_captures(read_cdxj(spark, str(p))).collect()
-    assert len(out) == 4
-    assert sorted(r.digest is None for r in out) == [False, True, True, True]
+    assert len(out) == 6
+    assert sorted(r.digest is None for r in out) == \
+        [False] + [True] * 5

@@ -454,6 +454,25 @@ def test_write_shards_jsonl(spark, sf_dir, tmp_path):
     pairs_pq = {(r.doc_id, r.shard) for r in
                 exp.select("doc_id", "shard").collect()}
     assert pairs_json == pairs_pq
+    # null-valued fields are emitted as explicit JSON nulls, not
+    # silently dropped (Spark's writer default) — a loader doing
+    # rec["meta"] must not KeyError, and the JSON/parquet sinks stay
+    # content-equivalent
+    withnull = docs.withColumn(
+        "meta", F.when(F.col("doc_id") % 2 == 0, F.lit("m")))
+    out2 = str(tmp_path / "shards_json_null")
+    write_shards(withnull, out2, 40, fmt="json", compression="gzip")
+    d0 = os.path.join(out2, "shard=0")
+    nulls_seen = 0
+    for fn in os.listdir(d0):
+        if not fn.endswith(".json.gz"):
+            continue
+        with _gzip.open(os.path.join(d0, fn), "rt") as f:
+            for line in f:
+                rec = _json.loads(line)
+                assert "meta" in rec
+                nulls_seen += rec["meta"] is None
+    assert nulls_seen > 0
 
 
 def test_write_shards_bad_format(spark, sf_dir):

@@ -126,6 +126,12 @@ def test_domain_of(spark):
             # 'http://spam@x.com/' must not evade an x.com blocklist
             ("http://user@X.com/p", "x.com"),
             ("http://u:p@x.com/p", "x.com"),
+            # MULTIPLE '@'s: urlsplit/WHATWG resolve the host after the
+            # LAST '@' of the authority — a non-greedy skip would
+            # report 'b' and evade an x.com blocklist entry
+            ("http://a@b@x.com/p", "x.com"),
+            # '@' in the path is NOT userinfo
+            ("http://x.com/u@name", "x.com"),
             ("no-scheme/path", ""),
             (None, None)]
     df = spark.createDataFrame(rows, "url string, want string")
@@ -247,6 +253,12 @@ def test_url_dedup_collapses_spellings(spark):
          (3, "http://x.com/b")], "i long, url string")
     assert url_dedup(dup).count() == 2
     assert url_dedup(dup, key_cols=["i"]).count() == 2
+    # collapse_ties=False skips the full-row dropDuplicates exchange
+    # (text never moves) — byte-identical ties then pass through
+    assert url_dedup(dup, collapse_ties=False).count() == 3
+    # ...and is a no-op difference when keys are unique per row (the
+    # winner key matches exactly one row, so there are no ties)
+    assert url_dedup(dup, key_cols=["i"], collapse_ties=False).count() == 2
 
 
 def test_curate_blocked_domains(spark):
@@ -270,7 +282,8 @@ def test_domain_of_py_matches_column(spark):
     from dqc_spark.urlops import domain_of, domain_of_py
 
     urls = ["http://A.com/x", "https://b.org:8080/p?q#f", "ftp://c",
-            "nonsense", None, "http://host/path", "http://", ""]
+            "nonsense", None, "http://host/path", "http://", "",
+            "http://u@h.com/x", "http://a@b@h.com/x", "http://h.com/u@x"]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(domain_of("url")).collect()]
     assert got == [domain_of_py(u) for u in urls]
