@@ -2733,6 +2733,9 @@ _ROBOTS_CASES = [
     ("User-agent: *\nDisallow:", "/x", True),
     ("User-agent: bot\nDisallow: /", "/x", True),   # no '*' group
     (None, "/x", True),                             # no robots row
+    # query-only URL: the empty path normalizes to '/', so a
+    # disallow-all host blocks 'http://host?q=1' too (url_path twins)
+    ("User-agent: *\nDisallow: /", "?q=1", False),
 ]
 
 

@@ -64,28 +64,39 @@ def metric_anomalies(
     ``k`` is kept integer so the threshold product ``k * mad`` is
     bit-identical across engines (mad is an exact binary fraction for
     integer series); pass a float only if you accept engine-boundary
-    wobble in a hand-run comparison.
+    wobble in a hand-run comparison (the float is honored as-is, never
+    truncated).
+
+    The input is consumed by four plan branches (median agg, join,
+    MAD agg, final join), so it is persisted via ``cache.track()`` —
+    without it a UDF-derived input's Python stage would re-run per
+    branch (the repo's multi-consumer rule); call
+    ``cache.release_all()`` when a batch of results is materialized.
     """
     if not group_cols:
         raise ValueError("metric_anomalies needs at least one group column")
+
+    from dqc_spark.cache import track
 
     def med_of(c) -> Column:
         if approx:
             return F.percentile_approx(c, 0.5, 10000)
         return F.median(c)
 
+    df = track(df)
     v = F.col(value_col).cast("double")
     meds = df.groupBy(*group_cols).agg(med_of(v).alias("med"))
     with_med = df.join(F.broadcast(meds), on=group_cols, how="left")
     dev = F.abs(v - F.col("med"))
     mads = with_med.groupBy(*group_cols).agg(med_of(dev).alias("mad"))
     out = with_med.join(F.broadcast(mads), on=group_cols, how="left")
+    thresh = F.lit(k if isinstance(k, int) else float(k))
     return out.select(
         *df.columns,
         "med",
         "mad",
         F.when(F.col("mad") != 0, dev / F.col("mad")).alias("score"),
-        F.coalesce(dev > F.lit(int(k)) * F.col("mad"), F.lit(False))
+        F.coalesce(dev > thresh * F.col("mad"), F.lit(False))
         .alias("is_anomaly"),
     )
 

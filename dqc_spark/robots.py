@@ -135,13 +135,21 @@ _PATH = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)")
 
 def url_path_py(url: str | None) -> str | None:
     """Path-plus-query of a URL ('/' when absent); None-in/None-out.
-    Mirrors urlops' authority grammar so host and path agree."""
+    Mirrors urlops' authority grammar so host and path agree.  A URL
+    with a query but no path (``http://x.com?q=1``) normalizes to
+    ``/?q=1`` — RFC 9309/WHATWG treat the empty path as ``/``, and
+    without the leading slash every Allow/Disallow pattern (all
+    ``/``-anchored) would silently fail to match, letting a
+    fully-disallowed host's page through the compliance gate."""
     if url is None:
         return None
     m = _PATH.match(url)
     if not m:
         return None
-    return m.group(1) or "/"
+    p = m.group(1)
+    if not p:
+        return "/"
+    return p if p.startswith("/") else "/" + p
 
 
 # ---------------------------------------------------------------------------
@@ -205,10 +213,13 @@ def url_path_col(url: Column | str) -> Column:
     # regexp_extract returns '' BOTH for a no-match (unparseable URL)
     # and for a matched-but-empty path — the rlike guard separates
     # them so the Column twin agrees with url_path_py: unparseable ->
-    # NULL, parseable-no-path -> '/'
+    # NULL, parseable-no-path -> '/', and a query-only tail gets its
+    # leading '/' restored (see url_path_py)
     p = F.regexp_extract(u, _PATH.pattern, 1)
     return F.when(u.isNull() | ~u.rlike(_PATH.pattern), F.lit(None)) \
-        .otherwise(F.when(p == "", F.lit("/")).otherwise(p))
+        .otherwise(F.when(p == "", F.lit("/"))
+                   .otherwise(F.when(p.startswith("/"), p)
+                              .otherwise(F.concat(F.lit("/"), p))))
 
 
 def robots_gate(pages: DataFrame, robots: DataFrame,
@@ -218,16 +229,22 @@ def robots_gate(pages: DataFrame, robots: DataFrame,
     """Drop pages their host's robots.txt disallows for ``user_agent``
     (or flag them in ``flag_col`` instead when given).  Hosts with no
     robots row are allowed — absence of policy is not a ban."""
-    rules = robots_rules(robots, user_agent, host_col, text_col)
+    # rule columns join under '__'-prefixed names like '__host' does —
+    # bare 'allows'/'patterns' would collide with (raise AMBIGUOUS, or
+    # worse, drop) same-named caller columns on pages
+    rules = (robots_rules(robots, user_agent, host_col, text_col)
+             .withColumnRenamed("host", "__host")
+             .withColumnRenamed("allows", "__allows")
+             .withColumnRenamed("patterns", "__patterns"))
     joined = (
         pages.withColumn("__host", domain_of(F.col(url_col)))
-        .join(rules.withColumnRenamed("host", "__host"), "__host", "left")
+        .join(rules, "__host", "left")
     )
     verdict = _allowed_udf(url_path_col(url_col),
-                           F.col("allows"), F.col("patterns"))
+                           F.col("__allows"), F.col("__patterns"))
     out = joined.withColumn("__allowed", verdict)
     if flag_col:
         return (out.withColumn(flag_col, F.col("__allowed"))
-                .drop("__host", "allows", "patterns", "__allowed"))
+                .drop("__host", "__allows", "__patterns", "__allowed"))
     return (out.filter(F.col("__allowed"))
-            .drop("__host", "allows", "patterns", "__allowed"))
+            .drop("__host", "__allows", "__patterns", "__allowed"))

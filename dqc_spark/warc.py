@@ -125,14 +125,18 @@ def warc_bytes(rows, gzip_members: bool = False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def parse_warc_records(data: bytes, record_types: tuple = ("response",)):
+def parse_warc_records(data: bytes, record_types: tuple = ("response",),
+                       stats: dict | None = None):
     """Yield (url, ts_iso, body_bytes) from one WARC file's bytes.
 
     Handles plain and gzip (single- or member-per-record) input.
     Records whose WARC-Type is not in ``record_types`` are skipped;
     structurally broken records end the file (a truncated tail, the
     common real-world corruption) after yielding everything parseable
-    before them.
+    before them.  When ``stats`` is given, each structural error
+    (corrupt/truncated gzip member, non-WARC leftover bytes, bad
+    Content-Length, truncated payload) increments ``stats['bad']`` —
+    the per-file count ``read_warc(with_errors=True)`` surfaces.
 
     Body framing is per-type, per ISO 28500: a ``response`` payload is
     an HTTP message (status line + headers + CRLFCRLF + body — the body
@@ -140,31 +144,55 @@ def parse_warc_records(data: bytes, record_types: tuple = ("response",)):
     Crawl's pre-extracted text) IS the body verbatim.
     """
     if data[:2] == _GZIP_MAGIC:
-        # multi-member decompress: zlib with window scan, stdlib-only
+        # multi-member decompress: zlib fed in bounded chunks through a
+        # memoryview.  A CC .warc.gz is one member PER RECORD (10^5
+        # members per ~1 GB file) — `d.decompress(data[pos:])` per
+        # member would copy the whole remaining buffer each time,
+        # O(members * filesize) memcpy.  The chunked form's only copies
+        # are `unused_data` tails, each bounded by the chunk size.  A
+        # member's bytes are flushed only on d.eof so a truncated final
+        # member (CRC unverifiable) is dropped whole, as before.
         import zlib
 
+        chunk_sz = 1 << 20
         out = io.BytesIO()
-        pos = 0
-        while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
+        member = io.BytesIO()
+        mv = memoryview(data)
+        pos, n = 0, len(data)
+        d = zlib.decompressobj(wbits=31)
+        buf: object = b""
+        while True:
+            if not buf:
+                if pos >= n:
+                    break
+                buf = mv[pos:pos + chunk_sz]
+                pos += len(buf)
             try:
-                chunk = d.decompress(data[pos:])
+                member.write(d.decompress(buf))
             except zlib.error:
-                break  # trailing garbage / corrupt member
-            if not d.eof:
-                break  # truncated final member: CRC unverifiable, drop it
-            out.write(chunk)
-            rest = d.unused_data
-            if not rest:
+                # trailing garbage / corrupt member: drop it and stop
+                if stats is not None:
+                    stats["bad"] = stats.get("bad", 0) + 1
+                member = None
                 break
-            pos = len(data) - len(rest)
+            if d.eof:
+                out.write(member.getbuffer())
+                member = io.BytesIO()
+                buf = d.unused_data  # bounded by chunk_sz
+                d = zlib.decompressobj(wbits=31)
+            else:
+                buf = b""
+        if member is not None and member.tell() and stats is not None:
+            stats["bad"] = stats.get("bad", 0) + 1  # truncated member
         data = out.getvalue()
 
     pos = 0
     n = len(data)
     while pos < n:
         head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0 or not data[pos:].startswith(b"WARC/"):
+        if head_end < 0 or not data.startswith(b"WARC/", pos):
+            if stats is not None:
+                stats["bad"] = stats.get("bad", 0) + 1
             return
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(_CRLF)[1:]:
@@ -174,9 +202,13 @@ def parse_warc_records(data: bytes, record_types: tuple = ("response",)):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            if stats is not None:
+                stats["bad"] = stats.get("bad", 0) + 1
             return
         payload = data[head_end + 4: head_end + 4 + length]
         if len(payload) < length:
+            if stats is not None:
+                stats["bad"] = stats.get("bad", 0) + 1
             return  # truncated tail
         pos = head_end + 4 + length
         # skip the inter-record CRLF CRLF (tolerate its absence at EOF)
@@ -204,20 +236,31 @@ def read_warc(spark: SparkSession, path: str,
     langid adds ``lang``).
 
     ``path`` accepts everything ``binaryFile`` does (dir, glob, list).
-    ``with_errors=True`` appends a ``warc_path`` column for lineage.
+    ``with_errors=True`` appends ``warc_path`` (source file, lineage)
+    and ``warc_errors`` (that file's structural-error count — corrupt/
+    truncated members, bad lengths; see ``parse_warc_records``) to each
+    row, so corruption rates are auditable per file from the output
+    itself.  A file so broken it yields ZERO rows carries no rows to
+    ride on — reconcile against the crawl index (``cdx.fetch_plan``)
+    when complete file-level accounting matters.
     """
     schema = PAGES_SCHEMA if not with_errors else T.StructType(
-        list(PAGES_SCHEMA) + [T.StructField("warc_path", T.StringType())])
+        list(PAGES_SCHEMA) + [T.StructField("warc_path", T.StringType()),
+                              T.StructField("warc_errors", T.LongType())])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, tss, bodies, paths = [], [], [], []
+            urls, tss, bodies, paths, errs = [], [], [], [], []
             for fpath, blob in zip(pdf["path"], pdf["content"]):
-                for url, ts, body in parse_warc_records(bytes(blob)):
+                stats: dict = {}
+                n0 = len(urls)
+                for url, ts, body in parse_warc_records(bytes(blob),
+                                                        stats=stats):
                     urls.append(url)
                     tss.append(ts)
                     bodies.append(body)
                     paths.append(fpath)
+                errs.extend([stats.get("bad", 0)] * (len(urls) - n0))
             out = {
                 "url": urls,
                 # WARC-Date is ISO-8601 UTC ("2025-01-01T00:00:05Z")
@@ -228,6 +271,7 @@ def read_warc(spark: SparkSession, path: str,
             }
             if with_errors:
                 out["warc_path"] = paths
+                out["warc_errors"] = pd.Series(errs, dtype="int64")
             yield pd.DataFrame(out)
 
     files = spark.read.format("binaryFile").load(path)

@@ -87,6 +87,23 @@ def test_approx_path_agrees_on_small_groups(spark):
             == {(r.value, r.is_anomaly) for r in approx})
 
 
+def test_float_k_not_truncated(spark):
+    """The documented float-k escape hatch is honored as-is, never
+    int-truncated: a row at 2.2 MADs flags at k=2 but NOT at k=2.5
+    (int(2.5)==2 would flag it)."""
+    # sorted: 9,9,10,10,11,11,12.2 -> med=10; devs sorted:
+    # 0,0,1,1,1,1,2.2 -> mad=1; dev(12.2)=2.2 MADs
+    vals = [10.0, 9.0, 11.0, 9.0, 11.0, 10.0, 12.2]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, value double")
+    got2 = {r.value: r.is_anomaly for r in
+            metric_anomalies(df, ["g"], "value", k=2).collect()}
+    got25 = {r.value: r.is_anomaly for r in
+             metric_anomalies(df, ["g"], "value", k=2.5).collect()}
+    assert got2[12.2] is True       # 2.2 > 2*1
+    assert got25[12.2] is False     # 2.2 < 2.5*1 — int(2.5) would flag
+
+
 def test_requires_group_cols(spark):
     df = spark.createDataFrame([("a", 1)], "g string, value long")
     with pytest.raises(ValueError):

@@ -141,6 +141,9 @@ def test_comments_case_and_whitespace():
     ("https://a.com/", "/"),
     ("http://a.com/p#frag", "/p"),
     ("http://a.com:8080/p", "/p"),
+    # query-only URL: empty path normalizes to '/' (RFC 9309/WHATWG),
+    # else every '/'-anchored rule silently fails to match
+    ("http://a.com?q=1", "/?q=1"),
     (None, None),
     ("no-scheme", None),
 ])
@@ -155,6 +158,7 @@ ROBOTS_TABLE = [
     ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok"),
     ("b.com", "User-agent: dqcbot\nDisallow: /\n\nUser-agent: *\nDisallow:"),
     ("c.com", None),
+    ("d.com", "User-agent: *\nDisallow: /"),
 ]
 
 PAGES = [
@@ -164,6 +168,7 @@ PAGES = [
     ("http://b.com/anything", True),     # '*' group allows all
     ("http://c.com/x", True),            # NULL robots text
     ("http://norobots.com/x", True),     # no robots row at all
+    ("http://d.com?q=1", False),         # query-only URL, disallow-all
 ]
 
 
@@ -195,11 +200,28 @@ def test_robots_gate_flag_col_matches_python(spark):
     flagged = robots_gate(pages, robots, flag_col="robots_ok")
     got = {r.url: r.robots_ok for r in flagged.collect()}
     # python-twin differential
+    from dqc_spark.urlops import domain_of_py
+
     by_host = {h: parse_robots_py(t) for h, t in ROBOTS_TABLE}
     for url, _ in PAGES:
-        host = url.split("//")[1].split("/")[0]
+        host = domain_of_py(url)
         want = robots_allowed_py(url_path_py(url), by_host.get(host, []))
         assert got[url] == want, url
+
+
+def test_robots_gate_caller_column_collision(spark):
+    """pages may legitimately carry 'allows'/'patterns' columns — the
+    gate's internal rule columns join under __-prefixed names so the
+    caller's survive untouched."""
+    pages = spark.createDataFrame(
+        [(u, "keep-me", "p") for u, _ in PAGES],
+        "url string, allows string, patterns string")
+    robots = spark.createDataFrame(
+        ROBOTS_TABLE, "host string, robots_txt string")
+    out = robots_gate(pages, robots)
+    assert out.columns == ["url", "allows", "patterns"]
+    assert {r.url for r in out.collect()} == {u for u, ok in PAGES if ok}
+    assert all(r.allows == "keep-me" for r in out.collect())
 
 
 def test_robots_rules_parse_once_shape(spark):

@@ -114,6 +114,34 @@ def test_read_warc_with_errors_lineage(spark, tmp_path):
     out = read_warc(spark, path, with_errors=True).orderBy("url").collect()
     assert out[0].warc_path.endswith("part-0.warc.gz")
     assert out[2].warc_path.endswith("part-1.warc")
+    # clean archives: zero structural errors counted
+    assert [r.warc_errors for r in out] == [0, 0, 0]
+
+
+def test_read_warc_error_count(spark, tmp_path):
+    """A truncated file's surviving rows carry its error count — the
+    documented 'counted per file when with_errors is set' contract."""
+    (tmp_path / "good.warc").write_bytes(warc_bytes(ROWS[:1]))
+    (tmp_path / "trunc.warc").write_bytes(warc_bytes(ROWS[1:])[:-10])
+    out = {r.url: r for r in
+           read_warc(spark, str(tmp_path), with_errors=True).collect()}
+    assert out[ROWS[0][0]].warc_errors == 0
+    assert out[ROWS[1][0]].warc_errors >= 1  # lost its tail record
+    assert ROWS[2][0] not in out
+
+
+def test_parse_warc_records_stats():
+    stats: dict = {}
+    assert list(parse_warc_records(warc_bytes(ROWS), stats=stats)) == ROWS
+    assert stats.get("bad", 0) == 0
+    stats = {}
+    data = warc_bytes(ROWS, gzip_members=True)
+    assert list(parse_warc_records(data[:-20], stats=stats)) == ROWS[:2]
+    assert stats["bad"] >= 1  # truncated final gzip member
+    stats = {}
+    assert list(parse_warc_records(warc_bytes(ROWS)[:-10],
+                                   stats=stats)) == ROWS[:2]
+    assert stats["bad"] == 1  # truncated plain payload
 
 
 def test_warc_to_pages_full_lineage(spark, tmp_path):
