@@ -274,7 +274,13 @@ def q_distinct_not_in_set(spark, sf):
 # tests/test_entry_contract.py asserts the order lists and the
 # registered queries stay in sync.
 DRIVER_ORDER = [
-    # reference check surface (always in the window)
+    # reference check surface.  Three trivial members (col-count,
+    # column-exists — catalog ops with no scan — and pair-equal, one
+    # negated eqNullSafe predicate) rotate to the tail head this round:
+    # each is driver-green in r1 AND r2 AND r3, and giving up their
+    # slots lets EVERY registered query have a driver row in r1∪…∪r4
+    # (VERDICT r3 'next round' #2's done-criterion).  The local
+    # differential still re-verifies them every round.
     "check_unique_violations",
     "check_not_null",
     "check_enum",
@@ -287,13 +293,10 @@ DRIVER_ORDER = [
     "check_completeness_freshness",
     "check_date_format",
     "check_row_counts",
-    "check_col_count",
     "check_not_in_set",
     "check_increasing",
     "check_date_parseable",
-    "check_pair_equal",
     "check_distinct_in_set",
-    "check_column_exists",
     # --- round-4 rotation: the 13 registered queries with no driver
     # row in r1∪r2∪r3 (VERDICT r3 'What's wrong' §3 / 'Next round' #2).
     # 8 have full SQL oracles (locally green every round); the 5
@@ -330,18 +333,20 @@ DRIVER_ORDER = [
     "text_toxicity_scores",
     "pack_fixed_sequences",
     "text_boilerplate_removal",
+    "html_main_content",
+    "wet_ingest",
+    "text_unigram_token_counts",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
-    # newest entry, landed after the 50-row window filled — NO driver
-    # row yet (unlike the rest of the tail): pinned by the local
-    # differential + pytest this round, first r5 rotation candidate
-    "html_main_content",
-    "wet_ingest",
-    "text_unigram_token_counts",
+    # the three checks rotated out of the r4 window (see DRIVER_ORDER
+    # note): driver-green in r1∪r2∪r3, re-verified locally every round
+    "check_col_count",
+    "check_pair_equal",
+    "check_column_exists",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",
