@@ -432,6 +432,11 @@ TAIL_ORDER = [
     "olap_asof_join",
     "olap_range_join",
     "media_features",
+    # new after the r4 window filled — no driver row yet: pinned by the
+    # local differential (full SQL oracles) + pytest, first r5 rotation
+    # candidates
+    "mix_epoch_expand",
+    "dedup_priority_keep",
 ]
 
 

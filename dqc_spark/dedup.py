@@ -63,6 +63,62 @@ def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> D
     return df.join(winners, on=key_cols, how="left_semi")
 
 
+def source_priority_col(
+    source_col: str | F.Column, ranks: dict[str, int],
+) -> F.Column:
+    """Map a source/provenance column to an integer preference rank
+    (lower = preferred) for ``dedup_exact_priority``: a constant-folded
+    CASE chain over ``ranks``; sources absent from the dict — including
+    NULL — rank WORST (len(ranks)), so an unlisted crawl never beats a
+    curated copy."""
+    c = F.col(source_col) if isinstance(source_col, str) else source_col
+    expr = F.lit(len(ranks))
+    # build the chain in deterministic (rank, name) order
+    for name, rank in sorted(ranks.items(), key=lambda kv: (kv[1], kv[0])):
+        expr = F.when(c == F.lit(name), F.lit(int(rank))).otherwise(expr)
+    return expr.cast("int")
+
+
+def dedup_exact_priority(
+    df: DataFrame,
+    key_cols: list[str],
+    priority: F.Column | str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-SOURCE exact dedup: keep one representative per identical
+    text, preferring the copy with the LOWEST ``priority`` value — the
+    production rule when the same page arrives from several provenances
+    (keep the curated/wiki copy, drop the crawl re-captures).  Ties and
+    the rest of the election fall back to ``dedup_exact``'s smallest
+    key tuple.  ``priority`` is a Column (see ``source_priority_col``)
+    or a column name; NULL priority ranks worst.
+
+    Same 100 TB shape as ``dedup_exact``: winner election is a
+    partial-aggregatable ``min(struct(priority, keys))`` per 16-byte
+    digest — never a window over a hot digest — and only digests +
+    narrow key structs shuffle; text never moves.  Keys are expected
+    unique per row (the semi-join contract shared with dedup_exact).
+
+    Reference parity: generalizes checker.go's uniqueness/referential
+    pairing (checker.go:47,167) to content identity with a provenance
+    preference; §2.5 training-data scope.
+    """
+    pri = F.col(priority) if isinstance(priority, str) else priority
+    # NULL-hostile struct ordering: Spark sorts NULL priority FIRST in
+    # min(), which would elect the unknown-provenance copy — coalesce
+    # to int-max so missing priority always loses
+    pri = F.coalesce(pri.cast("int"), F.lit(2_147_483_647))
+    h = F.md5(F.col(text_col)).alias("__h")
+    winners = (
+        df.select(h, F.struct(pri.alias("__p"),
+                              F.struct(*key_cols).alias("__k")).alias("__pk"))
+        .groupBy("__h")
+        .agg(F.min("__pk").alias("__pk"))
+        .select("__pk.__k.*")
+    )
+    return df.join(winners, on=key_cols, how="left_semi")
+
+
 def dedup_soft_weights(
     df: DataFrame, key_col: str, text_col: str = "text"
 ) -> DataFrame:

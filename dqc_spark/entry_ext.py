@@ -2845,6 +2845,52 @@ def q_warc_ingest(spark, sf):
         "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
 
 
+def q_mix_epoch_expand(spark, sf):
+    # Epoch-expansion mixing: the same derived 70/20/10 skew as
+    # mix_temperature_sample, but at a FIXED budget (= the corpus size)
+    # so the rare source is upsampled past one epoch while hot is cut —
+    # both the explode (full epochs) and the hash partial pass are
+    # reproduced row-for-row by the oracle.
+    from dqc_spark.mixing import epoch_expand
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 10
+    skewed = docs.select(
+        "doc_id",
+        F.when(m < 7, "hot").when(m < 9, "mid").otherwise("rare").alias("source"),
+    )
+    return epoch_expand(skewed, "source", "doc_id", alpha=0.5).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+def q_dedup_priority(spark, sf):
+    # Cross-source exact dedup with provenance preference: provenance
+    # derived from doc_id, plus planted re-crawls (every 10th doc
+    # re-captured under 'crawl') and mirrors (every 20th under 'wiki').
+    # The curated/wiki copy must win its group; ties fall back to the
+    # smallest key.  documents.text has no NULLs (the pinned corpus
+    # assumption dedup_soft_weights_neardup's oracle also relies on).
+    from dqc_spark.dedup import dedup_exact_priority, source_priority_col
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    base = docs.select(
+        "doc_id", "text",
+        F.when(m == 0, "crawl").when(m == 1, "wiki")
+        .otherwise("curated").alias("source"))
+    recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text",
+        F.lit("crawl").alias("source"))
+    mirror = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"), "text",
+        F.lit("wiki").alias("source"))
+    pool = base.union(recrawl).union(mirror)
+    pri = source_priority_col("source", {"curated": 0, "wiki": 1, "crawl": 2})
+    return dedup_exact_priority(pool, ["doc_id"], pri, "text").select(
+        "doc_id", "source")
+
+
 def extra_queries():
     return {
         "attr_refilter": q_attr_refilter,
@@ -2966,6 +3012,8 @@ def extra_queries():
         "text_toxicity_scores": q_toxicity_scores,
         "text_boilerplate_removal": q_boilerplate,
         "html_main_content": q_main_content,
+        "mix_epoch_expand": q_mix_epoch_expand,
+        "dedup_priority_keep": q_dedup_priority,
     }
 
 
@@ -4067,6 +4115,82 @@ def extra_oracle_sql():
             FROM skewed d JOIN rates r USING (source)
             WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
                   % 10000 < r.thr
+        """,
+        # epoch-expansion mixing: quota = ROUND of the one float in the
+        # pipeline (target_share x budget — the CLAUDE.md threshold
+        # rule); everything after is INTEGER arithmetic on both engines
+        # (// here, div in Spark), so epochs and the partial threshold
+        # compare exactly.  Full epochs unroll via generate_series
+        # (empty when epochs = 0 — DuckDB's is empty for start > stop,
+        # unlike Spark's descending sequence, which the Spark side
+        # guards with when(epochs >= 1)).
+        "mix_epoch_expand": """
+            WITH skewed AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 7 THEN 'hot'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'rare' END AS source
+              FROM documents
+            ), counts AS (
+              SELECT source, COUNT(*) AS n_docs FROM skewed GROUP BY source
+            ), tot AS (SELECT SUM(n_docs) AS t FROM counts),
+            w AS (
+              SELECT source, n_docs,
+                     POW(n_docs::DOUBLE / tot.t, 0.5) AS wgt
+              FROM counts, tot
+            ), ws AS (SELECT SUM(wgt) AS s FROM w),
+            plan AS (
+              SELECT source, n_docs,
+                     CAST(ROUND(wgt / ws.s * tot.t, 0) AS BIGINT) AS quota
+              FROM w, ws, tot
+            ), p2 AS (
+              SELECT source, n_docs, epochs,
+                     ((quota - epochs * n_docs) * 10000) // n_docs AS thr
+              FROM (SELECT source, n_docs, quota,
+                           quota // n_docs AS epochs FROM plan)
+            )
+            SELECT d.doc_id, d.source, CAST(u.e AS INTEGER) AS epoch
+            FROM skewed d JOIN p2 USING (source),
+                 LATERAL (SELECT unnest(generate_series(0, p2.epochs - 1))
+                          AS e) u
+            UNION ALL
+            SELECT d.doc_id, d.source, CAST(p2.epochs AS INTEGER) AS epoch
+            FROM skewed d JOIN p2 USING (source)
+            WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < p2.thr
+        """,
+        # priority dedup: the window spelling of min(struct(pri, key))
+        # — ORDER BY (rank, doc_id) inside each md5(text) partition is
+        # exactly the struct's lexicographic order.  documents.text has
+        # no NULLs (pinned corpus assumption), so the NULL-digest
+        # grouping question never arises.
+        "dedup_priority_keep": """
+            WITH pool AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'crawl'
+                          WHEN doc_id % 3 = 1 THEN 'wiki'
+                          ELSE 'curated' END AS source,
+                     text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, 'crawl', text
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 20000000, 'wiki', text
+              FROM documents WHERE doc_id % 20 = 0
+            ), ranked AS (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY CASE source
+                                  WHEN 'curated' THEN 0
+                                  WHEN 'wiki' THEN 1
+                                  WHEN 'crawl' THEN 2
+                                  ELSE 3 END,
+                                doc_id) AS rn
+              FROM pool
+            )
+            SELECT doc_id, source FROM ranked WHERE rn = 1
         """,
         # NOT EXISTS with plain '=', not NOT IN: a NULL prior-side
         # digest turns NOT IN three-valued (0 rows) while Spark's

@@ -15,10 +15,10 @@ corpus, no shuffle, reproducible across engines, cluster sizes, and
 reruns.  Rates ride to executors broadcast inside the join against the
 one-row-per-source rate table.
 
-Rates are capped at 1.0 (this operator only *sub*samples; upsampling =
-duplication is an epoch-count decision for the training loader, not a
-corpus transform — emitting duplicate rows here would corrupt dedup
-invariants downstream).
+Rates are capped at 1.0 (this operator only *sub*samples; see
+``epoch_expand`` for the materialized-upsampling counterpart —
+deliberately a SEPARATE operator because its output contains duplicate
+rows by construction and must run AFTER every dedup stage).
 """
 
 from __future__ import annotations
@@ -107,3 +107,136 @@ def temperature_sample(
         F.col("keep_rate") * BUCKETS, 0
     ).cast("bigint")
     return tagged.filter(keep).drop("keep_rate")
+
+
+# ---------------------------------------------------------------------------
+# epoch-expansion mixing (materialized upsampling)
+# ---------------------------------------------------------------------------
+#
+# temperature_sample realizes a target mix by SUBSAMPLING only — the
+# budget is capped so no source needs more than one pass.  Production
+# mixes (the Llama / Pile recipes) instead fix the budget and repeat
+# high-quality rare sources for MORE than one epoch.  epoch_expand
+# materializes that: each source contributes floor(quota/n) full passes
+# plus a deterministic hash-selected partial pass, every emitted row
+# tagged with its epoch index so packing keys on (doc, epoch).
+#
+# Ordering contract: this is the LAST corpus transform before
+# ordering/packing — its output contains duplicate content by
+# construction, so any dedup run after it would undo the mix.
+#
+# Cross-engine determinism: the only float in the pipeline is
+# target_share (pow + a weight-sum); it is quantized ONCE into an
+# integer doc quota (ROUND — the threshold rule CLAUDE.md pins for
+# engine-order-dependent float sums).  Everything after the quota is
+# pure integer arithmetic: epochs = quota div n, and the partial-pass
+# bucket threshold is (rem * BUCKETS) div n — an integer, never a
+# rounded float, so the int-ratio ROUND-at-.5 divergence cannot occur.
+
+
+def epoch_mix_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    max_epochs: int | None = None,
+) -> DataFrame:
+    """Per-source epoch plan realizing the temperature-``alpha`` mix at
+    a fixed output ``budget_docs`` (default: the input's total count —
+    same corpus size, re-proportioned): (source, n_docs, raw_share,
+    target_share, quota, epochs, partial_thr).
+
+    ``quota`` is the integer number of output rows the source owes;
+    ``epochs`` full passes plus a partial pass keeping rows whose
+    portable hash bucket < ``partial_thr`` (of ``BUCKETS``) realize it
+    to bucket granularity.  ``max_epochs`` caps runaway upsampling of a
+    tiny source (capped sources emit exactly ``max_epochs`` full passes
+    and no partial).  A NULL source is a source (own plan row).
+    """
+    from dqc_spark.cache import track
+
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    if budget_docs is not None and budget_docs < 1:
+        raise ValueError("budget_docs must be >= 1")
+    counts = track(
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = counts.agg(F.sum("n_docs").alias("t")).select("t")
+    c = counts.crossJoin(F.broadcast(total))
+    c = c.withColumn("raw_share", F.col("n_docs") / F.col("t"))
+    c = c.withColumn("__w", F.pow(F.col("raw_share"), F.lit(alpha)))
+    wsum = c.agg(F.sum("__w").alias("ws")).select("ws")
+    c = c.crossJoin(F.broadcast(wsum)).withColumn(
+        "target_share", F.col("__w") / F.col("ws")
+    )
+    budget = F.lit(budget_docs).cast("double") if budget_docs is not None \
+        else F.col("t").cast("double")
+    c = c.withColumn(
+        "quota",
+        F.round(F.col("target_share") * budget, 0).cast("bigint"))
+    c = c.withColumn("epochs", F.expr("quota div n_docs"))
+    if max_epochs is not None:
+        c = c.withColumn(
+            "quota",
+            F.when(F.col("epochs") >= max_epochs,
+                   F.lit(max_epochs) * F.col("n_docs"))
+            .otherwise(F.col("quota")))
+        c = c.withColumn("epochs", F.expr("quota div n_docs"))
+    c = c.withColumn(
+        "partial_thr",
+        F.expr(f"((quota - epochs * n_docs) * {BUCKETS}) div n_docs"))
+    return c.select(source_col, "n_docs", "raw_share", "target_share",
+                    "quota", "epochs", "partial_thr")
+
+
+def epoch_expand(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    max_epochs: int | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize the epoch plan: every input row appears once per
+    full epoch (``epoch`` = 0..epochs-1) plus once more in the partial
+    pass (``epoch`` = epochs) iff its portable hash bucket clears the
+    source's threshold.  Selection depends only on (key, plan) — stable
+    across re-runs, repartitioning, and engines.
+
+    Scale shape: the plan is one row per source, broadcast into a
+    null-safe join; the fan-out is ONE explode whose per-row width is
+    the source's epoch count (bounded by budget/n_s, and by
+    ``max_epochs`` when set); no shuffle beyond the plan's tiny counts
+    groupBy.  Run AFTER dedup, BEFORE ordering/packing (see module
+    note) — downstream keys are (key, epoch).
+    """
+    plan = epoch_mix_plan(df, source_col, alpha, budget_docs, max_epochs)
+    rates = plan.select(
+        F.col(source_col).alias("__mix_src"), "epochs", "partial_thr")
+    tagged = df.join(
+        F.broadcast(rates),
+        on=df[source_col].eqNullSafe(F.col("__mix_src")),
+        how="inner",
+    ).drop("__mix_src")
+    # ONE explode over (full epochs ++ conditional partial slot): a
+    # full/partial two-branch union would scan the corpus twice.  The
+    # otherwise-arms are EMPTY arrays, never NULL — concat(NULL, x) is
+    # NULL and explode would drop the whole row; and the epochs >= 1
+    # guard keeps epochs=0 sources away from Spark's DESCENDING
+    # sequence(0, -1).  explode (non-outer) drops rows whose combined
+    # array is empty — exactly the unselected rows.
+    empty = F.array().cast("array<int>")
+    fulls = F.when(
+        F.col("epochs") >= 1,
+        F.sequence(F.lit(0), (F.col("epochs") - 1).cast("int")),
+    ).otherwise(empty)
+    partial = F.when(
+        portable_hash_bucket(F.col(key_col), BUCKETS) < F.col("partial_thr"),
+        F.array(F.col("epochs").cast("int")),
+    ).otherwise(empty)
+    return (
+        tagged.withColumn(epoch_col, F.explode(F.concat(fulls, partial)))
+        .drop("epochs", "partial_thr")
+    )

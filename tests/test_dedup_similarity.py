@@ -302,3 +302,43 @@ def test_minhash_and_simhash_string_keys(spark, docs):
     sh = {(r["key_a"], r["key_b"]): r["hamming"]
           for r in simhash_near_dups(urls, "url", max_hamming=3).collect()}
     assert sh[("https://example.com/p0", "https://example.com/p1")] == 0
+
+
+def test_dedup_exact_priority_prefers_low_rank(spark):
+    from dqc_spark.dedup import dedup_exact_priority, source_priority_col
+
+    rows = [
+        (1, "crawl", "shared page"),
+        (2, "wiki", "shared page"),
+        (3, "curated", "shared page"),
+        (4, "crawl", "crawl only"),
+        (5, None, "null vs crawl"),       # NULL source ranks worst
+        (6, "crawl", "null vs crawl"),
+        (7, "mystery", "unlisted tie"),   # unlisted sources tie at worst...
+        (8, "enigma", "unlisted tie"),    # ...so the smallest key wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pri = source_priority_col("source", {"curated": 0, "wiki": 1, "crawl": 2})
+    kept = {r["doc_id"] for r in dedup_exact_priority(df, ["doc_id"], pri).collect()}
+    assert kept == {3, 4, 6, 7}
+
+    # equal-priority groups degrade to dedup_exact's smallest-key rule
+    from dqc_spark.dedup import dedup_exact
+
+    flat = dedup_exact_priority(df, ["doc_id"], F.lit(1))
+    assert {r["doc_id"] for r in flat.collect()} == {
+        r["doc_id"] for r in dedup_exact(df, ["doc_id"]).collect()}
+
+
+def test_dedup_exact_priority_null_text_and_column_name(spark):
+    from dqc_spark.dedup import dedup_exact_priority
+
+    rows = [
+        (1, 2, None),   # NULL texts form one group (md5 NULL groups)
+        (2, 1, None),   # lower stored priority wins it
+        (3, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pri int, text string")
+    kept = {r["doc_id"]
+            for r in dedup_exact_priority(df, ["doc_id"], "pri").collect()}
+    assert kept == {2, 3}

@@ -89,3 +89,114 @@ def test_temperature_sample_deterministic_and_no_duplicates(spark, skewed_docs):
     )
     assert a == b  # layout-independent
     assert len(a) == len(set(a))  # subsample only, never duplicates
+
+
+# ---------------------------------------------------------------------------
+# epoch-expansion mixing (materialized upsampling)
+# ---------------------------------------------------------------------------
+
+from dqc_spark.mixing import epoch_expand, epoch_mix_plan  # noqa: E402
+
+
+def _py_plan(counts: dict, alpha: float, budget=None, max_epochs=None) -> dict:
+    """Pure-python twin of epoch_mix_plan (quota/epochs/threshold)."""
+    total = sum(counts.values())
+    w = {s: (n / total) ** alpha for s, n in counts.items()}
+    ws = sum(w.values())
+    b = float(budget if budget is not None else total)
+    out = {}
+    for s, n in counts.items():
+        # python round() is half-even; Spark F.round is HALF_UP — match
+        # Spark with floor(x + 0.5) (quota floats are way off .5 here,
+        # but the twin should encode the rule it claims to mirror)
+        quota = math.floor(w[s] / ws * b + 0.5)
+        epochs = quota // n
+        if max_epochs is not None and epochs >= max_epochs:
+            quota = max_epochs * n
+            epochs = max_epochs
+        out[s] = {
+            "quota": quota,
+            "epochs": epochs,
+            "partial_thr": ((quota - epochs * n) * BUCKETS) // n,
+        }
+    return out
+
+
+def _bucket(key) -> int:
+    h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+    return int(h, 16) % BUCKETS
+
+
+def test_epoch_mix_plan_matches_python(spark, skewed_docs):
+    counts = {"src_hot": 800, "src_mid": 150, "src_rare": 50}
+    for alpha in (0.0, 0.5, 1.0):
+        got = {r["source"]: r for r in
+               epoch_mix_plan(skewed_docs, alpha=alpha).collect()}
+        want = _py_plan(counts, alpha)
+        for s in counts:
+            for k in ("quota", "epochs", "partial_thr"):
+                assert got[s][k] == want[s][k], (alpha, s, k)
+    # alpha=1 at the default budget is a no-op mix: one full epoch each
+    for r in epoch_mix_plan(skewed_docs, alpha=1.0).collect():
+        assert r["epochs"] == 1 and r["partial_thr"] == 0
+
+
+def test_epoch_expand_realizes_plan_exactly(spark, skewed_docs):
+    plan = {r["source"]: r for r in
+            epoch_mix_plan(skewed_docs, alpha=0.5).collect()}
+    out = epoch_expand(skewed_docs, alpha=0.5)
+    rows = out.collect()
+    counts = {"src_hot": 800, "src_mid": 150, "src_rare": 50}
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for s, n in counts.items():
+        p = plan[s]
+        mine = per_src[s]
+        # full epochs: every doc once per epoch index 0..epochs-1
+        for e in range(p["epochs"]):
+            assert sum(1 for r in mine if r["epoch"] == e) == n, (s, e)
+        # partial pass: exactly the hash-selected docs, epoch == epochs
+        part = [r for r in mine if r["epoch"] == p["epochs"]]
+        want_part = [i for i in range(counts[s])
+                     if _bucket(_doc_id(s, i)) < p["partial_thr"]]
+        assert len(part) == len(want_part), s
+        assert len(mine) == p["epochs"] * n + len(want_part)
+    # the flattened mix actually upsamples the rare source and cuts hot
+    assert len(per_src["src_rare"]) > 50
+    assert len(per_src["src_hot"]) < 800
+
+
+def _doc_id(src: str, i: int) -> int:
+    # mirror the skewed_docs fixture's id assignment
+    base = {"src_hot": 0, "src_mid": 800, "src_rare": 950}[src]
+    return base + i
+
+
+def test_epoch_expand_deterministic_and_partition_invariant(spark, skewed_docs):
+    a = sorted((r["doc_id"], r["epoch"]) for r in
+               epoch_expand(skewed_docs, alpha=0.5).collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in
+               epoch_expand(skewed_docs.repartition(13), alpha=0.5).collect())
+    assert a == b
+    # (doc, epoch) is a key: no duplicates
+    assert len(a) == len(set(a))
+
+
+def test_epoch_expand_max_epochs_cap_and_null_source(spark):
+    rows = [(i, "big" if i < 90 else None, f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = epoch_expand(df, alpha=0.0, budget_docs=100_000, max_epochs=2)
+    got = {r["source"]: r["count"] for r in
+           out.groupBy("source").count().collect()}
+    # capped: exactly max_epochs full passes, no partial
+    assert got["big"] == 2 * 90
+    assert got[None] == 2 * 10  # NULL source is a source and flows through
+    assert out.agg(F.max("epoch")).first()[0] == 1
+
+
+def test_epoch_expand_validation(spark, skewed_docs):
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_mix_plan(skewed_docs, max_epochs=0)
+    with pytest.raises(ValueError, match="budget_docs"):
+        epoch_mix_plan(skewed_docs, budget_docs=0)
