@@ -272,6 +272,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compression", default=None,
                    help="codec passed to the writer (e.g. gzip)")
 
+    p = sub.add_parser("mix-epochs",
+                       help="materialize a fixed-budget temperature "
+                            "mix: epoch-tagged rows, rare sources "
+                            "repeated past one epoch (run AFTER dedup)")
+    p.add_argument("--input", required=True, help="docs parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="temperature exponent (1 = raw mix, 0 = uniform)")
+    p.add_argument("--budget-docs", type=int, default=None,
+                   help="output row budget (default: the input size)")
+    p.add_argument("--max-epochs", type=int, default=None,
+                   help="cap full passes per source")
+    p.add_argument("--source-column", default="source")
+    p.add_argument("--key-column", default="doc_id")
+
     p = sub.add_parser("pack-sequences",
                        help="GPT-style fixed-length sequence-packing "
                             "manifest (seq_id, doc slice) parquet")
@@ -792,6 +807,25 @@ def main(argv=None) -> int:
                          text_col=args.text_column,
                          fmt=args.format, compression=args.compression)
         print(f"wrote {n} shards to {args.output}")
+        return 0
+    if c == "mix-epochs":
+        from dqc_spark.mixing import epoch_expand
+
+        docs = spark.read.parquet(args.input)
+        try:
+            out = epoch_expand(
+                docs, source_col=args.source_column,
+                key_col=args.key_column, alpha=args.alpha,
+                budget_docs=args.budget_docs, max_epochs=args.max_epochs)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        out.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        n_up = written.filter("epoch >= 1").count()
+        print(f"wrote {n} epoch-tagged rows to {args.output} "
+              f"({n_up} from repeat epochs)")
         return 0
     if c == "pack-sequences":
         from dqc_spark.seqpack import sequence_manifest

@@ -384,3 +384,30 @@ def test_cli_tag_and_apply_attributes(capsys, spark, db_path, tmp_path):
             annotate(spark.read.parquet(src), thresholds={"min_words": 150})
             .filter("keep").select("url").collect()}
     assert got == want
+
+
+def test_cli_mix_epochs(capsys, spark, db_path, tmp_path):
+    src = str(tmp_path / "mix_docs.parquet")
+    rows = [(i, "hot" if i < 90 else "rare", f"doc {i}") for i in range(100)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string").write.parquet(src)
+    out_p = str(tmp_path / "mixed.parquet")
+    rc, out = _run(capsys, [
+        "--db-path", db_path, "mix-epochs", "--input", src,
+        "--output", out_p, "--alpha", "0.0", "--budget-docs", "200",
+        "--max-epochs", "4"])
+    assert rc == 0 and "epoch-tagged rows" in out
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(out_p)
+    # uniform mix at budget 200: each source owes 100 -> rare (10 docs)
+    # repeats for 10 full epochs, capped at 4
+    per = {r["source"]: r["max_e"] for r in
+           got.groupBy("source").agg(F.max("epoch").alias("max_e")).collect()}
+    assert per["rare"] == 3  # 4 full passes = epochs 0..3
+    assert got.filter("source = 'rare'").count() == 40
+    # validation surfaces as a clean exit code, not a traceback
+    rc2, _ = _run(capsys, [
+        "--db-path", db_path, "mix-epochs", "--input", src,
+        "--output", out_p, "--max-epochs", "0"])
+    assert rc2 == 2
