@@ -140,18 +140,28 @@ def epoch_mix_plan(
     alpha: float = 0.5,
     budget_docs: int | None = None,
     max_epochs: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-source epoch plan realizing the temperature-``alpha`` mix at
     a fixed output ``budget_docs`` (default: the input's total count —
-    same corpus size, re-proportioned): (source, n_docs, raw_share,
-    target_share, quota, epochs, partial_thr).
+    same corpus size, re-proportioned): (source, n_docs, n_units,
+    raw_share, target_share, quota, epochs, partial_thr).
 
-    ``quota`` is the integer number of output rows the source owes;
+    ``quota`` is the integer number of output UNITS the source owes;
     ``epochs`` full passes plus a partial pass keeping rows whose
     portable hash bucket < ``partial_thr`` (of ``BUCKETS``) realize it
     to bucket granularity.  ``max_epochs`` caps runaway upsampling of a
     tiny source (capped sources emit exactly ``max_epochs`` full passes
     and no partial).  A NULL source is a source (own plan row).
+
+    Units are documents by default; pass ``weight_col`` (e.g. a token
+    count from ``bpe_token_counts``) to budget in TOKENS — the unit
+    production mixes are actually specified in.  ``budget_docs`` is
+    then a unit budget; shares, quota and epochs are computed over the
+    per-source weight sums, and the partial pass realizes its unit
+    remainder in expectation (hash selection is per-document, so the
+    realized partial-token count fluctuates by one document's worth).
+    NULL weights count as 0; a zero-weight source plans zero epochs.
     """
     from dqc_spark.cache import track
 
@@ -159,12 +169,17 @@ def epoch_mix_plan(
         raise ValueError("max_epochs must be >= 1")
     if budget_docs is not None and budget_docs < 1:
         raise ValueError("budget_docs must be >= 1")
-    counts = track(
-        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    unit = (
+        F.coalesce(F.sum(F.col(weight_col).cast("long")), F.lit(0))
+        if weight_col is not None else F.count(F.lit(1))
     )
-    total = counts.agg(F.sum("n_docs").alias("t")).select("t")
+    counts = track(
+        df.groupBy(source_col).agg(
+            F.count(F.lit(1)).alias("n_docs"), unit.alias("n_units"))
+    )
+    total = counts.agg(F.sum("n_units").alias("t")).select("t")
     c = counts.crossJoin(F.broadcast(total))
-    c = c.withColumn("raw_share", F.col("n_docs") / F.col("t"))
+    c = c.withColumn("raw_share", F.col("n_units") / F.col("t"))
     c = c.withColumn("__w", F.pow(F.col("raw_share"), F.lit(alpha)))
     wsum = c.agg(F.sum("__w").alias("ws")).select("ws")
     c = c.crossJoin(F.broadcast(wsum)).withColumn(
@@ -175,19 +190,26 @@ def epoch_mix_plan(
     c = c.withColumn(
         "quota",
         F.round(F.col("target_share") * budget, 0).cast("bigint"))
-    c = c.withColumn("epochs", F.expr("quota div n_docs"))
+    # n_units = 0 (possible only with weight_col): div-by-zero is NULL
+    # in Spark but an ERROR in DuckDB and python — plan zero explicitly
+    ep = F.when(F.col("n_units") > 0, F.expr("quota div n_units")) \
+        .otherwise(F.lit(0))
+    c = c.withColumn("epochs", ep)
     if max_epochs is not None:
         c = c.withColumn(
             "quota",
             F.when(F.col("epochs") >= max_epochs,
-                   F.lit(max_epochs) * F.col("n_docs"))
+                   F.lit(max_epochs) * F.col("n_units"))
             .otherwise(F.col("quota")))
-        c = c.withColumn("epochs", F.expr("quota div n_docs"))
+        c = c.withColumn("epochs", ep)
     c = c.withColumn(
         "partial_thr",
-        F.expr(f"((quota - epochs * n_docs) * {BUCKETS}) div n_docs"))
-    return c.select(source_col, "n_docs", "raw_share", "target_share",
-                    "quota", "epochs", "partial_thr")
+        F.when(
+            F.col("n_units") > 0,
+            F.expr(f"((quota - epochs * n_units) * {BUCKETS}) div n_units"),
+        ).otherwise(F.lit(0)))
+    return c.select(source_col, "n_docs", "n_units", "raw_share",
+                    "target_share", "quota", "epochs", "partial_thr")
 
 
 def epoch_expand(
@@ -198,12 +220,15 @@ def epoch_expand(
     budget_docs: int | None = None,
     max_epochs: int | None = None,
     epoch_col: str = "epoch",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Materialize the epoch plan: every input row appears once per
     full epoch (``epoch`` = 0..epochs-1) plus once more in the partial
     pass (``epoch`` = epochs) iff its portable hash bucket clears the
     source's threshold.  Selection depends only on (key, plan) — stable
-    across re-runs, repartitioning, and engines.
+    across re-runs, repartitioning, and engines.  ``weight_col``
+    switches the budget unit from documents to the column's sum (token
+    budgets — see epoch_mix_plan).
 
     Scale shape: the plan is one row per source, broadcast into a
     null-safe join; the fan-out is ONE explode whose per-row width is
@@ -212,7 +237,8 @@ def epoch_expand(
     groupBy.  Run AFTER dedup, BEFORE ordering/packing (see module
     note) — downstream keys are (key, epoch).
     """
-    plan = epoch_mix_plan(df, source_col, alpha, budget_docs, max_epochs)
+    plan = epoch_mix_plan(df, source_col, alpha, budget_docs, max_epochs,
+                          weight_col=weight_col)
     rates = plan.select(
         F.col(source_col).alias("__mix_src"), "epochs", "partial_thr")
     tagged = df.join(

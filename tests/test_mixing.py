@@ -99,7 +99,9 @@ from dqc_spark.mixing import epoch_expand, epoch_mix_plan  # noqa: E402
 
 
 def _py_plan(counts: dict, alpha: float, budget=None, max_epochs=None) -> dict:
-    """Pure-python twin of epoch_mix_plan (quota/epochs/threshold)."""
+    """Pure-python twin of epoch_mix_plan (quota/epochs/threshold).
+    ``counts`` maps source -> unit total (docs, or token sums when the
+    Spark side passes weight_col)."""
     total = sum(counts.values())
     w = {s: (n / total) ** alpha for s, n in counts.items()}
     ws = sum(w.values())
@@ -110,14 +112,14 @@ def _py_plan(counts: dict, alpha: float, budget=None, max_epochs=None) -> dict:
         # Spark with floor(x + 0.5) (quota floats are way off .5 here,
         # but the twin should encode the rule it claims to mirror)
         quota = math.floor(w[s] / ws * b + 0.5)
-        epochs = quota // n
+        epochs = quota // n if n > 0 else 0
         if max_epochs is not None and epochs >= max_epochs:
             quota = max_epochs * n
             epochs = max_epochs
         out[s] = {
             "quota": quota,
             "epochs": epochs,
-            "partial_thr": ((quota - epochs * n) * BUCKETS) // n,
+            "partial_thr": ((quota - epochs * n) * BUCKETS) // n if n > 0 else 0,
         }
     return out
 
@@ -200,3 +202,29 @@ def test_epoch_expand_validation(spark, skewed_docs):
         epoch_mix_plan(skewed_docs, max_epochs=0)
     with pytest.raises(ValueError, match="budget_docs"):
         epoch_mix_plan(skewed_docs, budget_docs=0)
+
+
+def test_epoch_mix_plan_token_budget(spark):
+    # token-weighted units: 'big' has few docs but most tokens; the
+    # plan must budget over the weight sums, not the doc counts
+    rows = [(i, "big", f"t{i}", 1000) for i in range(10)]
+    rows += [(100 + i, "small", f"s{i}", 10) for i in range(50)]
+    rows += [(999, "empty", "e", None)]  # NULL weights sum to 0
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tok long")
+    got = {r["source"]: r for r in
+           epoch_mix_plan(df, alpha=0.5, weight_col="n_tok").collect()}
+    assert got["big"]["n_docs"] == 10 and got["big"]["n_units"] == 10_000
+    assert got["small"]["n_units"] == 500
+    want = _py_plan({"big": 10_000, "small": 500, "empty": 0}, 0.5,
+                    budget=10_500)
+    for s in ("big", "small", "empty"):
+        for k in ("quota", "epochs", "partial_thr"):
+            assert got[s][k] == want[s][k], (s, k)
+    # zero-unit source plans zero epochs instead of erroring, and
+    # emits nothing when expanded
+    assert got["empty"]["epochs"] == 0 and got["empty"]["partial_thr"] == 0
+    out = epoch_expand(df, alpha=0.5, weight_col="n_tok")
+    assert out.filter("source = 'empty'").count() == 0
+    # sqrt flattening upsamples the token-poor source
+    assert out.filter("source = 'small'").count() > 50
