@@ -510,7 +510,7 @@ def main() -> None:
             key=lambda r: r.get("value", 0), default=None)
         if best and best["value"] > dps_full:
             best_line = (
-                f"Context: the best recorded run of the same code family "
+                f"\nContext: the best recorded run of the same code family "
                 f"(co-tenant-quiet window, {best['ts']}, "
                 f"{best.get('git', '?')}) reached {best['value']:.0f} "
                 f"docs/sec at efficiency {best['scaling']['efficiency']:.2f}; "

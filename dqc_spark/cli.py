@@ -821,9 +821,14 @@ def main(argv=None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         out.write.mode("overwrite").parquet(args.output)
-        written = spark.read.parquet(args.output)
-        n = written.count()
-        n_up = written.filter("epoch >= 1").count()
+        # one aggregate pass for both counts — the expanded output is
+        # larger than the input by construction, don't scan it twice
+        from pyspark.sql import functions as F
+
+        n, n_up = spark.read.parquet(args.output).agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.sum(F.when(F.col("epoch") >= 1, 1)), F.lit(0)),
+        ).first()
         print(f"wrote {n} epoch-tagged rows to {args.output} "
               f"({n_up} from repeat epochs)")
         return 0

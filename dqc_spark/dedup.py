@@ -52,15 +52,10 @@ def dedup_exact(df: DataFrame, key_cols: list[str], text_col: str = "text") -> D
     taken independently fabricate phantom winners for multi-column keys:
     a group with keys (1,5),(2,3) would elect (1,3), which matches no
     row, and the semi-join would drop BOTH copies.)  Still a window-free
-    two-phase agg — min(struct) is partial-aggregatable, no global sort."""
-    h = F.md5(F.col(text_col)).alias("__h")
-    winners = (
-        df.select(h, F.struct(*key_cols).alias("__k"))
-        .groupBy("__h")
-        .agg(F.min("__k").alias("__k"))
-        .select("__k.*")
-    )
-    return df.join(winners, on=key_cols, how="left_semi")
+    two-phase agg — min(struct) is partial-aggregatable, no global sort.
+    The flat-priority special case of ``dedup_exact_priority`` — ONE
+    election implementation, so a fix applies to both."""
+    return dedup_exact_priority(df, key_cols, F.lit(0), text_col)
 
 
 def source_priority_col(

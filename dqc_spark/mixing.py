@@ -180,7 +180,15 @@ def epoch_mix_plan(
     total = counts.agg(F.sum("n_units").alias("t")).select("t")
     c = counts.crossJoin(F.broadcast(total))
     c = c.withColumn("raw_share", F.col("n_units") / F.col("t"))
-    c = c.withColumn("__w", F.pow(F.col("raw_share"), F.lit(alpha)))
+    # zero-unit sources (possible only with weight_col) must carry ZERO
+    # mix weight: pow(0, 0) is 1, so at alpha=0 an all-NULL-weight
+    # source would otherwise be assigned a full quota share it can
+    # never emit, silently deflating every real source's quota
+    c = c.withColumn(
+        "__w",
+        F.when(F.col("n_units") > 0,
+               F.pow(F.col("raw_share"), F.lit(alpha)))
+        .otherwise(F.lit(0.0)))
     wsum = c.agg(F.sum("__w").alias("ws")).select("ws")
     c = c.crossJoin(F.broadcast(wsum)).withColumn(
         "target_share", F.col("__w") / F.col("ws")
@@ -239,8 +247,13 @@ def epoch_expand(
     """
     plan = epoch_mix_plan(df, source_col, alpha, budget_docs, max_epochs,
                           weight_col=weight_col)
+    # __-prefixed temp names: unprefixed 'epochs'/'partial_thr' would
+    # collide with same-named caller columns (ambiguous reference in
+    # the expressions below, silent deletion in the final drop)
     rates = plan.select(
-        F.col(source_col).alias("__mix_src"), "epochs", "partial_thr")
+        F.col(source_col).alias("__mix_src"),
+        F.col("epochs").alias("__mix_epochs"),
+        F.col("partial_thr").alias("__mix_thr"))
     tagged = df.join(
         F.broadcast(rates),
         on=df[source_col].eqNullSafe(F.col("__mix_src")),
@@ -255,14 +268,14 @@ def epoch_expand(
     # array is empty — exactly the unselected rows.
     empty = F.array().cast("array<int>")
     fulls = F.when(
-        F.col("epochs") >= 1,
-        F.sequence(F.lit(0), (F.col("epochs") - 1).cast("int")),
+        F.col("__mix_epochs") >= 1,
+        F.sequence(F.lit(0), (F.col("__mix_epochs") - 1).cast("int")),
     ).otherwise(empty)
     partial = F.when(
-        portable_hash_bucket(F.col(key_col), BUCKETS) < F.col("partial_thr"),
-        F.array(F.col("epochs").cast("int")),
+        portable_hash_bucket(F.col(key_col), BUCKETS) < F.col("__mix_thr"),
+        F.array(F.col("__mix_epochs").cast("int")),
     ).otherwise(empty)
     return (
         tagged.withColumn(epoch_col, F.explode(F.concat(fulls, partial)))
-        .drop("epochs", "partial_thr")
+        .drop("__mix_epochs", "__mix_thr")
     )

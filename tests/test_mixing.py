@@ -107,6 +107,9 @@ def _py_plan(counts: dict, alpha: float, budget=None, max_epochs=None) -> dict:
     ws = sum(w.values())
     b = float(budget if budget is not None else total)
     out = {}
+    # zero-unit sources carry zero weight even at alpha=0 (pow(0,0)=1)
+    w = {s: (x if counts[s] > 0 else 0.0) for s, x in w.items()}
+    ws = sum(w.values())
     for s, n in counts.items():
         # python round() is half-even; Spark F.round is HALF_UP — match
         # Spark with floor(x + 0.5) (quota floats are way off .5 here,
@@ -228,3 +231,30 @@ def test_epoch_mix_plan_token_budget(spark):
     assert out.filter("source = 'empty'").count() == 0
     # sqrt flattening upsamples the token-poor source
     assert out.filter("source = 'small'").count() > 50
+
+
+def test_epoch_expand_survives_colliding_caller_columns(spark):
+    # caller columns named 'epochs'/'partial_thr' must pass through
+    # untouched (internals are __-prefixed)
+    rows = [(i, "s", f"t{i}", 7, 8) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, "
+              "epochs int, partial_thr int")
+    out = epoch_expand(df, alpha=1.0)
+    assert {"epochs", "partial_thr", "epoch"} <= set(out.columns)
+    r = out.first()
+    assert r["epochs"] == 7 and r["partial_thr"] == 8
+
+
+def test_epoch_plan_zero_weight_source_does_not_deflate_quota(spark):
+    # pow(0,0)=1: at alpha=0 a zero-token source must NOT claim a quota
+    # share it can never emit — renormalized over emitting sources
+    rows = [(i, "real", f"t{i}", 10) for i in range(10)]
+    rows += [(99, "ghost", "g", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tok long")
+    got = {r["source"]: r for r in
+           epoch_mix_plan(df, alpha=0.0, weight_col="n_tok").collect()}
+    assert got["ghost"]["quota"] == 0
+    assert got["real"]["quota"] == 100  # the whole budget, not half
+    assert got["real"]["epochs"] == 1 and got["real"]["partial_thr"] == 0
