@@ -437,6 +437,7 @@ TAIL_ORDER = [
     # candidates
     "mix_epoch_expand",
     "dedup_priority_keep",
+    "dedup_canonical_priority",
 ]
 
 

@@ -208,6 +208,42 @@ def keep_canonical(
     return df.join(losers, on=key_col, how="left_anti")
 
 
+def keep_canonical_priority(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    priority: "F.Column | str",
+    src: str = "key_a",
+    dst: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``keep_canonical`` with a provenance preference: for every
+    near-dup cluster keep the member with the LOWEST ``priority`` value
+    (ties to the smallest key) — the cluster-level analogue of
+    ``dedup.dedup_exact_priority``, for the pair frames minhash/simhash
+    /LSH emit.  Unclustered documents pass through; NULL priority ranks
+    worst (coalesced to int-max, mirroring the exact-dedup rule).
+
+    Plan shape: components loop + a narrow (key, priority) projection
+    joined onto the (small) label frame, ONE partial-aggregatable
+    ``min(struct(priority, key))`` per component, and one left-anti
+    join of the corpus against the loser keys — the full table is
+    scanned once and never shuffled on text."""
+    pri = F.col(priority) if isinstance(priority, str) else priority
+    pri = F.coalesce(pri.cast("int"), F.lit(2_147_483_647))
+    comp = connected_components(pairs, src, dst, max_iter)
+    keyed = df.select(F.col(key_col).alias("key"), pri.alias("__p"))
+    labeled = comp.join(keyed, "key", "inner")
+    winners = (
+        labeled.groupBy("component")
+        .agg(F.min(F.struct("__p", "key")).alias("__w"))
+        .select(F.col("__w.key").alias("key"))
+    )
+    losers = labeled.join(winners, "key", "left_anti").select(
+        F.col("key").alias(key_col))
+    return df.join(losers, on=key_col, how="left_anti")
+
+
 def soft_weights(
     df: DataFrame,
     pairs: DataFrame,

@@ -901,6 +901,25 @@ def q_keep_canonical(spark, sf):
     )
 
 
+def q_keep_canonical_priority(spark, sf):
+    # provenance-preferring cluster winner: same truncated-hash cliques
+    # (SQL-expressible closure), but the survivor is the lowest-rank
+    # source — the oracle spells the ORDER BY (rank, key) window twin
+    # of min(struct(priority, key))
+    from dqc_spark.components import keep_canonical_priority
+    from dqc_spark.dedup import source_priority_col
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 3
+    tagged = docs.withColumn(
+        "source",
+        F.when(m == 0, "crawl").when(m == 1, "wiki").otherwise("curated"))
+    pri = source_priority_col("source", {"curated": 0, "wiki": 1, "crawl": 2})
+    return keep_canonical_priority(
+        tagged, _dup_pairs(spark, sf), "doc_id", pri
+    ).select("doc_id", "source")
+
+
 def q_neardup_soft_weights(spark, sf):
     # SoftDeDup over NEAR-dup clusters: the truncated-hash cliques make
     # the iterative components closure SQL-expressible, so cluster
@@ -3014,6 +3033,7 @@ def extra_queries():
         "html_main_content": q_main_content,
         "mix_epoch_expand": q_mix_epoch_expand,
         "dedup_priority_keep": q_dedup_priority,
+        "dedup_canonical_priority": q_keep_canonical_priority,
     }
 
 
@@ -4015,6 +4035,25 @@ def extra_oracle_sql():
               SELECT doc_id,
                      ROW_NUMBER() OVER (PARTITION BY substring(md5(text), 1, 3)
                                         ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        # the provenance-preferring twin: winner per truncated-hash
+        # clique by (source rank, key) — the window spelling of the
+        # cluster-level min(struct(priority, key)) election
+        "dedup_canonical_priority": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'crawl'
+                          WHEN doc_id % 3 = 1 THEN 'wiki'
+                          ELSE 'curated' END AS source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY substring(md5(text), 1, 3)
+                       ORDER BY CASE doc_id % 3
+                                  WHEN 0 THEN 2
+                                  WHEN 1 THEN 1
+                                  ELSE 0 END,
+                                doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
         """,

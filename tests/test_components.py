@@ -146,3 +146,28 @@ def test_soft_weights_near_dup_clusters(spark):
     assert got[4] == (1, 1.0) and got[7] == (1, 1.0)
     # total mass = number of distinct contents (3 clusters + 2 singles)
     assert sum(w for _, w in got.values()) == pytest.approx(4.0)
+
+
+def test_keep_canonical_priority_prefers_low_rank(spark):
+    from dqc_spark.components import keep_canonical, keep_canonical_priority
+
+    # one chain cluster {1,2,3} (1-2, 2-3) and an unclustered doc 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "key_a long, key_b long")
+    rows = [
+        (1, 2, "a"),    # worst rank but smallest key
+        (2, 0, "b"),    # best rank -> the winner
+        (3, None, "c"),  # NULL priority ranks worst
+        (4, 9, "solo"),  # unclustered: passes through whatever its rank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pri int, text string")
+    kept = {r["doc_id"] for r in
+            keep_canonical_priority(df, pairs, "doc_id", "pri").collect()}
+    assert kept == {2, 4}
+
+    # flat priority degrades to keep_canonical's min-key rule
+    from pyspark.sql import functions as F
+
+    flat = keep_canonical_priority(df, pairs, "doc_id", F.lit(1))
+    assert {r["doc_id"] for r in flat.collect()} == {
+        r["doc_id"] for r in keep_canonical(df, pairs, "doc_id").collect()}

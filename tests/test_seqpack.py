@@ -166,3 +166,29 @@ def test_cli_pack_sequences(capsys, spark, docs_df, tmp_path):
     assert cli.main(["pack-sequences", "--input", src, "--output", out,
                      "--seq-len", "0"]) == 2
     capsys.readouterr()
+
+
+def test_pack_epoch_expanded_stream(spark):
+    """The advertised composition: epoch_expand -> pack on (doc, epoch).
+    Repeated epochs of a document occupy distinct, non-overlapping spans
+    of the packed token stream, and every window but the last is full."""
+    from pyspark.sql import functions as F
+
+    from dqc_spark.mixing import epoch_expand
+    from dqc_spark.seqpack import pack_sequences
+
+    rows = [(i, "hot" if i < 8 else "rare", f"doc {i} body words") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mixed = epoch_expand(df, alpha=0.0, budget_docs=40, max_epochs=3)
+    keyed = mixed.withColumn(
+        "pack_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch")))
+    spans = pack_sequences(keyed, seq_len=8, key_col="pack_key").collect()
+    assert len(spans) == mixed.count()  # every (doc, epoch) row packed once
+    assert len({r["pack_key"] for r in spans}) == len(spans)
+    # spans tile the stream exactly: sorted starts are the exclusive
+    # prefix sums of n_total
+    ordered = sorted(spans, key=lambda r: r["tok_start"])
+    acc = 0
+    for r in ordered:
+        assert r["tok_start"] == acc
+        acc += r["n_total"]
