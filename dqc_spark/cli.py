@@ -286,6 +286,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap full passes per source")
     p.add_argument("--source-column", default="source")
     p.add_argument("--key-column", default="doc_id")
+    p.add_argument("--weight-column", default=None,
+                   help="budget in this column's sum (e.g. token "
+                        "counts) instead of documents")
 
     p = sub.add_parser("pack-sequences",
                        help="GPT-style fixed-length sequence-packing "
@@ -816,7 +819,8 @@ def main(argv=None) -> int:
             out = epoch_expand(
                 docs, source_col=args.source_column,
                 key_col=args.key_column, alpha=args.alpha,
-                budget_docs=args.budget_docs, max_epochs=args.max_epochs)
+                budget_docs=args.budget_docs, max_epochs=args.max_epochs,
+                weight_col=args.weight_column)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
