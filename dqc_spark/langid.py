@@ -122,21 +122,33 @@ def trigram_counts(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            c: Counter = Counter()
+            # gram arrays pooled per language, ONE np.unique per
+            # (lang, batch) — a per-gram python dict loop here is the
+            # CLAUDE.md pandas-UDF trap (millions of dict ops per
+            # batch); the hashing itself stays the shared per-doc
+            # kernel (_trigram_hashes)
+            per_lang: dict[str, list[np.ndarray]] = {}
             for lang, text in zip(pdf[lang_col], pdf[text_col]):
                 if lang is None:
                     continue
                 h = _trigram_hashes((text or "")[:sample_chars])
-                if len(h) == 0:
-                    continue
-                uniq, counts = np.unique(h, return_counts=True)
-                for g, n in zip(uniq.view(np.int64), counts):
-                    c[(lang, int(g))] += int(n)
+                if len(h):
+                    per_lang.setdefault(lang, []).append(h)
+            langs: list[str] = []
+            grams: list[np.ndarray] = []
+            cnts: list[np.ndarray] = []
+            for lang, arrs in per_lang.items():
+                u, c = np.unique(np.concatenate(arrs), return_counts=True)
+                langs += [lang] * len(u)
+                grams.append(u.view(np.int64))
+                cnts.append(c.astype(np.int64))
             yield pd.DataFrame(
                 {
-                    "lang": [k[0] for k in c],
-                    "gram": pd.array([k[1] for k in c], dtype="int64"),
-                    "cnt": pd.array(list(c.values()), dtype="int64"),
+                    "lang": langs,
+                    "gram": np.concatenate(grams) if grams
+                    else np.array([], dtype=np.int64),
+                    "cnt": np.concatenate(cnts) if cnts
+                    else np.array([], dtype=np.int64),
                 }
             )
 

@@ -83,12 +83,24 @@ def global_enumerate(
     ranged = track(ranged.withColumn("__pid", F.spark_partition_id()))
 
     # metadata job: one (count, sum) per partition; runs against the
-    # cached narrow frame, so the range shuffle happens exactly once
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # cached narrow frame, so the range shuffle happens exactly once.
+    # NULL-tiebreak detection rides the SAME aggregate for free: a NULL
+    # tiebreak row would be counted into the offsets and ranked by the
+    # window, but the non-null-safe join-back below would drop it —
+    # silently losing the document AND leaving a gap in every later
+    # position.  Fail loudly instead.
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col(tiebreak_col).isNull()).alias("n_null_tb")]
     if value_col is not None:
         aggs.append(F.coalesce(F.sum("__val"), F.lit(0)).alias("v"))
     part_rows = {r["__pid"]: r
                  for r in ranged.groupBy("__pid").agg(*aggs).collect()}
+    n_null_tb = sum(r["n_null_tb"] for r in part_rows.values())
+    if n_null_tb:
+        raise ValueError(
+            f"tiebreak column {tiebreak_col!r} has {n_null_tb} NULL "
+            "row(s): positions would silently drop them — filter or "
+            "coalesce the key first")
     offsets, acc_n, acc_v = [], 0, 0
     for pid in sorted(part_rows):
         offsets.append((pid, acc_n, acc_v))
@@ -203,4 +215,11 @@ def write_shards(
     if compression is not None:
         w = w.option("compression", compression)
     getattr(w, fmt)(path)
-    return (sharded.select("shard").distinct().count())
+    # shard count from arithmetic, not a second lineage execution:
+    # positions are contiguous 0..n-1, so shards = ceil(n / size); the
+    # row count of the WRITTEN table is footer metadata for parquet and
+    # one narrow line count for JSONL — never a re-run of the
+    # order/join lineage over the corpus
+    fmt_reader = getattr(df.sparkSession.read, fmt)
+    n = fmt_reader(path).count()
+    return (n + docs_per_shard - 1) // docs_per_shard if n else 0

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dqc_spark.ordering import global_enumerate
+from dqc_spark.ordering import content_order_key, global_enumerate
 from dqc_spark.textstats import whitespace_token_count
 
 __all__ = ["pack_sequences", "sequence_manifest"]
@@ -71,10 +71,16 @@ def pack_sequences(
         raise ValueError("eos_tokens must be >= 0")
     toks = (F.col(tokens_col) if tokens_col is not None
             else whitespace_token_count(F.col(text_col)))
+    # NULL text (or a NULL tokens_col value) must count as 0 tokens,
+    # not poison n_total to NULL: an un-coalesced NULL doc would lose
+    # its EOS slot here and — under legacy sizeOfNull configs where
+    # size(NULL) is -1 — feed a NEGATIVE value into the global prefix
+    # sum, shifting every later document's tok_start
     src = (df
-           .withColumn("__okey", F.md5(F.col(text_col)))
+           .withColumn("__okey", content_order_key(text_col))
            .withColumn("n_total",
-                       (toks + F.lit(eos_tokens)).cast("long")))
+                       (F.coalesce(toks, F.lit(0))
+                        + F.lit(eos_tokens)).cast("long")))
     spans = global_enumerate(
         src, ["__okey"], key_col, value_col="n_total",
         num_partitions=num_partitions, offset_col="tok_start")

@@ -216,6 +216,11 @@ def _fit(
         raise ValueError("vocab_size must be positive")
     if not 0.0 < prune_frac < 1.0:
         raise ValueError("prune_frac must be in (0, 1)")
+    if em_rounds < 1:
+        # with zero EM rounds every expected count is 0 and pruning
+        # would rank multi-char pieces ALPHABETICALLY — a deterministic
+        # but meaningless vocabulary, silently
+        raise ValueError("em_rounds must be >= 1")
     if not word_freqs:
         return {}
     # canonical iteration order: every float ACCUMULATION below (seed

@@ -545,3 +545,12 @@ def test_bloom_artifact_multichunk_and_corrupt(spark, tmp_path):
     bad.write.parquet(bad_path)
     with pytest.raises(ValueError, match="corrupt"):
         load_bloom(spark, bad_path)
+
+
+def test_global_enumerate_rejects_null_tiebreak(spark):
+    from dqc_spark.ordering import training_order
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="NULL"):
+        training_order(df).collect()

@@ -192,3 +192,25 @@ def test_pack_epoch_expanded_stream(spark):
     for r in ordered:
         assert r["tok_start"] == acc
         acc += r["n_total"]
+
+
+def test_null_text_counts_as_empty(spark):
+    """NULL text == empty string: the doc still occupies its EOS slot
+    and every later document's tok_start is unaffected."""
+    from dqc_spark.seqpack import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "one two"), ("c", "")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, 8).collect()}
+    assert got["a"]["n_total"] == 1  # the EOS slot survives NULL text
+    assert got["c"]["n_total"] == 1
+    assert sum(r["n_total"] for r in got.values()) == 5
+    # spans tile the stream with no NULL hole: each start is the
+    # previous span's end
+    ordered = sorted(got.values(), key=lambda r: r["tok_start"])
+    acc = 0
+    for r in ordered:
+        assert r["tok_start"] == acc
+        acc += r["n_total"]
+    assert acc == 5
