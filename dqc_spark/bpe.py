@@ -104,11 +104,22 @@ def _merge_loop(
     verbatim by ``train_bpe`` and ``train_bpe_py``.  Stops early when
     the best pair falls under ``min_pair_count`` (merging hapax pairs
     only memorizes noise).  Tie-break: lexicographically smallest pair
-    — total and engine-independent, so training is deterministic."""
+    — total and engine-independent, so training is deterministic.
+
+    Pair counts are maintained INCREMENTALLY: each merge adjusts only
+    the words it rewrote (subtract the old seq's weighted pairs, add
+    the new seq's), instead of recounting the whole word table per
+    round — O(affected words) per merge, not O(table), which is the
+    difference between seconds and hours at a production merge count
+    (e.g. 32k merges x 50k words).  Zero-count entries are deleted so
+    the Counter's key set stays identical to a fresh recount (the
+    max/argmin tie-break sees exactly the same candidates) — output is
+    bit-identical to the recount form, pinned by the hand-computed and
+    Spark==python parity tests."""
     seqs = {w: tuple(w) + (_EOW,) for w in word_freqs}
+    pc = _pair_counts(seqs, word_freqs)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pc = _pair_counts(seqs, word_freqs)
         if not pc:
             break
         best_n = max(pc.values())
@@ -116,19 +127,31 @@ def _merge_loop(
             break
         best = min(p for p, n in pc.items() if n == best_n)
         merges.append(best)
-        seqs = {
-            w: (_merge_seq(s, best) if best[0] in s else s)
-            for w, s in seqs.items()
-        }
+        a = best[0]
+        for w, s in seqs.items():
+            if a not in s:
+                continue
+            new = _merge_seq(s, best)
+            if new == s:
+                continue
+            f = word_freqs[w]
+            for p in zip(s, s[1:]):
+                pc[p] -= f
+                if pc[p] == 0:
+                    del pc[p]
+            for p in zip(new, new[1:]):
+                pc[p] += f
+            seqs[w] = new
     return merges
 
 
 def _cap_words(items: Iterable[tuple[str, int]],
                max_words: int | None) -> dict[str, int]:
-    if max_words is None:
-        return dict(items)
-    top = sorted(items, key=lambda kv: (-kv[1], kv[0]))[:max_words]
-    return dict(top)
+    # the ONE load-bearing cap tiebreak lives in lmtrain — see
+    # cap_top_words' docstring
+    from dqc_spark.lmtrain import cap_top_words
+
+    return cap_top_words(items, max_words)
 
 
 def train_bpe_py(

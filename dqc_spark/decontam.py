@@ -46,6 +46,15 @@ from dqc_spark.textstats import ngrams_col
 from dqc_spark.wordhash import fold_tokens
 
 
+# memo cap for the gram-string -> hash cache: unlike the word-level md5
+# memos (Zipf-bounded vocabulary), n>=3 gram strings are mostly UNIQUE
+# across web text, so an unbounded per-task dict would grow with the
+# partition's distinct-gram count (multi-GB on a large partition) for a
+# memo that almost never hits past the boilerplate head.  The cap keeps
+# the hot head cached and stops inserting once full.
+_GRAM_CACHE_MAX = 1 << 18
+
+
 def _gram_hashes_py(text: str, n: int, cache: dict) -> set[int]:
     """Distinct word-n-gram hashes of one document — the shared
     Unicode LM-family tokenization (``wordhash.fold_tokens``: case
@@ -64,7 +73,8 @@ def _gram_hashes_py(text: str, n: int, cache: dict) -> set[int]:
         if h is None:
             d = hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
             h = int.from_bytes(d, "little", signed=True)
-            cache[g] = h
+            if len(cache) < _GRAM_CACHE_MAX:
+                cache[g] = h
         out.add(h)
     return out
 
@@ -93,6 +103,21 @@ def _gram_hash_rows(
                     hs |= _gram_hashes_py(text, n, cache)
                 yield pd.DataFrame({"h": pd.array(sorted(hs), dtype="int64")})
                 continue
+            # NULL keys cannot flow through this operator: the score
+            # groupBy would collapse every NULL-key doc into one
+            # garbage row AND decontaminate's left-semi join (NULL =
+            # NULL is never TRUE) would then silently delete the docs.
+            # Fail loudly at the first batch that carries one.  (Known
+            # degenerate bypass: if EVERY key is NULL, Catalyst's
+            # inferred isnotnull empties decontaminate's probe side
+            # and AQE skips this kernel — the all-NULL corpus returns
+            # empty instead of erroring; any mixed corpus errors here.)
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    f"decontamination key column {key_col!r} contains "
+                    "NULLs: scores would collapse and the semi-join "
+                    "would silently drop those documents — filter or "
+                    "coalesce the key first")
             keys, ngs, hs2 = [], [], []
             for key, text in zip(pdf[key_col], pdf[text_col]):
                 g = _gram_hashes_py(text, n, cache)

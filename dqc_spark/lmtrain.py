@@ -78,33 +78,56 @@ def _count_rows(
     """Per-batch pre-aggregated (gram, cnt) partials from one Arrow
     kernel.  ``n=1`` emits words, ``n=2`` space-joined bigrams; with
     ``vocab`` set, bigrams whose either word is out-of-vocabulary are
-    dropped inside the kernel (no OOV rows ever shuffle)."""
+    dropped inside the kernel (no OOV rows ever shuffle).  The vocab
+    ships as a REAL Spark broadcast, not a closure capture — a 65k-word
+    frozenset pickles to ~1 MB and a closure re-sends it with every
+    task (the bloom_partition rule)."""
     out_schema = T.StructType(
         [
             T.StructField("gram", T.StringType()),
             T.StructField("cnt", T.LongType()),
         ]
     )
+    bc_vocab = (
+        df.sparkSession.sparkContext.broadcast(vocab)
+        if vocab is not None else None
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        voc = bc_vocab.value if bc_vocab is not None else None
         for pdf in batches:
             c: Counter = Counter()
             for text in pdf[text_col]:
                 toks = tokenizer(text)
                 if n == 1:
                     c.update(toks)
-                elif vocab is None:
+                elif voc is None:
                     c.update(
                         f"{a} {b}" for a, b in zip(toks, toks[1:]))
                 else:
                     c.update(
                         f"{a} {b}" for a, b in zip(toks, toks[1:])
-                        if a in vocab and b in vocab)
+                        if a in voc and b in voc)
             yield pd.DataFrame(
                 {"gram": list(c.keys()),
                  "cnt": pd.array(list(c.values()), dtype="int64")})
 
     return df.select(text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def cap_top_words(items, cap: int | None) -> dict:
+    """THE (count desc, key asc) cap tie-break, as one python function:
+    LOAD-BEARING for exact Spark-vs-python parity, shared by
+    ``_prune``'s vocab cap, ``bpe._cap_words`` and
+    ``unigramlm.train_unigram_py`` — a drifting copy silently breaks a
+    pinned trainer-parity test in only one consumer.  The Spark twin is
+    ``capped_word_freqs``' orderBy below (the one spelling that cannot
+    share code)."""
+    items = list(items)
+    if cap is None or len(items) <= cap:
+        return dict(items)
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    return dict(items[:cap])
 
 
 def capped_word_freqs(
@@ -118,7 +141,7 @@ def capped_word_freqs(
     bounded-model-input block for LM training (here) and BPE training
     (bpe.py).  The cap tie-break (count desc, word asc) is LOAD-BEARING
     for exact Spark-vs-python parity in both consumers: one source of
-    truth, matching ``sorted(items, key=lambda kv: (-kv[1], kv[0]))``.
+    truth (the python spelling is ``cap_top_words`` above).
     TakeOrderedAndProject — per-partition heaps, no global sort."""
     wc = (
         _count_rows(df, text_col, 1, tokenizer=tokenizer)
@@ -162,8 +185,7 @@ def _prune(
     Tiebreaks are (count desc, gram asc) so the python and Spark paths
     keep identical rows under any cap."""
     if max_vocab is not None and len(uni) > max_vocab:
-        kept = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
-        uni = Counter(dict(kept[:max_vocab]))
+        uni = Counter(cap_top_words(uni.items(), max_vocab))
     vocab = set(uni)
     items = [
         ((a, b), c) for (a, b), c in bi.items()

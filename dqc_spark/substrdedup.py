@@ -154,6 +154,17 @@ def shingle_occurrences(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
         for pdf in batches:
+            # NULL keys cannot flow through substring dedup: the
+            # three-valued `key == w.key` in _duplicate_starts would
+            # silently keep (or over-drop) the NULL-key doc's spans,
+            # and the python twin TypeErrors on (None, pos) ordering.
+            # Fail loudly at the first batch carrying one.
+            if pdf[key_col].isna().any():
+                raise ValueError(
+                    f"substring-dedup key column {key_col!r} contains "
+                    "NULLs: winner election and the non-winner filter "
+                    "go three-valued — filter or coalesce the key "
+                    "first")
             toks_list = [_tokens(t) for t in pdf[text_col]]
             lanes, ns = _batch_shingle_lanes(toks_list, k, cache)
             keys = np.repeat(pdf[key_col].to_numpy(), ns)

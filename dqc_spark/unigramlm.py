@@ -282,14 +282,13 @@ def train_unigram_py(
     """Pure-python reference trainer — the exact-parity oracle for
     ``train_unigram`` (same tokenizer, same cap tie-break, same
     ``_fit``)."""
+    from dqc_spark.lmtrain import cap_top_words
+
     wf: Counter = Counter()
     for t in texts:
         wf.update(_scorer_tokens(t))
-    if max_words is not None:
-        top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
-        wf = Counter(dict(top))
-    return _fit(dict(wf), vocab_size, max_piece_len, seed_size,
-                em_rounds, prune_frac)
+    return _fit(cap_top_words(wf.items(), max_words), vocab_size,
+                max_piece_len, seed_size, em_rounds, prune_frac)
 
 
 # ---------------------------------------------------------------------------

@@ -554,3 +554,27 @@ def test_global_enumerate_rejects_null_tiebreak(spark):
         [(1, "x"), (None, "y")], "doc_id long, text string")
     with pytest.raises(ValueError, match="NULL"):
         training_order(df).collect()
+
+
+def test_decontaminate_rejects_null_keys(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dqc_spark.decontam import decontaminate
+
+    # a MIXED corpus: Catalyst infers isnotnull from the semi-join and
+    # would empty an all-NULL left side before the kernel runs (AQE
+    # then skips the scores subtree entirely) — with any non-NULL row
+    # present the kernel executes and the guard fires
+    docs = spark.createDataFrame(
+        [(None, "clean text about spark executors and shuffles"),
+         (1, "another clean document with plenty of words")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([("unrelated benchmark text",)], "text string")
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL"):
+        decontaminate(docs, bench, "doc_id").collect()
+    # contamination_scores alone (no join inference) also guards
+    from dqc_spark.decontam import contamination_scores
+
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL"):
+        contamination_scores(docs, bench, "doc_id").collect()

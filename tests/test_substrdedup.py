@@ -161,3 +161,15 @@ def test_cjk_text_not_rewritten_and_dedup_excises(spark):
         [(9, "latin 文字 latin")], "doc_id long, text string")
     assert (dedup_substrings(df2, "doc_id", k=10).collect()[0]["text_dedup"]
             == "latin 文字 latin")
+
+
+def test_null_key_rejected_loudly(spark):
+    from dqc_spark.substrdedup import dedup_substrings
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame(
+        [(None, "one two three four five six seven eight nine ten x")],
+        "doc_id long, text string")
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL"):
+        dedup_substrings(df, "doc_id", k=5).collect()

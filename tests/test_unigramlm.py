@@ -116,3 +116,12 @@ def test_compression_beats_chars():
     t = "the quick dogs play all day"
     n_chars = len(t.replace(" ", ""))
     assert len(encode_unigram_py(t, m)) <= n_chars * 0.55
+
+
+def test_em_rounds_validated():
+    import pytest as _pytest
+
+    from dqc_spark.unigramlm import train_unigram_py
+
+    with _pytest.raises(ValueError, match="em_rounds"):
+        train_unigram_py(["some words here"], em_rounds=0)
