@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dqc_spark.similarity import stack_embeddings
+
 __all__ = ["train_centroids", "build_ivf_index", "ivf_topk"]
 
 
@@ -100,7 +102,9 @@ def build_ivf_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            # NULL/ragged rows salvage to zero vectors (zero norm is
+            # already guarded below) instead of crashing np.stack
+            m = stack_embeddings(pdf[vec_col].values)
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
             mn = m / n
@@ -129,7 +133,7 @@ def ivf_topk(
     centroids are nearest the query, exact-score those candidates with
     the Arrow matmul kernel.  ``nprobe == len(centroids)`` degenerates
     to exact brute force (the test oracle)."""
-    from dqc_spark.similarity import brute_force_topk_arrow
+    from dqc_spark.similarity import stack_embeddings, brute_force_topk_arrow
 
     q = np.asarray(query_vec, dtype=np.float64)
     probes = [int(c) for c in _center_order(centroids, q)[:nprobe]]

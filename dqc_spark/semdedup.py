@@ -37,6 +37,8 @@ training-data scope (dedup family, alongside minhash/simhash/LSH).
 from __future__ import annotations
 
 import numpy as np
+
+from dqc_spark.similarity import stack_embeddings
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -97,7 +99,9 @@ def semantic_dedup(
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col, kind="mergesort")
-        m = np.stack(pdf[vec_col].values).astype(np.float64)
+        # NULL/ragged rows salvage to zero vectors (zero norm is
+        # already guarded below) instead of crashing np.stack
+        m = stack_embeddings(pdf[vec_col].values)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         mn = m / norms

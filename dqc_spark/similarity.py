@@ -36,7 +36,25 @@ def _norm(a) -> F.Column:
 
 
 def cosine_col(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields NULL cosine in BOTH ANSI
+    # modes (plain / raises DIVIDE_BY_ZERO under ANSI — Spark 4's
+    # default — and NULL otherwise; NULL sorts LAST under desc, so
+    # zero/garbage vectors can never top a k).  Non-zero denominators
+    # divide bit-identically to plain /.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _query_cosine_col(vec, query_vec: list[float]) -> F.Column:
+    """Cosine against a LITERAL query: the query's norm is one python
+    float computed once on the driver, not an interpreted
+    aggregate-over-literal-array re-folded per corpus row (HOF lambdas
+    are interpreted and CSE-defeated — CLAUDE.md perf facts; ~1/3 of
+    the per-row scoring work on the exact paths)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    # try_divide for the same ANSI-safe NULL-on-zero-norm contract as
+    # cosine_col
+    return F.try_divide(_dot(vec, q), _norm(vec) * F.lit(qn))
 
 
 def brute_force_topk(
@@ -50,8 +68,7 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector.  The plan is a
     single projection + TakeOrderedAndProject (per-partition top-k then
     merge on the driver) — no full sort, no shuffle of the vectors."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_col(F.col(vec_col), q)
+    sim = _query_cosine_col(F.col(vec_col), query_vec)
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -87,11 +104,22 @@ def brute_force_topk_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].values).astype(np.float64)
-            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            # NULL / ragged rows (left joins into a vector table) take
+            # the salvage path instead of crashing np.stack; zero-norm
+            # denominators (zero vectors, NULL rows, a zero query)
+            # yield NULL cosine exactly like the HOF twin (0/0 division
+            # is NULL in Spark, and desc sort puts NULLs LAST — an
+            # unguarded NaN would sort FIRST and top the k)
+            vals = pdf[vec_col].values
+            m = _stack_or_salvage(vals, len(qv))
+            denom = np.linalg.norm(m, axis=1) * qn
+            ok = denom > 0.0
+            sims = np.divide(m @ qv, np.where(ok, denom, 1.0))
             if round_to is not None:
                 sims = np.round(sims, round_to)
-            yield pd.DataFrame({key_col: pdf[key_col], "cosine": sims})
+            out = pd.array(sims, dtype="Float64")
+            out[~ok] = pd.NA
+            yield pd.DataFrame({key_col: pdf[key_col], "cosine": out})
 
     from pyspark.sql import types as T
 
@@ -106,9 +134,77 @@ def brute_force_topk_arrow(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col)).limit(k)
 
 
+def _stack_or_salvage(vals, dim: int) -> np.ndarray:
+    """Stack a batch of embedding cells into an (n, dim) float64 matrix.
+    Fast path stacks the whole batch; NULL/ragged rows take a salvage
+    loop and become ZERO rows (their zero norm turns into NULL cosine /
+    sig 0 downstream, matching the Column forms these kernels replace).
+    If the batch has non-NULL rows and NONE matches ``dim``, the whole
+    corpus is mis-sized (wrong ``dim`` argument) — zeroing everything
+    would silently empty the result, so that raises instead."""
+    try:
+        m = np.stack(vals).astype(np.float64)
+        if m.ndim != 2 or m.shape[1] != dim:
+            raise ValueError("ragged or mis-sized batch")
+        return m
+    except (ValueError, TypeError):
+        pass
+    m = np.zeros((len(vals), dim), dtype=np.float64)
+    salvaged = 0
+    n_nonnull = 0
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        n_nonnull += 1
+        if len(v) == dim:
+            m[i] = v
+            salvaged += 1
+    if n_nonnull and not salvaged:
+        lens = {len(v) for v in vals if v is not None}
+        raise ValueError(
+            f"no embedding in this batch has the expected dim={dim} "
+            f"(observed lengths {sorted(lens)[:5]}): the dim argument "
+            "does not match the data — a silent zero-fill would empty "
+            "the result")
+    return m
+
+
+def stack_embeddings(vals) -> np.ndarray:
+    """``_stack_or_salvage`` with the dim inferred from the batch's
+    first non-NULL row — for the vector kernels that take no dim
+    argument (ivf/vecquant/semdedup).  An all-NULL batch stacks to a
+    (n, 1) zero matrix (zero norms; every caller already guards
+    zero-norm rows)."""
+    dim = next((len(v) for v in vals if v is not None), 0)
+    if dim == 0:
+        return np.zeros((len(vals), 1), dtype=np.float64)
+    return _stack_or_salvage(vals, dim)
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
     return rng.standard_normal((n_planes, dim))
+
+
+def _pack_sign_bits(dots_pos: np.ndarray, n_planes: int) -> np.ndarray:
+    """Weighted-sum packing of sign bits into int64 — THE one spelling
+    shared by the corpus signature kernel and the query-signature path.
+    At n_planes=64 bit 63 wraps into the int64 sign bit (two's
+    complement); a drifting plain-python ``1 << 63`` copy produces a
+    positive 2^63 that no stored signature can ever equal AND that
+    F.lit cannot express as a LongType literal."""
+    weights = np.left_shift(
+        np.ones(n_planes, dtype=np.uint64),
+        np.arange(n_planes, dtype=np.uint64))
+    return (dots_pos.astype(np.uint64) * weights).sum(
+        axis=-1, dtype=np.uint64).astype(np.int64)
+
+
+def _query_signature(planes: np.ndarray, query_vec) -> int:
+    """Signed-64 signature of one query vector under ``planes`` —
+    identical packing to the corpus kernel (see _pack_sign_bits)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    return int(_pack_sign_bits((planes @ qv) > 0, planes.shape[0]))
 
 
 def hyperplane_signatures(
@@ -132,36 +228,24 @@ def hyperplane_signatures(
     """
     import pandas as pd
 
+    if n_planes > 64:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the 64-bit signature word — "
+            "weights past bit 63 would silently alias")
     planes_t = np.ascontiguousarray(_hyperplanes(n_planes, dim, seed).T)
-    # bit i weight 2^i; at n_planes=64 the top bit wraps into the int64
-    # sign bit — same packed value F.shiftleft produced, and band
-    # extraction masks after shifting so the sign never leaks
-    weights = np.left_shift(
-        np.ones(n_planes, dtype=np.uint64), np.arange(n_planes, dtype=np.uint64)
-    )
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # NULL / wrong-length vectors (e.g. after a left join into a
-            # vector table) get the zero vector -> sig 0, matching the
-            # Column form this kernel replaced (NULL > 0 was false on
-            # every plane); np.stack would crash the whole job instead.
-            # Fast path stacks the whole batch; the row loop runs only
-            # when a batch actually contains a bad row.
-            vals = pdf[vec_col].values
-            try:
-                m = np.stack(vals).astype(np.float64)
-                if m.ndim != 2 or m.shape[1] != dim:
-                    raise ValueError("ragged or mis-sized batch")
-            except (ValueError, TypeError):
-                m = np.zeros((len(vals), dim), dtype=np.float64)
-                for i, v in enumerate(vals):
-                    if v is not None and len(v) == dim:
-                        m[i] = v
-            bits = (m @ planes_t) > 0
-            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            # NULL / occasional wrong-length vectors (e.g. after a left
+            # join into a vector table) get the zero vector -> sig 0,
+            # matching the Column form this kernel replaced (NULL > 0
+            # was false on every plane); a UNIFORMLY mis-sized batch
+            # raises (see _stack_or_salvage) instead of silently
+            # emitting all-zero signatures.
+            m = _stack_or_salvage(pdf[vec_col].values, dim)
+            sig = _pack_sign_bits((m @ planes_t) > 0, n_planes)
             yield pd.DataFrame(
                 {"key": pdf[key_col], "vec": pdf[vec_col], "sig": sig}
             )
@@ -209,12 +293,7 @@ class LshIndex:
         )
 
     def query_sig(self, query_vec: list[float]) -> int:
-        qv = np.asarray(query_vec)
-        qsig = 0
-        for i in range(self._n_planes):
-            if float(self._planes[i] @ qv) > 0:
-                qsig |= 1 << i
-        return qsig
+        return _query_signature(self._planes, query_vec)
 
     def topk(
         self, query_vec: list[float], k: int = 10, max_hamming: int = 2
@@ -223,11 +302,10 @@ class LshIndex:
         cand = self.sigs.filter(
             F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
         )
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
         return (
             cand.select(
                 F.col("key").alias(self._key_col),
-                cosine_col(F.col("vec"), q).alias("cosine"),
+                _query_cosine_col(F.col("vec"), query_vec).alias("cosine"),
             )
             .orderBy(F.col("cosine").desc(), F.col(self._key_col))
             .limit(k)
@@ -253,20 +331,18 @@ def lsh_topk(
 
     One-off form: recomputes signatures per call.  For repeated queries
     build an ``LshIndex`` once and call ``.topk`` per query."""
-    planes = _hyperplanes(n_planes, dim, 11)  # same seed as the kernel default
-    qsig = 0
-    qv = np.asarray(query_vec)
-    for i in range(n_planes):
-        if float(planes[i] @ qv) > 0:
-            qsig |= 1 << i
+    # same seed as the kernel default, same packing as the kernel (the
+    # previous inline 1 << i copy produced an UNWRAPPED 2^63 at
+    # n_planes=64: F.lit rejects it and stored sign-bit-wrapped sigs
+    # could never XOR-match it)
+    qsig = _query_signature(_hyperplanes(n_planes, dim, 11), query_vec)
     sigs = hyperplane_signatures(df, key_col, vec_col, n_planes, dim)
     cand = sigs.filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(F.col("key").alias(key_col),
-                    cosine_col(F.col("vec"), q).alias("cosine"))
+                    _query_cosine_col(F.col("vec"), query_vec).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(key_col))
         .limit(k)
     )
@@ -361,6 +437,50 @@ def embedding_near_dups(
     # be persisted or the Python stage recomputes per consumer
     sigs = track(hyperplane_signatures(df, key_col, vec_col, n_planes, dim))
     cand = hyperplane_lsh_candidate_pairs(sigs, n_planes, bands, max_bucket)
-    return cand.select(
-        "key_a", "key_b", cosine_col("vec_a", "vec_b").alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return _pair_cosines(cand).filter(F.col("cosine") >= threshold)
+
+
+def _pair_cosines(cand: DataFrame) -> DataFrame:
+    """(key_a, key_b, cosine) for a candidate-pair frame carrying both
+    vectors — ONE Arrow kernel (stack + einsum), the same vectorization
+    ``dedup.minhash_jaccard`` uses.  The obvious
+    ``cosine_col("vec_a", "vec_b")`` evaluates interpreted HOF lambdas
+    (~3 folds x dim element ops per pair — the measured 10x slow path)
+    over the O(n·max_bucket) candidate set.  Zero-norm / NULL vectors
+    yield NULL cosine (dropped by any threshold filter), matching the
+    Column form."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            cand.schema["key_a"],
+            cand.schema["key_b"],
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = list(pdf["vec_a"].values) + list(pdf["vec_b"].values)
+            dim = next((len(v) for v in vals if v is not None), 0)
+            if dim == 0:
+                out = pd.array([pd.NA] * len(pdf), dtype="Float64")
+            else:
+                ma = _stack_or_salvage(pdf["vec_a"].values, dim)
+                mb = _stack_or_salvage(pdf["vec_b"].values, dim)
+                denom = (np.linalg.norm(ma, axis=1)
+                         * np.linalg.norm(mb, axis=1))
+                ok = denom > 0.0
+                sims = np.divide(np.einsum("ij,ij->i", ma, mb),
+                                 np.where(ok, denom, 1.0))
+                out = pd.array(sims, dtype="Float64")
+                out[~ok] = pd.NA
+            yield pd.DataFrame({"key_a": pdf["key_a"],
+                                "key_b": pdf["key_b"],
+                                "cosine": out})
+
+    return cand.select("key_a", "key_b", "vec_a", "vec_b").mapInPandas(
+        kernel, out_schema)

@@ -74,6 +74,12 @@ def _doc_buckets(df: DataFrame, text_col: str, dim: int) -> DataFrame:
                     for w in fold_tokens(text)
                 }
                 out.extend(seen)
+                # sentinel -1 row per document: the SAME groupBy that
+                # finishes the bucket frequencies also yields the doc
+                # count, so the IDF denominator costs no extra df.count
+                # scan (which would re-run an unpersisted upstream
+                # pipeline end-to-end)
+                out.append(-1)
             yield pd.DataFrame({"bucket": pd.array(out, dtype="int32")})
 
     return df.select(text_col).mapInPandas(
@@ -93,15 +99,19 @@ def hashed_tfidf(
     / ``LshIndex`` / ``ivf``.  Empty/NULL docs get the zero vector."""
     spark = df.sparkSession
     if idf:
-        n_docs = df.count()
         dfreq = (
             _doc_buckets(df, text_col, dim)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("df"))
-            .collect()  # <= dim rows — the IDF table is metadata-sized
+            .collect()  # <= dim+1 rows — the IDF table is metadata-sized
         )
+        # bucket -1 is the per-doc sentinel: its count IS n_docs (one
+        # DF pass yields both — no separate df.count() action)
+        n_docs = sum(r["df"] for r in dfreq if r["bucket"] == -1)
         idf_vec = np.ones(dim, dtype=np.float64)
         for r in dfreq:
+            if r["bucket"] < 0:
+                continue
             # smoothed idf: ln((1+N)/(1+df)) + 1  (sklearn convention)
             idf_vec[r["bucket"]] = np.log((1.0 + n_docs) / (1.0 + r["df"])) + 1.0
     else:

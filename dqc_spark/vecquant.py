@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dqc_spark.similarity import brute_force_topk_arrow
+from dqc_spark.similarity import stack_embeddings, brute_force_topk_arrow
 
 __all__ = [
     "quantize_py",
@@ -86,7 +86,9 @@ def quantize_embeddings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            # NULL/ragged rows salvage to zero vectors (zero norm is
+            # already guarded below) instead of crashing np.stack
+            m = stack_embeddings(pdf[vec_col].values)
             scales = np.abs(m).max(axis=1) / 127.0
             scales[scales == 0.0] = 1.0
             q = np.clip(np.rint(m / scales[:, None]), -127, 127).astype(

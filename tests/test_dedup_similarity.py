@@ -342,3 +342,56 @@ def test_dedup_exact_priority_null_text_and_column_name(spark):
     kept = {r["doc_id"]
             for r in dedup_exact_priority(df, ["doc_id"], "pri").collect()}
     assert kept == {2, 3}
+
+
+def test_arrow_topk_zero_and_null_vectors_never_top_k(spark):
+    """Zero-norm / NULL embeddings yield NULL cosine (sorted last) in
+    BOTH brute-force twins — an unguarded NaN would sort FIRST."""
+    from dqc_spark.similarity import brute_force_topk, brute_force_topk_arrow
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> NaN unguarded
+        (3, None),                    # NULL -> np.stack crash unguarded
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn in (brute_force_topk, brute_force_topk_arrow):
+        got = fn(df, q, k=2, round_to=6).collect()
+        assert [r["vec_id"] for r in got] == [1, 4], fn.__name__
+        assert all(r["cosine"] is not None for r in got), fn.__name__
+
+
+def test_lsh_topk_64_planes_sign_bit(spark):
+    """n_planes=64 packs bit 63 into the int64 sign bit; the query
+    signature must wrap identically (the plain 1<<63 python int could
+    not even be F.lit'd)."""
+    import numpy as np
+
+    from dqc_spark.similarity import LshIndex, lsh_topk
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # query = vector 7 itself: its signature matches exactly, so it must
+    # be retrievable at hamming 0 regardless of which sign bits are set
+    q = rows[7][1]
+    got = lsh_topk(df, q, k=1, n_planes=64, max_hamming=0).collect()
+    assert got and got[0]["vec_id"] == 7
+    ix = LshIndex(df, n_planes=64)
+    got2 = ix.topk(q, k=1, max_hamming=0).collect()
+    ix.close()
+    assert got2 and got2[0]["vec_id"] == 7
+
+
+def test_signatures_reject_uniform_dim_mismatch(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dqc_spark.similarity import embedding_near_dups
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]  # dim 2, default 64
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises((PythonException, Py4JJavaError), match="dim"):
+        embedding_near_dups(df).collect()
