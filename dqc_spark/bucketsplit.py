@@ -78,18 +78,25 @@ def score_buckets(
     tb = F.struct(*tiebreak_cols).alias("__tb")
     narrow = df.select(F.col(group_col), F.col(score_col), tb)
     if validate:
+        # count the RAW tiebreak columns, not the struct: F.struct
+        # wraps NULL fields into a non-NULL struct, so count("__tb")
+        # never drops below n and a NULL tiebreak would pass the very
+        # check that promises to reject it (then order
+        # engine-dependently in the oracle differential)
+        tb_counts = [F.count(F.col(f"__tb.{c}")) for c in tiebreak_cols]
+        n_t = tb_counts[0] if len(tb_counts) == 1 else F.least(*tb_counts)
         chk = narrow.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(group_col).alias("n_g"),
             F.count(score_col).alias("n_s"),
-            F.count("__tb").alias("n_t"),
+            n_t.alias("n_t"),
             F.countDistinct("__tb").alias("n_td"),
         ).collect()[0]
         if chk["n_g"] < chk["n"] or chk["n_s"] < chk["n"]:
             raise ValueError(
                 f"NULL {group_col}/{score_col} rows: NULL ordering is "
                 "engine-dependent — coalesce or filter first")
-        if chk["n_td"] < chk["n_t"] or chk["n_t"] < chk["n"]:
+        if chk["n_td"] < chk["n"] or chk["n_t"] < chk["n"]:
             raise ValueError(
                 f"tiebreak {tiebreak_cols} is not unique/non-NULL "
                 f"({chk['n_td']} distinct of {chk['n']} rows): ranks "

@@ -66,12 +66,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dqc_spark.wordhash import (
-    CJK_GROUP,
-    NONALNUM_JAVA,
-    fold_case_col,
-    unicode_alnum_tokens,
-)
+from dqc_spark.wordhash import unicode_alnum_tokens
 
 __all__ = ["bm25_score_py", "bm25_topk", "bm25_topk_batch"]
 
@@ -135,15 +130,13 @@ def _bm25_term_partials(
     posting stream with an ``arrays_overlap`` prefilter so docs with no
     query term never explode), one tiny corpus-scalar agg re-entering
     as literals, per-term df broadcast back onto the posting frame."""
+    from dqc_spark.wordhash import unicode_alnum_tokens_col
+
     terms = sorted(terms)
-    toks = F.array_remove(
-        F.split(
-            F.regexp_replace(
-                fold_case_col(F.coalesce(F.col(text_col), F.lit(""))),
-                CJK_GROUP, " $1 "),
-            NONALNUM_JAVA),
-        "",
-    )
+    # the shared BM25-family tokenizer, by reference — an inline copy
+    # of the same expression would have to stay bit-identical to
+    # bm25_score_py's python twin by discipline (the never-fork rule)
+    toks = unicode_alnum_tokens_col(F.col(text_col))
     base = df.select(F.col(key_col).alias("__key"),
                      F.size(toks).alias("__dl"),
                      toks.alias("__toks"))
@@ -163,7 +156,13 @@ def _bm25_term_partials(
     avgdl = float(sum_dl) / float(n_docs)
 
     term_arr = F.array(*[F.lit(t) for t in terms])
-    tf = (
+    from dqc_spark.cache import track
+
+    # persisted: tf feeds BOTH the dfreq aggregate and the join probe
+    # side — unpersisted, the tokenize+explode+filter+groupBy pipeline
+    # (a full corpus pass) would execute once per consumer.  The frame
+    # is tiny (only matched (doc, term) rows for the query's terms).
+    tf = track(
         base.filter(F.arrays_overlap("__toks", term_arr))
         .select("__key", "__dl", F.explode("__toks").alias("__term"))
         .filter(F.col("__term").isin(terms))
@@ -266,6 +265,14 @@ def bm25_topk_batch(
     """
     if not queries:
         raise ValueError("bm25_topk_batch needs at least one query")
+    # the expansion-table schema is string query ids: a non-string id
+    # would silently coerce (1 -> '1'), so returned query_id values no
+    # longer equal the caller's dict keys — reject instead
+    bad = [q for q in queries if not isinstance(q, str)]
+    if bad:
+        raise ValueError(
+            f"query ids must be strings (got {bad[:3]!r}): a coerced "
+            "id would not round-trip back to your dict keys")
     norm_q = {qid: sorted(_expand_terms(terms))
               for qid, terms in queries.items()}
     if any(not terms for terms in norm_q.values()):

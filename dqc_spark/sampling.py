@@ -112,6 +112,17 @@ def split_corpus(
     expr = F.lit(names[-1])
     for name, edge in zip(reversed(names[:-1]), reversed(edges)):
         expr = F.when(b < F.lit(edge), F.lit(name)).otherwise(expr)
+    # a NULL key would make every `b < edge` condition NULL and fall
+    # through to the LAST slice — silently packing all malformed docs
+    # into the eval/test split.  raise_error is lazy and per-row: no
+    # extra job, fires only if a NULL actually flows through.
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    expr = F.when(
+        key.isNull(),
+        F.raise_error(F.lit(
+            f"split_corpus: NULL {key_col!r} key — NULL hashes have no "
+            "split; filter or coalesce the key first")).cast("string"),
+    ).otherwise(expr)
     return df.withColumn("split", expr)
 
 
@@ -201,6 +212,16 @@ def pack_token_budget(
     Returns the input plus ``n_tokens`` and ``bin_id`` columns.
     """
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # a NULL token count would get bin_id NULL (inclusive - NULL) AND
+    # silently vanish from every later doc's running sum, shifting all
+    # downstream bin boundaries in its stratum — reject loudly like
+    # pack_first_fit does, lazily (per-row raise_error, no extra job)
+    t = F.when(
+        t.isNull(),
+        F.raise_error(F.lit(
+            "pack_token_budget: NULL token count (coalesce the tokens "
+            "column before packing)")).cast("long"),
+    ).otherwise(t)
     w = (
         W.partitionBy(stratum_col)
         .orderBy(order_col)
@@ -285,6 +306,19 @@ def pack_first_fit(
             raise ValueError(
                 "pack_first_fit: NULL token count (coalesce the "
                 "tokens column before packing)")
+        # the assignment dict is keyed by document key: a NULL key
+        # crashes the lookup (NaN != NaN), and duplicate keys collapse
+        # into ONE dict entry so several rows share a bin and overfill
+        # it past budget — both violate the never-overflow contract
+        if pdf[kcol].isna().any():
+            raise ValueError(
+                f"pack_first_fit: NULL {kcol!r} key (filter or "
+                "coalesce the key before packing)")
+        if pdf[kcol].duplicated().any():
+            dup = pdf[kcol][pdf[kcol].duplicated()].iloc[0]
+            raise ValueError(
+                f"pack_first_fit: duplicate {kcol!r} key {dup!r} — "
+                "keys must be unique (dedup first)")
         assign = first_fit_py(
             list(zip(pdf[kcol], pdf["n_tokens"])), budget)
         pdf = pdf.copy()

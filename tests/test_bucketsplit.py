@@ -105,3 +105,15 @@ def test_perplexity_buckets_head_is_most_natural(spark):
                for r in perplexity_buckets(pages)
                .select("url", "ppl_bucket").collect())
     assert a == b
+
+
+def test_null_tiebreak_detected_through_struct(spark):
+    """F.struct wraps NULL fields into a non-NULL struct — the validate
+    pass must count the RAW columns or a NULL tiebreak slips through
+    and orders engine-dependently."""
+    from dqc_spark.bucketsplit import score_buckets
+
+    rows = [(1, "en", 1.0), (None, "en", 2.0), (3, "en", 3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    with pytest.raises(ValueError, match="not unique/non-NULL"):
+        score_buckets(df, "lang", "ppl", "doc_id", 3)

@@ -189,3 +189,11 @@ def test_multilingual_matches_python_model(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-12), k
+
+
+def test_batch_rejects_non_string_query_ids(spark):
+    from dqc_spark.retrieval import bm25_topk_batch
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="strings"):
+        bm25_topk_batch(docs, {1: ["hello"]})

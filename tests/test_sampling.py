@@ -363,3 +363,42 @@ def test_split_corpus_custom_weights_and_validation(spark):
         split_corpus(df, "doc_id", {"only": 1.0})
     with _pytest.raises(ValueError):
         split_corpus(df, "doc_id", {"a": -1, "b": 2})
+
+
+def test_pack_first_fit_rejects_null_and_duplicate_keys(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from dqc_spark.sampling import pack_first_fit
+
+    nulls = spark.createDataFrame(
+        [("s", None, 3), ("s", "b", 4)],
+        "stratum string, doc_id string, n_tok long")
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL"):
+        pack_first_fit(nulls, "stratum", "doc_id", "n_tok", 10).collect()
+    dups = spark.createDataFrame(
+        [("s", "a", 6), ("s", "a", 6)],
+        "stratum string, doc_id string, n_tok long")
+    with pytest.raises((PythonException, Py4JJavaError), match="duplicate"):
+        pack_first_fit(dups, "stratum", "doc_id", "n_tok", 10).collect()
+
+
+def test_split_corpus_rejects_null_keys_lazily(spark):
+    from dqc_spark.sampling import split_corpus
+
+    ok = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert split_corpus(ok, "doc_id").count() == 1  # no NULL -> no error
+    bad = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL"):
+        split_corpus(bad, "doc_id").collect()
+
+
+def test_pack_token_budget_rejects_null_tokens(spark):
+    from dqc_spark.sampling import pack_token_budget
+
+    df = spark.createDataFrame(
+        [("s", 1, 5), ("s", 2, None)],
+        "stratum string, doc_id long, n_tok long")
+    with pytest.raises(Exception, match="NULL token count"):
+        pack_token_budget(df, "stratum", "doc_id", "n_tok", 10).collect()
