@@ -74,6 +74,14 @@ UUID_RE = (
 )
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for embedding in a SQL-string
+    expression (``F.expr``): '.' in a CSV header must not parse as
+    nested-field access, and spaces/quotes must not break (or inject
+    into) the generated expression.  Same contract as profile._qcol."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def spark_type_name(duckdb_type: str) -> str:
     """DuckDB type name -> Spark DDL type name.
 
@@ -242,7 +250,7 @@ def type_pred(column: str, duckdb_type: str) -> Column:
 
     UUID is special-cased: Spark has no UUID type, so validity is the
     canonical 8-4-4-4-12 hex form (what DuckDB's cast accepts)."""
-    c = F.col(column)
+    c = F.col(_qident(column))
     if duckdb_type.strip().upper() == "UUID":
         return (~c.cast("string").rlike(UUID_RE)) & c.isNotNull()
     t = spark_type_name(duckdb_type)
@@ -252,7 +260,7 @@ def type_pred(column: str, duckdb_type: str) -> Column:
         # input, like TRY_CAST (element-level coercion failures yield
         # null ELEMENTS, not a null value — documented divergence).
         return F.from_json(c.cast("string"), t).isNull() & c.isNotNull()
-    return F.expr(f"try_cast({column} AS {t})").isNull() & c.isNotNull()
+    return F.expr(f"try_cast({_qident(column)} AS {t})").isNull() & c.isNotNull()
 
 
 def length_pred(column: str, lo: int, hi: int) -> Column:
@@ -276,8 +284,8 @@ def date_parseable_pred(column: str) -> Column:
     family than DuckDB's; conformance tests pin the common subset
     (ISO ``YYYY-MM-DD`` accepted, ``MM/DD/YYYY`` rejected).
     """
-    c = F.col(column)
-    return F.expr(f"try_cast({column} AS date)").isNull() & c.isNotNull()
+    c = F.col(_qident(column))
+    return F.expr(f"try_cast({_qident(column)} AS date)").isNull() & c.isNotNull()
 
 
 def pair_not_equal_pred(col_a: str, col_b: str) -> Column:
@@ -384,53 +392,74 @@ def count_increasing_violations_scalable(
     repartition and the per-partition work is a linear scan, so the plan
     survives arbitrary scale-up.  Seam validation moves only
     2*num_partitions tiny rows to the driver.
+
+    Type-generic: the kernel compares values with Python/pandas ``<=``
+    on the column's OWN type and the seam frame carries the input field
+    types verbatim, so timestamp order columns (``warc_ts``) and string
+    value columns work exactly like the window path — no float casts.
+    NULL values never violate (``c <= LAG(c)`` is NULL when either side
+    is NULL), matching the reference predicate.
     """
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     parted = df.select(order_column, column).repartitionByRange(
         n_part, order_column
     ).sortWithinPartitions(order_column)
 
+    ord_t = parted.schema[order_column].dataType
+    val_t = parted.schema[column].dataType
     out_schema = T.StructType(
         [
             T.StructField("violations", T.LongType()),
-            T.StructField("first_ord", T.DoubleType()),
-            T.StructField("last_ord", T.DoubleType()),
-            T.StructField("first_val", T.DoubleType()),
-            T.StructField("last_val", T.DoubleType()),
+            T.StructField("first_ord", ord_t),
+            T.StructField("last_ord", ord_t),
+            T.StructField("first_val", val_t),
+            T.StructField("last_val", val_t),
         ]
     )
 
+    def _notna(v) -> bool:
+        return v is not None and not (isinstance(v, float) and v != v)
+
     def per_partition(batches):
-        prev = None
-        first_ord = first_val = last_ord = last_val = None
+        have_rows = False
+        prev = first_ord = first_val = last_ord = last_val = None
         viol = 0
         for pdf in batches:
             if pdf.empty:
                 continue
             vals = pdf[column]
             ords = pdf[order_column]
-            if first_ord is None:
-                first_ord = float(ords.iloc[0])
-                first_val = float(vals.iloc[0])
-            s = vals.reset_index(drop=True)
-            # strict increase: c <= lag(c) is a violation
-            viol += int((s.diff().iloc[1:] <= 0).sum())
-            if prev is not None and s.iloc[0] <= prev:
+            if not have_rows:
+                have_rows = True
+                first_ord = ords.iloc[0]
+                first_val = vals.iloc[0]
+            # strict increase: c <= lag(c) is a violation; NULL on
+            # either side -> predicate NULL -> pass
+            cur = vals.iloc[1:].reset_index(drop=True)
+            prv = vals.iloc[:-1].reset_index(drop=True)
+            both = (cur.notna() & prv.notna()).to_numpy()
+            if both.any():
+                viol += int(
+                    (cur.to_numpy()[both] <= prv.to_numpy()[both]).sum()
+                )
+            head = vals.iloc[0]
+            if _notna(prev) and _notna(head) and head <= prev:
                 viol += 1
-            prev = float(s.iloc[-1])
-            last_ord = float(ords.iloc[-1])
+            prev = vals.iloc[-1]
+            last_ord = ords.iloc[-1]
             last_val = prev
-        if first_ord is None:
-            yield pd.DataFrame(
-                {"violations": [0], "first_ord": [None], "last_ord": [None],
-                 "first_val": [None], "last_val": [None]}
-            )
-        else:
-            yield pd.DataFrame(
-                {"violations": [viol], "first_ord": [first_ord],
-                 "last_ord": [last_ord], "first_val": [first_val],
-                 "last_val": [last_val]}
-            )
+        # NaN -> None: a nullable long column arrives in pandas as
+        # float64/NaN, which Arrow can't place into the LongType seam
+        # field; None it is
+        yield pd.DataFrame(
+            {
+                "violations": [viol if have_rows else 0],
+                "first_ord": [first_ord if _notna(first_ord) else None],
+                "last_ord": [last_ord if _notna(last_ord) else None],
+                "first_val": [first_val if _notna(first_val) else None],
+                "last_val": [last_val if _notna(last_val) else None],
+            }
+        )
 
     rows = parted.mapInPandas(per_partition, schema=out_schema).collect()
     stats = sorted(
@@ -439,7 +468,11 @@ def count_increasing_violations_scalable(
     )
     total = sum(r["violations"] for r in rows)
     for a, b in zip(stats, stats[1:]):
-        if b["first_val"] <= a["last_val"]:
+        if (
+            b["first_val"] is not None
+            and a["last_val"] is not None
+            and b["first_val"] <= a["last_val"]
+        ):
             total += 1
     return int(total)
 

@@ -75,6 +75,15 @@ def metric_anomalies(
     """
     if not group_cols:
         raise ValueError("metric_anomalies needs at least one group column")
+    clash = {"med", "mad", "score", "is_anomaly"} & set(df.columns)
+    if clash:
+        # the joins below would make these ambiguous (silently wrong
+        # pick or AnalysisException deep in the plan) — fail loudly at
+        # the API boundary instead
+        raise ValueError(
+            "input columns collide with emitted stat names: "
+            + ", ".join(sorted(clash))
+        )
 
     from dqc_spark.cache import track
 

@@ -514,3 +514,72 @@ def test_new_checks_fuse_into_single_scan(spark):
     ])
     plan = suite.fused_agg_frame(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # one logical scan (plus reuse)
+
+
+# -- round-4 review sweep: type-generic scalable increasing + quoted idents --
+def test_increasing_scalable_timestamp_order(checker, spark):
+    """The natural production shape: order by warc_ts (timestamp).
+    Previously the seam kernel float()-cast the order column and
+    crashed; now the seam frame carries the input types verbatim."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(hours=i), v)
+            for i, v in enumerate([1, 2, 5, 4, 9])]
+    df = spark.createDataFrame(rows, "ts timestamp, val int").repartition(3)
+    r = checker.is_column_increasing(df, "val", order_column="ts")
+    assert not r.passed and r.error_count == 1  # 4 after 5
+
+
+def test_increasing_scalable_string_values(checker, spark):
+    """String value column: compared with the column's own ordering,
+    like the window path / DuckDB `c <= LAG(c)` on VARCHAR."""
+    df = spark.createDataFrame(
+        [(0, "apple"), (1, "banana"), (2, "banana"), (3, "cherry")],
+        "ord int, w string",
+    ).repartition(2)
+    r = checker.is_column_increasing(df, "w", order_column="ord")
+    assert not r.passed and r.error_count == 1  # the tie
+
+
+def test_increasing_scalable_nulls_pass(checker, spark):
+    """NULL on either side of the lag pair -> predicate NULL -> pass,
+    matching the reference's SQL semantics and the window path."""
+    from dqc_spark.checks import count_increasing_violations_scalable
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, None), (2, 2), (3, 2)], "ord int, val int"
+    ).repartition(2)
+    n = count_increasing_violations_scalable(df, "val", "ord")
+    assert n == 1  # only the 2<=2 tie; NULL pairs never violate
+
+
+def test_increasing_scalable_matches_window_path(spark):
+    """Differential: scalable seam count == single-window count on a
+    shuffled mixed corpus (incl. ties, dips, NULLs)."""
+    from dqc_spark.checks import (
+        count_increasing_violations_scalable,
+        increasing_violations,
+    )
+
+    vals = [1, 3, 2, 2, None, 7, 6, None, 6, 10, 4, 4]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "ord int, val int"
+    ).repartition(5)
+    scal = count_increasing_violations_scalable(df, "val", "ord")
+    win = increasing_violations(df, "val", order_column="ord").count()
+    assert scal == win
+
+
+def test_type_check_dotted_column_name(checker, spark):
+    """A CSV header containing '.' must resolve as ONE identifier in
+    the try_cast expression, not as nested-field access."""
+    df = spark.createDataFrame([("12",), ("x",)], ["a.b"])
+    r = checker.is_column_of_type(df, "a.b", "INTEGER")
+    assert not r.passed and r.error_count == 1
+
+
+def test_date_parseable_dotted_column_name(checker, spark):
+    df = spark.createDataFrame([("2023-01-01",), ("nope",)], ["d.t"])
+    r = checker.is_column_date_parseable(df, "d.t")
+    assert not r.passed and r.error_count == 1

@@ -128,3 +128,15 @@ def test_audit_anomalies_flags_regression_run(spark):
     # the all-zero not-null history never flags (constant series, 0 dev)
     nn = got.filter(F.col("check_type") == "check-not-null")
     assert nn.filter("is_anomaly").count() == 0
+
+
+def test_metric_anomalies_rejects_stat_name_collision(spark):
+    """Input columns named med/mad/score/is_anomaly would go ambiguous
+    inside the stat joins — rejected loudly at the API boundary."""
+    import pytest as _pytest
+
+    from dqc_spark.monitor import metric_anomalies
+
+    df = spark.createDataFrame([("a", 1.0, 2.0)], "g string, v double, med double")
+    with _pytest.raises(ValueError, match="med"):
+        metric_anomalies(df, ["g"], "v")
