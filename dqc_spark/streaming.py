@@ -83,6 +83,13 @@ def stream_dedup_first_seen(
     row per first occurrence (its full payload), with the number of
     duplicates absorbed from the same micro-batch (re-emitted never;
     later-batch duplicates accumulate only in the state counter).
+
+    NULL-content rows (md5(text) IS NULL) BYPASS the stateful operator
+    and are always emitted: NULL is the absence of content, not shared
+    content, so two NULL-text docs are not duplicates of each other —
+    the same null-digest convention snapshot.new_docs and CDX dedup pin
+    (grouping them would silently drop every NULL-text doc after the
+    first, forever, across the whole stream).
     """
     payload_cols = payload_cols or []
     src_fields = {f.name: f for f in pages.schema.fields}
@@ -121,13 +128,22 @@ def stream_dedup_first_seen(
         F.col(key_col), *payload_cols,
         F.md5(F.col(text_col)).alias("text_hash"),
     )
-    return hashed.groupBy("text_hash").applyInPandasWithState(
+    deduped = hashed.filter(
+        F.col("text_hash").isNotNull()
+    ).groupBy("text_hash").applyInPandasWithState(
         first_seen,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+    null_content = hashed.filter(F.col("text_hash").isNull()).select(
+        F.col(key_col).alias("key"),
+        *payload_cols,
+        F.col("text_hash"),
+        F.lit(0).cast("long").alias("n_prior_dups"),
+    )
+    return deduped.unionByName(null_content)
 
 
 def stream_dedup_pipeline(
@@ -193,8 +209,12 @@ def stream_quality_pipeline(
     foreachBatch is used instead of a plain writeStream so each
     micro-batch can also fold its audit metrics (count/kept per batch)
     — the streaming analogue of the per-day lineage rows in resume.py.
-    Checkpointing gives exactly-once file output; reprocessing after a
-    crash resumes from the last committed epoch.
+    foreachBatch is at-least-once (a crash between the write and the
+    epoch commit replays the batch), so the write must be IDEMPOTENT:
+    each epoch overwrites its own ``epoch=<id>`` partition directory —
+    a replay rewrites the same files instead of appending duplicates
+    (epoch_id is stable across replays of the same batch).  Readers see
+    one partitioned table at ``output_dir``.
     """
     ann_stream = stream_pages(spark, input_dir)
 
@@ -207,7 +227,9 @@ def stream_quality_pipeline(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
         ).first()
-        ann.filter(F.col("keep")).write.mode("append").parquet(output_dir)
+        ann.filter(F.col("keep")).write.mode("overwrite").parquet(
+            f"{output_dir}/epoch={epoch_id}"
+        )
         ann.unpersist()
         if audit is not None:
             audit.log(

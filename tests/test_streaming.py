@@ -221,3 +221,42 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # the restarted run appends nothing for the t0 window (a (t0, 2) row
     # or a duplicate (t0, 1) would mean the watermark state leaked)
     assert second == first, second - first
+
+
+def test_stateful_dedup_null_text_passthrough(spark, tmp_path):
+    """NULL-text docs carry no content evidence: they bypass the
+    stateful seen-set (never collapse into one phantom group) and are
+    ALL emitted — the snapshot/CDX null-digest convention."""
+    import datetime as dt
+
+    from dqc_spark.pagesgen import PAGES_SCHEMA
+    from dqc_spark.streaming import stream_dedup_pipeline
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 1, 1)
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in PAGES_SCHEMA]
+    )
+    df = spark.createDataFrame(
+        [
+            ("u1", ts, b"<html>", None, "en"),
+            ("u2", ts, b"<html>", "text A", "en"),
+            ("u3", ts, b"<html>", None, "en"),
+            ("u4", ts, b"<html>", "text A", "en"),
+        ],
+        nullable,
+    )
+    df.coalesce(1).write.parquet(src)
+    q = stream_dedup_pipeline(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    keys = {r.key for r in got.collect()}
+    # both NULL-text docs survive; the real duplicate pair collapses
+    assert {"u1", "u3"} <= keys
+    assert ("u2" in keys) ^ ("u4" in keys)
+    assert got.count() == 3
+    assert got.filter(F.col("text_hash").isNull()).count() == 2
