@@ -590,10 +590,16 @@ def curate(
                      kept.filter(score_col(quality_model) >= F.lit(thr)))
     # URL uniqueness (north-rule check, applied as a curation step): a
     # re-crawled url appears with several texts — keep ONE row per key,
-    # deterministic winner by content digest (min md5)
+    # deterministic winner by content digest (min md5).  Partitioned by
+    # the key ITSELF, not doc_key: xxhash64 birthday collisions at the
+    # 1e12-doc design scale (~n^2/2^65) would silently drop a DISTINCT
+    # url here (the _content_key rationale); the window shuffles the
+    # same rows either way, so exactness is free.  doc_key stays the
+    # compact join handle for the dedup stages, where a collision only
+    # perturbs winner election, never row identity.
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_key").orderBy(F.md5("scrubbed_text"))
+    w = W.partitionBy(key_col).orderBy(F.md5("scrubbed_text"))
     kept = (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -652,9 +658,15 @@ def curate(
             n=decontam_ngram, max_frac=decontam_max_frac,
             bench_text_col=text_col,
         ))
-    kept = kept.withColumn(
-        "domain", F.regexp_extract(key_col, r"^[a-z]+://([^/]+)", 1)
-    )
+    # domain via urlops.domain_of — the SAME host notion the blocklist
+    # gate (stage 0a) and domain stats use: lowercased, userinfo and
+    # port stripped.  The previous raw regex kept `user@host:port`
+    # intact, so userinfo-salted re-crawl urls fragmented the quota
+    # strata and evaded the hot-domain cap — the exact evasion the r4
+    # domain_of fix closed everywhere else (review finding).
+    from dqc_spark.urlops import domain_of
+
+    kept = kept.withColumn("domain", domain_of(key_col))
     if domain_quota is not None:
         kept = _mark("domain_quota",
                      stratified_sample(kept, "domain", "doc_key", domain_quota))

@@ -159,7 +159,14 @@ def _stack_or_salvage(vals, dim: int) -> np.ndarray:
         if len(v) == dim:
             m[i] = v
             salvaged += 1
-    if n_nonnull and not salvaged:
+    if n_nonnull >= 4 and not salvaged:
+        # mis-sized-corpus tripwire: a real Arrow batch is thousands of
+        # rows, so "several non-NULL rows and not ONE matches dim"
+        # means the dim argument is wrong for the whole corpus.  The
+        # >= 4 floor keeps the guard from misfiring on tiny partitions
+        # where a batch can legitimately hold ONLY ragged salvage rows
+        # (a 4-row corpus split 1/partition — measured escape); 1-3
+        # stragglers zero-fill like any other salvage row.
         lens = {len(v) for v in vals if v is not None}
         raise ValueError(
             f"no embedding in this batch has the expected dim={dim} "

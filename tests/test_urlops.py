@@ -326,3 +326,24 @@ def test_induce_blocklist_feeds_domain_filter(spark):
             kept.selectExpr("url").collect()}
     assert all("farm.net" not in u for u in doms)
     assert any("tiny.io" in u for u in doms)  # below min_docs -> kept
+
+
+def test_curate_domain_strips_userinfo(spark):
+    """The quota/mix `domain` column uses the shared domain_of host
+    notion: userinfo-salted re-crawl urls (http://u:p@host/...) land in
+    the SAME stratum as the plain spelling instead of fragmenting the
+    hot-domain cap (the r4 domain_of evasion fix, applied to curate)."""
+    from pyspark.sql import functions as F
+
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 120, n_partitions=2)
+    salted = pages.withColumn(
+        "url", F.regexp_replace("url", "^http://", "http://u:p@"))
+    doms = {r["domain"] for r in curate(salted, near_dup_threshold=None)
+            .select("domain").distinct().collect()}
+    assert doms and all("@" not in d for d in doms)
+    base = {r["domain"] for r in curate(pages, near_dup_threshold=None)
+            .select("domain").distinct().collect()}
+    assert doms <= base
