@@ -280,15 +280,17 @@ DRIVER_ORDER = [
     # each is driver-green in r1 AND r2 AND r3, and giving up their
     # slots lets EVERY registered query have a driver row in r1∪…∪r4
     # (VERDICT r3 'next round' #2's done-criterion).  The local
-    # differential still re-verifies them every round.
+    # differential still re-verifies them every round.  Three more
+    # thrice-green simple-predicate checks (enum, length,
+    # distinct-in-set) yield their slots to the final-session
+    # operators (priority dedup ×2, epoch mixing) so the r4 window
+    # stays at the 50-row cap with full registry coverage.
     "check_unique_violations",
     "check_not_null",
-    "check_enum",
     "check_referential",
     "check_between",
     "check_regex",
     "check_type",
-    "check_length",
     "check_agg_bounds",
     "check_completeness_freshness",
     "check_date_format",
@@ -296,7 +298,6 @@ DRIVER_ORDER = [
     "check_not_in_set",
     "check_increasing",
     "check_date_parseable",
-    "check_distinct_in_set",
     # --- round-4 rotation: the 13 registered queries with no driver
     # row in r1∪r2∪r3 (VERDICT r3 'What's wrong' §3 / 'Next round' #2).
     # 8 have full SQL oracles (locally green every round); the 5
@@ -336,17 +337,23 @@ DRIVER_ORDER = [
     "html_main_content",
     "wet_ingest",
     "text_unigram_token_counts",
+    "dedup_priority_keep",
+    "dedup_canonical_priority",
+    "mix_epoch_expand",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
-    # the three checks rotated out of the r4 window (see DRIVER_ORDER
+    # the six checks rotated out of the r4 window (see DRIVER_ORDER
     # note): driver-green in r1∪r2∪r3, re-verified locally every round
     "check_col_count",
     "check_pair_equal",
     "check_column_exists",
+    "check_enum",
+    "check_length",
+    "check_distinct_in_set",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",
@@ -432,12 +439,6 @@ TAIL_ORDER = [
     "olap_asof_join",
     "olap_range_join",
     "media_features",
-    # new after the r4 window filled — no driver row yet: pinned by the
-    # local differential (full SQL oracles) + pytest, first r5 rotation
-    # candidates
-    "mix_epoch_expand",
-    "dedup_priority_keep",
-    "dedup_canonical_priority",
 ]
 
 
