@@ -147,6 +147,14 @@ def build_parser() -> argparse.ArgumentParser:
         "curate",
         help="full corpus curation: gates -> dedup -> domain quota -> pack",
     )
+    p.add_argument("--config", default=None,
+                   help="JSON pipeline spec: an object whose keys are "
+                        "these flag names (dashes or underscores) — "
+                        "true emits a switch, dicts render as k=v "
+                        "lists (--split), arrays join with commas; "
+                        "flags typed on the command line override the "
+                        "file.  A versioned config is the reproducible "
+                        "form of a production curation run")
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True)
     p.add_argument("--near-dup-threshold", type=float, default=0.7,
@@ -498,7 +506,127 @@ def _parse_kv_floats(spec: str) -> dict:
     return out
 
 
+def _curate_flag_actions() -> dict:
+    """{long-flag-name (no --): argparse action} for the curate verb —
+    introspected from the live parser so the config schema can never
+    drift from the flag surface."""
+    ap = build_parser()
+    spa = next(a for a in ap._actions
+               if isinstance(a, argparse._SubParsersAction))
+    out = {}
+    for act in spa.choices["curate"]._actions:
+        for s in act.option_strings:
+            if s.startswith("--"):
+                out[s[2:]] = act
+    return out
+
+
+def _config_to_flags(path: str) -> list:
+    """Render a JSON pipeline spec into curate CLI flags.
+
+    Keys are the curate flag names (dashes or underscores); values:
+    ``true`` emits the bare flag, ``false``/``null`` omit it, dicts
+    render as the ``k=v,...`` form (--split / --repetition-gates),
+    lists join with commas (--blocked-domains / --trust-seeds), and
+    scalars stringify.  Unknown keys are an error, not a warning — a
+    typo'd stage name must not silently skip the stage."""
+    import json
+
+    try:
+        with open(path) as f:
+            cfg = json.load(f)
+    except OSError as e:
+        raise SystemExit(f"error: cannot read --config {path}: {e}")
+    except ValueError as e:
+        raise SystemExit(f"error: --config {path} is not valid JSON: {e}")
+    if not isinstance(cfg, dict):
+        raise SystemExit("error: --config must be a JSON object of "
+                         "curate flags")
+    actions = _curate_flag_actions()
+    flags: list = []
+    for key, val in cfg.items():
+        name = str(key).replace("_", "-")
+        if name in ("config", "help"):
+            raise SystemExit(f"error: config key {key!r} is not allowed "
+                             "inside a config file")
+        act = actions.get(name)
+        if act is None:
+            known = ", ".join(sorted(k for k in actions
+                                     if k not in ("config", "help")))
+            raise SystemExit(f"error: unknown config key {key!r} "
+                             f"(curate flags: {known})")
+        is_switch = act.nargs == 0  # store_true flags
+        if val is None or val is False:
+            continue  # explicit "not set"
+        if val is True:
+            if not is_switch:
+                raise SystemExit(f"error: config key {key!r} needs a "
+                                 "value, not true")
+            flags.append(f"--{name}")
+            continue
+        if is_switch:
+            raise SystemExit(f"error: config key {key!r} is a switch — "
+                             "use true/false")
+        if isinstance(val, dict):
+            body = ",".join(f"{k}={v}" for k, v in val.items())
+        elif isinstance(val, list):
+            body = ",".join(str(v) for v in val)
+        else:
+            body = str(val)
+        flags.extend([f"--{name}", body])
+    return flags
+
+
+def _expand_config_argv(argv: list) -> list:
+    """Pre-parse pass: when the curate verb carries ``--config``, expand
+    the JSON spec into flags injected right AFTER the subcommand — flags
+    the user typed come later in argv, so argparse's last-wins makes the
+    command line override the file (switches are opt-in only: a config
+    ``true`` cannot be un-set from the CLI)."""
+    # locate the subcommand token (skip the one pre-subcommand option)
+    i = 0
+    sub_ix = None
+    while i < len(argv):
+        a = argv[i]
+        if a == "--db-path":
+            i += 2
+            continue
+        if a.startswith("--db-path=") or a.startswith("-"):
+            i += 1
+            continue
+        sub_ix = i
+        break
+    if sub_ix is None or argv[sub_ix] != "curate":
+        return argv
+    rest = argv[sub_ix + 1:]
+    cfg_path = None
+    j = 0
+    while j < len(rest):
+        a = rest[j]
+        if a == "--config":
+            if j + 1 >= len(rest):
+                raise SystemExit("error: --config needs a path")
+            cfg_path = rest[j + 1]
+            j += 2
+        elif a.startswith("--config="):
+            cfg_path = a.split("=", 1)[1]
+            j += 1
+        else:
+            j += 1
+    if cfg_path is None:
+        return argv
+    return (argv[:sub_ix + 1] + _config_to_flags(cfg_path) + rest)
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    try:
+        argv = _expand_config_argv(argv)
+    except SystemExit as e:
+        if isinstance(e.code, str):
+            print(e.code, file=sys.stderr)
+            return 2
+        raise
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name=f"dqc-{args.cmd}")
     sink = SQLiteAuditSink(args.db_path)

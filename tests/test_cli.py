@@ -411,3 +411,87 @@ def test_cli_mix_epochs(capsys, spark, db_path, tmp_path):
         "--db-path", db_path, "mix-epochs", "--input", src,
         "--output", out_p, "--max-epochs", "0"])
     assert rc2 == 2
+
+
+def test_cli_curate_config_equivalent_and_override(
+        capsys, spark, db_path, tmp_path):
+    """A JSON --config produces the same corpus as the equivalent flags;
+    flags typed on the command line override the file (last-wins)."""
+    import json
+
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages_cfg.parquet")
+    generate_pages(spark, 80, n_partitions=2).write.parquet(src)
+    cfg = str(tmp_path / "pipeline.json")
+    with open(cfg, "w") as f:
+        json.dump({
+            "near_dup_threshold": -1,          # underscore form
+            "normalize": True,                 # switch
+            "split": {"train": 0.9, "val": 0.1},  # dict -> k=v,...
+            "blocked-domains": ["site0.example.com",
+                                "site1.example.com"],  # list -> csv
+        }, f)
+
+    out_cfg = str(tmp_path / "cur_cfg.parquet")
+    rc, _ = _run(capsys, ["--db-path", db_path, "curate",
+                          "--config", cfg,
+                          "--input", src, "--output", out_cfg])
+    assert rc == 0
+    out_flags = str(tmp_path / "cur_flags.parquet")
+    rc, _ = _run(capsys, [
+        "--db-path", db_path, "curate", "--input", src,
+        "--output", out_flags, "--near-dup-threshold", "-1",
+        "--normalize", "--split", "train=0.9,val=0.1",
+        "--blocked-domains", "site0.example.com,site1.example.com"])
+    assert rc == 0
+    a = {tuple(r) for r in spark.read.parquet(out_cfg)
+         .select("url", "split").collect()}
+    b = {tuple(r) for r in spark.read.parquet(out_flags)
+         .select("url", "split").collect()}
+    assert a == b and a
+    doms = {r["domain"] for r in spark.read.parquet(out_cfg)
+            .select("domain").distinct().collect()}
+    assert not doms & {"site0.example.com", "site1.example.com"}
+
+    # CLI overrides the file: config says train-only, CLI re-splits
+    with open(cfg, "w") as f:
+        json.dump({"near_dup_threshold": -1,
+                   "split": {"train": 1.0}}, f)
+    out_ovr = str(tmp_path / "cur_ovr.parquet")
+    rc, _ = _run(capsys, ["--db-path", db_path, "curate",
+                          "--config", cfg, "--input", src,
+                          "--output", out_ovr,
+                          "--split", "train=0.5,val=0.5"])
+    assert rc == 0
+    splits = {r["split"] for r in spark.read.parquet(out_ovr).collect()}
+    assert splits == {"train", "val"}
+
+
+def test_cli_curate_config_rejects_bad_keys(capsys, tmp_path):
+    """Unknown / malformed config keys fail fast with rc 2 — a typo'd
+    stage name must not silently skip the stage.  No Spark work runs."""
+    import json
+
+    from dqc_spark import cli
+
+    cfg = str(tmp_path / "bad.json")
+    with open(cfg, "w") as f:
+        json.dump({"near_dup_treshold": -1}, f)   # typo
+    rc = cli.main(["curate", "--config", cfg,
+                   "--input", "x", "--output", "y"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown config key" in err and "near_dup_treshold" in err
+
+    with open(cfg, "w") as f:
+        json.dump({"normalize": 0.5}, f)          # switch needs bool
+    rc = cli.main(["curate", "--config", cfg,
+                   "--input", "x", "--output", "y"])
+    assert rc == 2 and "switch" in capsys.readouterr().err
+
+    with open(cfg, "w") as f:
+        f.write("[1, 2]")                          # not an object
+    rc = cli.main(["curate", "--config", cfg,
+                   "--input", "x", "--output", "y"])
+    assert rc == 2 and "JSON object" in capsys.readouterr().err
