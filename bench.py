@@ -334,9 +334,14 @@ def curation_stage_queries(spark) -> dict[str, float]:
         "bpe_encode_20k": lambda: bpe_token_counts(
             pages, bpe_merges, key_col="url"
         ).agg(F.sum("n_bpe_tokens")).first(),
-        # FFD packing: one (stratum, subgroup) shuffle + python FFD
+        # FFD packing: one (stratum, subgroup) shuffle + python FFD.
+        # dropDuplicates first: the corpus plants ~2% re-crawled urls
+        # (pagesgen) and pack_first_fit's contract requires unique keys
+        # (its duplicate-key guard raises) — packing always runs after
+        # dedup in the pipeline, so the bench models the same order
         "pack_ffd_20k": lambda: pack_first_fit(
-            pages.withColumn("n_tok", F.size(F.split("text", r"\s+"))),
+            pages.dropDuplicates(["url"])
+            .withColumn("n_tok", F.size(F.split("text", r"\s+"))),
             "source", "url", "n_tok", budget=4096,
         ).agg(F.count_distinct("source", "pack_group", "bin_id")).first(),
         # BM25: pure-Catalyst posting build + topk over the 20k slice
