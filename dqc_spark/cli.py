@@ -155,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "flags typed on the command line override the "
                         "file.  A versioned config is the reproducible "
                         "form of a production curation run")
+    p.add_argument("--print-config", action="store_true",
+                   help="print the effective configuration (file + "
+                        "command line merged, non-default flags only) "
+                        "as --config-ready JSON and exit without "
+                        "running — freeze a flag invocation into a "
+                        "versioned pipeline spec")
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True)
     p.add_argument("--near-dup-threshold", type=float, default=0.7,
@@ -577,6 +583,24 @@ def _config_to_flags(path: str) -> list:
     return flags
 
 
+def _effective_config_json(args) -> str:
+    """The EFFECTIVE curate configuration (file + command line merged,
+    non-default flags only) as a JSON object that round-trips through
+    ``--config`` — freeze a hand-built flag invocation into a versioned
+    pipeline spec with ``curate ... --print-config > pipeline.json``."""
+    import json
+
+    out = {}
+    for name, act in sorted(_curate_flag_actions().items()):
+        if name in ("config", "print-config", "help"):
+            continue
+        val = getattr(args, act.dest)
+        if val == act.default:
+            continue
+        out[name.replace("-", "_")] = True if act.nargs == 0 else val
+    return json.dumps(out, indent=2, sort_keys=True)
+
+
 def _expand_config_argv(argv: list) -> list:
     """Pre-parse pass: when the curate verb carries ``--config``, expand
     the JSON spec into flags injected right AFTER the subcommand — flags
@@ -628,6 +652,10 @@ def main(argv=None) -> int:
             return 2
         raise
     args = build_parser().parse_args(argv)
+    if args.cmd == "curate" and args.print_config:
+        # pure print — runs BEFORE the SparkSession spins up
+        print(_effective_config_json(args))
+        return 0
     spark = get_spark(app_name=f"dqc-{args.cmd}")
     sink = SQLiteAuditSink(args.db_path)
     ck = DataQualityChecker(spark, audit_sink=sink)

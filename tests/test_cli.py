@@ -495,3 +495,35 @@ def test_cli_curate_config_rejects_bad_keys(capsys, tmp_path):
     rc = cli.main(["curate", "--config", cfg,
                    "--input", "x", "--output", "y"])
     assert rc == 2 and "JSON object" in capsys.readouterr().err
+
+
+def test_cli_curate_print_config_roundtrip(capsys, tmp_path):
+    """--print-config freezes the effective flags into --config-ready
+    JSON (no Spark session): flags -> JSON -> --config -> identical
+    JSON.  Defaults are omitted; the file+CLI merge is what prints."""
+    import json
+
+    from dqc_spark import cli
+
+    flags = ["curate", "--input", "in.parquet", "--output", "out.parquet",
+             "--near-dup-threshold", "-1", "--normalize",
+             "--split", "train=0.9,val=0.1"]
+    rc = cli.main(flags + ["--print-config"])
+    assert rc == 0
+    cfg1 = json.loads(capsys.readouterr().out)
+    assert cfg1["normalize"] is True
+    assert cfg1["split"] == "train=0.9,val=0.1"
+    assert "pack_budget" not in cfg1          # defaults omitted
+
+    p = str(tmp_path / "frozen.json")
+    with open(p, "w") as f:
+        json.dump(cfg1, f)
+    rc = cli.main(["curate", "--config", p, "--print-config"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == cfg1
+
+    # CLI still overrides the frozen file in the printed merge
+    rc = cli.main(["curate", "--config", p,
+                   "--split", "train=1.0", "--print-config"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["split"] == "train=1.0"
