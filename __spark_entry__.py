@@ -439,6 +439,10 @@ TAIL_ORDER = [
     "olap_asof_join",
     "olap_range_join",
     "media_features",
+    # new after the r4 window filled — no driver row yet: rows-only,
+    # pinned by the byte-parity pytest (test_piispans.py); first r5
+    # rotation candidate
+    "text_pii_spans",
 ]
 
 

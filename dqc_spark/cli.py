@@ -433,6 +433,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="claimed-language column stored for the "
                         "mismatch gate ('' = none)")
 
+    p = sub.add_parser("pii-spans",
+                       help="write the span-level PII/toxicity "
+                            "attribute table: (key, rule, start, end, "
+                            "replacement) offsets into the original "
+                            "text — tag once, re-redact many")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--key-column", default="url")
+    p.add_argument("--text-column", default="text")
+
+    p = sub.add_parser("redact",
+                       help="apply a stored span table to a corpus; "
+                            "--rules replays a subset (policy change "
+                            "without a regex re-scan).  With all rules "
+                            "the output text is byte-identical to the "
+                            "scrub stage")
+    p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument("--spans", required=True,
+                   help="span parquet written by 'pii-spans'")
+    p.add_argument("--output", required=True)
+    p.add_argument("--key-column", default="url")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--rules", default=None,
+                   help="comma-separated rule subset to replay "
+                        "(default: all stored rules)")
+
     p = sub.add_parser("apply-attributes",
                        help="filter a corpus by a stored attribute "
                             "table; --thresholds re-gates from the "
@@ -1167,6 +1193,30 @@ def main(argv=None) -> int:
         kept = written.filter("keep").count()
         print(f"tagged {n} docs -> {args.output} "
               f"(keep at tagging thresholds: {kept})")
+        return 0
+    if c == "pii-spans":
+        from dqc_spark.piispans import pii_spans
+
+        pages = spark.read.parquet(args.input)
+        spans = pii_spans(pages, args.key_column, args.text_column)
+        spans.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
+        n_docs = written.select(args.key_column).distinct().count()
+        print(f"tagged {n} spans across {n_docs} docs -> {args.output}")
+        return 0
+    if c == "redact":
+        from dqc_spark.piispans import redact_spans
+
+        pages = spark.read.parquet(args.input)
+        spans = spark.read.parquet(args.spans)
+        rules = ([r.strip() for r in args.rules.split(",") if r.strip()]
+                 if args.rules else None)
+        out = redact_spans(pages, spans, args.key_column,
+                           args.text_column, rules=rules)
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"redacted {n} docs -> {args.output}")
         return 0
     if c == "apply-attributes":
         from dqc_spark.attributes import apply_filter, regate

@@ -2864,6 +2864,31 @@ def q_warc_ingest(spark, sf):
         "url", "warc_ts", F.length("html").cast("long").alias("n_bytes"))
 
 
+def q_pii_spans(spark, sf):
+    """Span-level PII attribute table (piispans.py) over documents with
+    deterministically planted PII — one hit family per doc_id residue so
+    every rule exercises.  Rows-only: span offsets come from python
+    ``re``'s sequential-scrub simulation, which SQL cannot mirror; the
+    byte-parity invariant (replaying spans == scrub output) is pinned in
+    tests/test_piispans.py."""
+    from dqc_spark.piispans import pii_spans
+
+    r = F.col("doc_id") % 6
+    sfx = (
+        F.when(r == 0, F.concat(F.lit(" mail u"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com")))
+        .when(r == 1, F.lit(" ssn 123-45-6789"))
+        .when(r == 2, F.lit(" from 10.0.0.1"))
+        .when(r == 3, F.lit(" card 4111 1111 1111 1111"))
+        .when(r == 4, F.lit(" call (555) 123-4567"))
+        .otherwise(F.lit("")))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), sfx).alias("text"))
+    return pii_spans(docs, "doc_id", "text")
+
+
 def q_mix_epoch_expand(spark, sf):
     # Epoch-expansion mixing: the same derived 70/20/10 skew as
     # mix_temperature_sample, but at a FIXED budget (= the corpus size)
@@ -3032,6 +3057,7 @@ def extra_queries():
         "text_boilerplate_removal": q_boilerplate,
         "html_main_content": q_main_content,
         "mix_epoch_expand": q_mix_epoch_expand,
+        "text_pii_spans": q_pii_spans,
         "dedup_priority_keep": q_dedup_priority,
         "dedup_canonical_priority": q_keep_canonical_priority,
     }

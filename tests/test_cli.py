@@ -527,3 +527,25 @@ def test_cli_curate_print_config_roundtrip(capsys, tmp_path):
                    "--split", "train=1.0", "--print-config"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["split"] == "train=1.0"
+
+
+def test_cli_pii_spans_and_redact(capsys, spark, db_path, tmp_path):
+    src = str(tmp_path / "pii_docs.parquet")
+    spark.createDataFrame(
+        [(1, "mail a@b.co from 10.0.0.1"), (2, "clean page")],
+        "doc_id long, text string").write.parquet(src)
+    spans_p = str(tmp_path / "spans.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "pii-spans",
+                            "--input", src, "--output", spans_p,
+                            "--key-column", "doc_id"])
+    assert rc == 0 and "tagged 2 spans across 1 docs" in out
+    out_p = str(tmp_path / "redacted.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "redact",
+                            "--input", src, "--spans", spans_p,
+                            "--output", out_p,
+                            "--key-column", "doc_id",
+                            "--rules", "email"])
+    assert rc == 0
+    got = {r["doc_id"]: r["scrubbed_text"]
+           for r in spark.read.parquet(out_p).collect()}
+    assert got == {1: "mail <EMAIL> from 10.0.0.1", 2: "clean page"}
