@@ -233,6 +233,7 @@ def curation_stage_queries(spark) -> dict[str, float]:
     from dqc_spark.dsir import importance_weights, weighted_sample
     from dqc_spark.linededup import dedup_lines
     from dqc_spark.linkgraph import domain_edges, pagerank
+    from dqc_spark.piispans import pii_spans
     from dqc_spark.lmtrain import train_bigram_lm
     from dqc_spark.mixing import temperature_sample
     from dqc_spark.ordering import training_order
@@ -321,6 +322,8 @@ def curation_stage_queries(spark) -> dict[str, float]:
         # C4 line cleaning: one Arrow kernel + Catalyst page gates
         "curate_c4_clean_20k": lambda: c4_clean(pages)
         .agg(F.sum(F.col("keep").cast("int"))).first(),
+        # span-level PII tagging: one Arrow kernel, prescan-gated
+        "pii_spans_20k": lambda: pii_spans(pages, "url").count(),
         # DSIR: two broadcast-LM perplexities per doc in one kernel,
         # then the Gumbel top-k TakeOrdered
         "dsir_select_20k": lambda: weighted_sample(
