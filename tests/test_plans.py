@@ -400,3 +400,30 @@ def test_bm25_plan_shape(docs):
     # and it must never scan more than (key, text)
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_pii_spans_is_shuffle_free_and_prunes_to_key_and_text(docs):
+    from dqc_spark.piispans import pii_spans
+
+    p = plan_str(pii_spans(docs, "doc_id", "text"))
+    # one Arrow kernel over the scan: no exchange anywhere
+    assert "Exchange" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    # the scan must not drag the rest of the table through the kernel
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_redact_spans_shuffles_spans_not_pages(spark, docs):
+    """The replay join aggregates the NARROW span table per key and
+    joins it back; the page text itself must never hash-shuffle."""
+    from dqc_spark.piispans import pii_spans, redact_spans
+
+    spans = pii_spans(docs, "doc_id", "text")
+    p = plan_str(redact_spans(docs, spans, "doc_id", "text"))
+    # page text enters only via the final (post-join) projection: no
+    # hashpartitioning exchange keyed on a plan branch carrying text
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", p):
+        assert "text" not in m.group(0)
