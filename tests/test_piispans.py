@@ -125,3 +125,47 @@ def test_apply_spans_py_is_pure_replay():
     txt = "keep this secret"
     out = apply_spans_py(txt, [("custom", 5, 9, "<X>")])
     assert out == "keep <X> secret"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the byte-parity invariant must hold on ADVERSARIAL
+# compositions — adjacent matches, cross-rule overlap candidates,
+# fragments abutting replacement-token positions, unicode filler
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_FRAGMENTS = st.sampled_from([
+    "a@b.co", "x.y%z@mail.example.org",
+    "123-45-6789", "078-05-1120",
+    "DE89 3704 0044 0532 0130 00", "GB82WEST12345698765432",
+    "DE89 3704 0044 0532 0130 01",                  # mod-97 miss
+    "(555) 123-4567", "+1 555-123-4567", "555.123.4567",
+    "192.168.0.1", "10.0.0.255", "999.999.999.999",
+    "2001:db8::192.168.0.1", "dead:beef::cafe:1234",
+    "4111 1111 1111 1111", "4111-1111-1111-1111",
+    "4111 1111 1111 1112",                          # Luhn miss
+    "badword1", "badword3",
+    " ", "", ".", "-", ":", "@", "4111", "123-45", "x",
+    "日本語テキスト", "слово", "plain words here", "a1:",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=12))
+def test_fuzz_span_replay_matches_scrub(parts):
+    txt = "".join(parts)
+    spans = pii_spans_py(txt)
+    assert apply_spans_py(txt, spans) == scrub_text_py(txt)
+    # spans must be disjoint, ordered, and index the original string
+    prev_end = 0
+    for name, s, e, rep in spans:
+        assert prev_end <= s < e <= len(txt)
+        prev_end = e
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_fuzz_span_replay_on_arbitrary_text(txt):
+    assert apply_spans_py(txt, pii_spans_py(txt)) == scrub_text_py(txt)
