@@ -137,6 +137,15 @@ def apply_spans_py(
     for name, s, e, rtxt in sorted(spans, key=lambda t: t[1], reverse=True):
         if rules is not None and name not in rules:
             continue
+        if not (0 <= s < e <= len(text)):
+            # a span past the text's end means the stored table was
+            # built from DIFFERENT text for this key (stale table, or a
+            # corpus rewritten between tag and replay) — python slicing
+            # would silently clamp and emit shifted garbage
+            raise ValueError(
+                f"span ({name!r}, {s}, {e}) exceeds text of length "
+                f"{len(text)}: the span table does not match this "
+                "corpus — re-run pii_spans on the current text")
         out = out[:s] + rtxt + out[e:]
     return out
 

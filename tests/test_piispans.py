@@ -169,3 +169,10 @@ def test_fuzz_span_replay_matches_scrub(parts):
 @given(st.text(min_size=0, max_size=200))
 def test_fuzz_span_replay_on_arbitrary_text(txt):
     assert apply_spans_py(txt, pii_spans_py(txt)) == scrub_text_py(txt)
+
+
+def test_stale_span_table_fails_loudly():
+    # spans built from different (longer) text must not silently emit
+    # shifted garbage against the current corpus
+    with pytest.raises(ValueError, match="does not match this corpus"):
+        apply_spans_py("short", [("email", 10, 16, "<EMAIL>")])
