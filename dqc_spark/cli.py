@@ -944,6 +944,16 @@ def main(argv=None) -> int:
 
                 audit = ParquetAuditSink(
                     spark, args.audit or args.output.rstrip("/") + "_audit")
+                # provenance: WHICH policy produced this increment —
+                # the effective (file + flags merged) config rides the
+                # run's audit trail in the params map, flushed together
+                # with the increment row
+                import json as _json
+
+                audit.log("curate_config", True,
+                          _json.loads(_effective_config_json(args)),
+                          error_count=None, partition_id=0,
+                          input_snapshot=args.run_group)
                 summary = curate_incremental(
                     spark, pages, args.output, audit, args.run_group,
                     **curate_kwargs)

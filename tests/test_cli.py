@@ -549,3 +549,33 @@ def test_cli_pii_spans_and_redact(capsys, spark, db_path, tmp_path):
     got = {r["doc_id"]: r["scrubbed_text"]
            for r in spark.read.parquet(out_p).collect()}
     assert got == {1: "mail <EMAIL> from 10.0.0.1", 2: "clean page"}
+
+
+def test_cli_curate_incremental_logs_config_provenance(
+        capsys, spark, db_path, tmp_path):
+    """The CLI --incremental path end-to-end: second identical run
+    short-circuits, and each run's audit trail carries a curate_config
+    row with the effective policy in params."""
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages_inc.parquet")
+    out_p = str(tmp_path / "cur_inc.parquet")
+    generate_pages(spark, 60, n_partitions=2).write.parquet(src)
+    argv = ["--db-path", db_path, "curate", "--input", src,
+            "--output", out_p, "--near-dup-threshold", "-1",
+            "--normalize", "--incremental"]
+    rc, out = _run(capsys, argv)
+    assert rc == 0 and "incremental:" in out
+    n1 = spark.read.parquet(out_p).count()
+    assert n1 > 0
+    rc, out = _run(capsys, argv)
+    assert rc == 0 and "nothing new" in out
+    assert spark.read.parquet(out_p).count() == n1  # no duplicate append
+
+    audit = spark.read.parquet(out_p.rstrip("/") + "_audit")
+    cfg_rows = audit.filter("check_type = 'curate_config'").collect()
+    assert len(cfg_rows) == 2  # one per run, including the skip run
+    params = cfg_rows[0]["params"]
+    assert params["normalize"] == "True"
+    assert params["near_dup_threshold"] == "-1.0"
+    assert params["input"] == src
