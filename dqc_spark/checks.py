@@ -410,6 +410,7 @@ def count_increasing_violations_scalable(
     out_schema = T.StructType(
         [
             T.StructField("violations", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
             T.StructField("first_ord", ord_t),
             T.StructField("last_ord", ord_t),
             T.StructField("first_val", val_t),
@@ -422,11 +423,13 @@ def count_increasing_violations_scalable(
 
     def per_partition(batches):
         have_rows = False
+        n_rows = 0
         prev = first_ord = first_val = last_ord = last_val = None
         viol = 0
         for pdf in batches:
             if pdf.empty:
                 continue
+            n_rows += len(pdf)
             vals = pdf[column]
             ords = pdf[order_column]
             if not have_rows:
@@ -454,6 +457,7 @@ def count_increasing_violations_scalable(
         yield pd.DataFrame(
             {
                 "violations": [viol if have_rows else 0],
+                "n_rows": [n_rows],
                 "first_ord": [first_ord if _notna(first_ord) else None],
                 "last_ord": [last_ord if _notna(last_ord) else None],
                 "first_val": [first_val if _notna(first_val) else None],
@@ -462,9 +466,18 @@ def count_increasing_violations_scalable(
         )
 
     rows = parted.mapInPandas(per_partition, schema=out_schema).collect()
+    # non-empty partitions joined in order-column order.  The chain
+    # membership test is n_rows, NOT first_ord: range partitioning
+    # groups every NULL order key into the lowest partition (sorted
+    # nulls-first within it), so that partition's first_ord is NULL
+    # while its rows still participate — excluding it would silently
+    # skip the seam to the next partition, diverging from the window
+    # twin's nulls-first Window.orderBy.  (None, x) never compares:
+    # the tuple key isolates the NULL-headed partition at the front,
+    # and at most one non-empty partition can start at NULL.
     stats = sorted(
-        (r for r in rows if r["first_ord"] is not None),
-        key=lambda r: r["first_ord"],
+        (r for r in rows if r["n_rows"] > 0),
+        key=lambda r: (r["first_ord"] is not None, r["first_ord"]),
     )
     total = sum(r["violations"] for r in rows)
     for a, b in zip(stats, stats[1:]):

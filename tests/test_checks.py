@@ -583,3 +583,24 @@ def test_date_parseable_dotted_column_name(checker, spark):
     df = spark.createDataFrame([("2023-01-01",), ("nope",)], ["d.t"])
     r = checker.is_column_date_parseable(df, "d.t")
     assert not r.passed and r.error_count == 1
+
+
+def test_increasing_scalable_null_order_keys_keep_their_seam(spark):
+    """NULL order keys all land in the lowest range partition (sorted
+    nulls-first), whose first_ord is NULL — that partition must still
+    join the seam chain, or the comparison into the next partition is
+    silently skipped.  Differential vs the window path, which orders
+    nulls first natively."""
+    from dqc_spark.checks import (
+        count_increasing_violations_scalable,
+        increasing_violations,
+    )
+
+    # null-ord rows carry values 9,9 (one internal tie) and the last of
+    # them (9) >= the first real-ord value (5): the null-partition seam
+    # itself violates — the case the chain used to drop
+    rows = [(None, 9), (None, 9), (0, 5), (1, 6), (2, 3), (3, 7)]
+    df = spark.createDataFrame(rows, "ord int, val int").repartition(4)
+    scal = count_increasing_violations_scalable(df, "val", "ord")
+    win = increasing_violations(df, "val", order_column="ord").count()
+    assert scal == win == 3  # 9<=9, 5<=9 (the rescued seam), 3<=6
