@@ -125,6 +125,54 @@ class ParquetAuditSink(MemoryAuditSink):
         self.rows = []
 
 
+class SnapshotAuditSink(ParquetAuditSink):
+    """Audit sink backed by a snapshot table (snaptable.py): every
+    flush is an ATOMIC versioned commit, so concurrent runs' audit
+    appends serialize cleanly and "the metrics as of run N" is a time
+    travel read — the full Iceberg-audit-table contract the north rule
+    names, not just append-only parquet.  ``clear_logs`` is itself a
+    committed version (delete-all), so the history survives the wipe.
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        super().__init__(spark, path)
+        self._table = None
+
+    def _tbl(self):
+        from dqc_spark import snaptable
+
+        if self._table is None:
+            t = snaptable.SnapshotTable(self.spark, self.path)
+            try:
+                t.current_version()
+            except FileNotFoundError:
+                t = snaptable.create(
+                    self.spark,
+                    self.path,
+                    self.spark.createDataFrame([], schema=AUDIT_SCHEMA),
+                )
+            self._table = t
+        return self._table
+
+    def flush(self) -> None:
+        if not self.rows:
+            return
+        df = self.spark.createDataFrame(self.rows, schema=AUDIT_SCHEMA)
+        self._tbl().append(df.coalesce(1))
+        self.rows = []
+
+    def read(self):
+        return self._tbl().read()
+
+    def read_version(self, version: int):
+        """Time travel: the audit table as of commit ``version``."""
+        return self._tbl().read(version=version)
+
+    def clear_logs(self) -> None:
+        self._tbl().delete_where("true")
+        self.rows = []
+
+
 def format_log_rows(rows) -> str:
     header = f"{'SEQ':>4}  {'TIMESTAMP':<27} {'CHECK':<34} {'RESULT':<6} PARAMS"
     lines = [header, "-" * len(header)]

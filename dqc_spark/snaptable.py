@@ -1,0 +1,524 @@
+"""Snapshot-versioned parquet tables: the Iceberg semantics the north
+rule assumes, implemented over plain files so the sandbox (no Iceberg
+jars) can test them for real instead of hand-waving a SURVEY note.
+
+What production Iceberg gives a 10^12-doc curation pipeline and plain
+``df.write.parquet`` does not:
+
+  * **atomic commits** — a crashed writer leaves no half-visible
+    output (readers only ever see a committed manifest);
+  * **snapshot isolation / time travel** — "the corpus as of run N"
+    is a stable input for reproducible training-data builds;
+  * **DELETE / MERGE** — takedown requests and re-crawl upserts
+    rewrite only the files that contain affected rows (copy-on-write);
+  * **manifest-level partition pruning** — the planner selects FILES
+    from metadata before Spark ever lists a directory.
+
+This module is the minimal faithful core of that contract:
+
+  layout   <root>/data/<uuid>.parquet        immutable data files
+           <root>/meta/v<N>.json             manifest per version
+           <root>/meta/_current              pointer to live version
+
+  manifest {version, parent, ts, operation, schema, files:
+            [{path, rows, partition: {col: val}}]}
+
+Commit protocol (the same rename-based optimistic concurrency Iceberg
+uses on HDFS): data files are written first (invisible until
+referenced), then the manifest is created with ``open(..., 'x')`` —
+exclusive create, so two writers racing to commit version N+1 collide
+on the filename and the loser retries against the winner's manifest.
+The ``_current`` pointer is advanced with ``os.replace`` (atomic on
+POSIX) and is only a cache: readers that find a stale pointer re-scan
+``meta/`` for the max committed version, so a crash between manifest
+create and pointer swap loses nothing.
+
+Scale shape: manifests carry file paths + per-file partition values +
+row counts — metadata proportional to FILE count, never row count (at
+100 TB you would shard the file list into avro manifest-lists exactly
+as Iceberg does; JSON is the sandbox spelling of the same structure).
+Reads hand Spark an explicit pruned file list, so column pruning /
+predicate pushdown on the parquet scan are unchanged.  DELETE/MERGE
+read only the files whose partition values can match, rewrite only
+the files that actually contain matches, and carry every untouched
+file into the new manifest by reference.
+
+Reference parity: the reference stores results in embedded SQLite
+(/root/reference/internal/db/connector.go:50-57) — single-writer,
+no snapshots; this is the distributed replacement the north rule
+names ("Iceberg audit table", checkpoint-resumable runs).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import urllib.parse
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spark/Hive writes NULL partition values as this path segment
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+__all__ = [
+    "SnapshotTable",
+    "create",
+    "CommitConflict",
+]
+
+_MAX_COMMIT_RETRIES = 10
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version and the retry budget
+    ran out — the caller's read-modify-write must be re-run against
+    the new current snapshot (optimistic concurrency contract)."""
+
+
+def _utc_iso() -> str:
+    return _dt.datetime.now(_dt.timezone.utc).isoformat()
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class SnapshotTable:
+    """Handle on a snapshot table rooted at ``root`` (local path).
+
+    All mutation methods commit a NEW version and return its number;
+    they never mutate committed files.  Readers pass ``version=`` or
+    ``as_of=`` for time travel; default is the current snapshot.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.meta = os.path.join(root, "meta")
+        self.data = os.path.join(root, "data")
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta, f"v{version}.json")
+
+    def current_version(self) -> int:
+        """Live version: the pointer if fresh, else the max committed
+        manifest (the pointer is a cache — a crash between manifest
+        create and pointer swap must not hide a committed version)."""
+        best = 0
+        try:
+            with open(os.path.join(self.meta, "_current")) as f:
+                best = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        for name in os.listdir(self.meta):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        if best == 0:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        return best
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        try:
+            with open(self._manifest_path(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot v{v} does not exist under {self.root} "
+                f"(history: {[m['version'] for m in self.history()]})"
+            ) from None
+
+    def history(self) -> list[dict]:
+        """Committed snapshots, oldest first: (version, ts, operation,
+        n_files, n_rows) — the audit trail of the table itself."""
+        out = []
+        for name in sorted(os.listdir(self.meta)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self.meta, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "ts": m["ts"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(fe["rows"] for fe in m["files"]),
+                }
+            )
+        out.sort(key=lambda m: m["version"])
+        return out
+
+    def _resolve_as_of(self, as_of: str) -> int:
+        """Largest version committed at or before ISO timestamp
+        ``as_of`` (time travel by wall clock)."""
+        best = None
+        for m in self.history():
+            if m["ts"] <= as_of:
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.root} existed at or before {as_of}")
+        return best
+
+    # -- write path ---------------------------------------------------------
+
+    def _write_data_files(
+        self, df: DataFrame, partition_cols: list[str]
+    ) -> list[dict]:
+        """Materialize ``df`` as immutable files under data/ and return
+        manifest entries.  One file per (partition-tuple); within a
+        partition Spark writes its shards under a staging dir that is
+        then registered file-by-file — files are INVISIBLE until a
+        manifest references them, which is what makes the commit
+        atomic."""
+        stage = os.path.join(self.data, f"stage-{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(stage)
+        entries: list[dict] = []
+        for dirpath, _dirs, files in os.walk(stage):
+            rel = os.path.relpath(dirpath, stage)
+            part: dict[str, str | None] = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    # Spark URL-escapes special chars in partition paths
+                    # and spells NULL as the Hive sentinel
+                    part[k] = (None if v == _HIVE_NULL
+                               else urllib.parse.unquote(v))
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, name)
+                # footer metadata, not a Spark job per file
+                n = pq.ParquetFile(fpath).metadata.num_rows
+                entries.append(
+                    {
+                        "path": os.path.relpath(fpath, self.root),
+                        "rows": n,
+                        "partition": part,
+                    }
+                )
+        return entries
+
+    def _commit(
+        self,
+        files: list[dict],
+        operation: str,
+        schema_json: str,
+        partition_cols: list[str],
+        expected_parent: int | None,
+    ) -> int:
+        """Exclusive-create the next manifest.  ``expected_parent``
+        pins the read-modify-write base for operations whose file list
+        DEPENDS on the parent (delete/merge/compact): if someone else
+        committed meanwhile, raise instead of silently undoing their
+        rows.  Append-shaped commits (file list independent of the
+        parent) pass None and retry onto the new head, merging its
+        file list."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            try:
+                head = self.current_version()
+            except FileNotFoundError:
+                head = 0
+            if expected_parent is not None and head != expected_parent:
+                raise CommitConflict(
+                    f"{operation}: snapshot advanced to v{head} during a "
+                    f"read-modify-write based on v{expected_parent}; re-run "
+                    "against the current snapshot"
+                )
+            version = head + 1
+            if operation == "append" and head > 0:
+                # carry the live head's files; ours add to them
+                base_files = self.manifest(head)["files"]
+            elif operation == "append":
+                base_files = []
+            else:
+                base_files = None  # caller supplied the full list
+            manifest = {
+                "version": version,
+                "parent": head if head else None,
+                "ts": _utc_iso(),
+                "operation": operation,
+                "schema": schema_json,
+                "partition_cols": partition_cols,
+                "files": (base_files + files) if base_files is not None else files,
+            }
+            try:
+                with open(self._manifest_path(version), "x", encoding="utf-8") as f:
+                    json.dump(manifest, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+            except FileExistsError:
+                continue  # lost the race; retry against the new head
+            _atomic_write(os.path.join(self.meta, "_current"), str(version))
+            return version
+        raise CommitConflict(
+            f"{operation}: gave up after {_MAX_COMMIT_RETRIES} commit races")
+
+    def _check_schema(self, df: DataFrame, m: dict, op: str) -> None:
+        expected = T.StructType.fromJson(json.loads(m["schema"]))
+        got = df.select(*[f.name for f in expected.fields]).schema \
+            if set(df.columns) == {f.name for f in expected.fields} else df.schema
+        if [(f.name, f.dataType) for f in got.fields] != [
+            (f.name, f.dataType) for f in expected.fields
+        ]:
+            raise ValueError(
+                f"{op}: frame schema {got.simpleString()} does not match "
+                f"table schema {expected.simpleString()} (this format does "
+                "not do schema evolution)")
+
+    def append(self, df: DataFrame) -> int:
+        """Atomically add ``df``'s rows; concurrent appends both land
+        (the retry merges onto whichever manifest won)."""
+        m = self.manifest()
+        self._check_schema(df, m, "append")
+        files = self._write_data_files(df, m["partition_cols"])
+        return self._commit(
+            files, "append", m["schema"], m["partition_cols"], None)
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Replace exactly the partitions present in ``df`` (dynamic
+        partition overwrite — the resume-idempotency primitive): new
+        files for df's partitions, every other live file carried by
+        reference."""
+        base = self.current_version()
+        m = self.manifest(base)
+        pcols = m["partition_cols"]
+        if not pcols:
+            raise ValueError("overwrite_partitions needs a partitioned table")
+        self._check_schema(df, m, "overwrite_partitions")
+        new_files = self._write_data_files(df, pcols)
+        touched = {tuple(sorted(fe["partition"].items())) for fe in new_files}
+        kept = [
+            fe
+            for fe in m["files"]
+            if tuple(sorted(fe["partition"].items())) not in touched
+        ]
+        return self._commit(
+            kept + new_files, "overwrite_partitions", m["schema"], pcols, base)
+
+    def delete_where(self, condition: str) -> int:
+        """Copy-on-write DELETE: rewrite only the files that contain
+        matching rows; untouched files carry by reference.  Takedown /
+        GDPR shape — at 100 TB the rewrite cost is proportional to
+        affected files, not table size."""
+        base = self.current_version()
+        m = self.manifest(base)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        cond = F.expr(condition)
+        kept_files: list[dict] = []
+        new_files: list[dict] = []
+        for fe in m["files"]:
+            fdf = self._read_file(fe, schema)
+            n_hit = fdf.filter(cond).count()
+            if n_hit == 0:
+                kept_files.append(fe)
+                continue
+            survivors = fdf.filter(~cond)
+            if survivors.limit(1).count() > 0:
+                new_files.extend(
+                    self._write_data_files(survivors, m["partition_cols"]))
+        return self._commit(
+            kept_files + new_files, "delete", m["schema"],
+            m["partition_cols"], base)
+
+    def _read_file(self, fe: dict, schema: T.StructType) -> DataFrame:
+        """One manifest file with its path-encoded partition columns
+        re-attached at their original types — conditions and merge keys
+        on partition columns must resolve like any other column."""
+        fdf = self.spark.read.parquet(os.path.join(self.root, fe["path"]))
+        for k, v in fe["partition"].items():
+            fdf = fdf.withColumn(k, self._pcol_lit(schema, k, v))
+        return fdf.select(*[f.name for f in schema.fields])
+
+    def merge_upsert(self, df: DataFrame, key_cols: list[str]) -> int:
+        """MERGE: rows of ``df`` replace live rows with equal keys and
+        insert otherwise (the re-crawl upsert).  Copy-on-write like
+        delete_where: only files containing a matched key rewrite.
+        Duplicate keys WITHIN ``df`` are rejected — 'last wins' has no
+        deterministic meaning for a distributed frame."""
+        base = self.current_version()
+        m = self.manifest(base)
+        dup = (
+            df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: source has duplicate keys on {key_cols}")
+        self._check_schema(df, m, "merge_upsert")
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        src = df.persist()
+        try:
+            keys = src.select(*key_cols).persist()
+            kept_files: list[dict] = []
+            new_files: list[dict] = []
+            for fe in m["files"]:
+                fdf = self._read_file(fe, schema)
+                hit = (
+                    fdf.join(F.broadcast(keys), on=key_cols, how="left_semi")
+                    .limit(1).count()
+                )
+                if hit == 0:
+                    kept_files.append(fe)
+                    continue
+                survivors = fdf.join(
+                    F.broadcast(keys), on=key_cols, how="left_anti")
+                if survivors.limit(1).count() > 0:
+                    new_files.extend(
+                        self._write_data_files(
+                            survivors, m["partition_cols"]))
+            new_files.extend(self._write_data_files(src, m["partition_cols"]))
+            return self._commit(
+                kept_files + new_files, "merge", m["schema"],
+                m["partition_cols"], base)
+        finally:
+            src.unpersist()
+            keys.unpersist()
+
+    # -- read path ----------------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of: str | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read.  ``partition_filter`` prunes FILES from the
+        manifest before Spark sees them (metadata pruning — the scan
+        never lists or opens excluded files); partition columns are
+        re-attached from manifest values.  An empty post-prune file
+        list still returns a correctly-typed empty frame."""
+        if version is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            version = self._resolve_as_of(as_of)
+        m = self.manifest(version)
+        files = m["files"]
+        if partition_filter:
+
+            def _match(fe: dict) -> bool:
+                for k, v in partition_filter.items():
+                    pv = fe["partition"].get(k)
+                    if (pv is None) != (v is None):
+                        return False
+                    if v is not None and pv != str(v):
+                        return False
+                return True
+
+            files = [fe for fe in files if _match(fe)]
+        pcols = m["partition_cols"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # one scan per distinct partition tuple (not per file): plan
+        # size tracks partition count, and within a group Spark gets
+        # the whole path list at once
+        groups: dict[tuple, list[str]] = {}
+        for fe in files:
+            key = tuple(sorted(fe["partition"].items()))
+            groups.setdefault(key, []).append(
+                os.path.join(self.root, fe["path"]))
+        parts = []
+        # NULL partition values sort last (tuples may hold None)
+        for key, paths in sorted(
+                groups.items(),
+                key=lambda kv: [(k, v is None, v or "") for k, v in kv[0]]):
+            fdf = self.spark.read.parquet(*paths)
+            for k, v in key:
+                fdf = fdf.withColumn(k, self._pcol_lit(schema, k, v))
+            parts.append(fdf.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def _pcol_lit(schema: T.StructType, name: str, value: str | None):
+        """Partition value (path string or None) as a literal of the
+        column's ORIGINAL type — path encoding must not degrade an int
+        day column to string on read."""
+        dtype = schema[name].dataType
+        return (F.lit(None).cast(dtype) if value is None
+                else F.lit(value).cast(dtype))
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO committed manifest —
+        orphans from crashed writers (files land before the manifest;
+        a writer that dies in between leaves them).  Files of OLD
+        versions are still referenced (time travel) and are never
+        touched; marker/checksum files (``_SUCCESS``, ``.crc``) are
+        skipped.  Maintenance op: run with no writer in flight — an
+        uncommitted writer's staged files look like orphans.  Returns
+        the deleted paths."""
+        live: set[str] = set()
+        for h in self.history():
+            for fe in self.manifest(h["version"])["files"]:
+                live.add(os.path.normpath(fe["path"]))
+        removed: list[str] = []
+        for dirpath, _dirs, files in os.walk(self.data, topdown=False):
+            for name in files:
+                if name.startswith((".", "_")):
+                    continue
+                fpath = os.path.join(dirpath, name)
+                rel = os.path.normpath(os.path.relpath(fpath, self.root))
+                if rel not in live:
+                    os.remove(fpath)
+                    removed.append(rel)
+            if not os.listdir(dirpath) and dirpath != self.data:
+                os.rmdir(dirpath)
+        return sorted(removed)
+
+    def compact(self, target_max_files: int = 1) -> int:
+        """Rewrite the live snapshot into ≤ ``target_max_files`` files
+        per partition (small-file compaction — audit tables accrete one
+        file per flush).  Pure rewrite: same rows, new version."""
+        base = self.current_version()
+        m = self.manifest(base)
+        live = self.read(version=base).coalesce(max(1, target_max_files))
+        files = self._write_data_files(live, m["partition_cols"])
+        return self._commit(
+            files, "compact", m["schema"], m["partition_cols"], base)
+
+
+def create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_cols: list[str] | None = None,
+) -> SnapshotTable:
+    """Create a new snapshot table at ``root`` with ``df`` as v1."""
+    t = SnapshotTable(spark, root)
+    os.makedirs(t.meta, exist_ok=True)
+    os.makedirs(t.data, exist_ok=True)
+    if os.path.exists(t._manifest_path(1)):
+        raise FileExistsError(f"snapshot table already exists at {root}")
+    pcols = list(partition_cols or [])
+    for c in pcols:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in frame")
+    schema_json = json.dumps(df.schema.jsonValue())
+    files = t._write_data_files(df, pcols)
+    # expected_parent=0: a concurrent create of the same root raises
+    # instead of silently stacking a second v-chain
+    t._commit(files, "create", schema_json, pcols, 0)
+    return t

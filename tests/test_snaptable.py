@@ -1,0 +1,288 @@
+"""Snapshot-table semantics: atomic versioned commits, time travel,
+partition overwrite, copy-on-write DELETE/MERGE, manifest pruning,
+vacuum.  Every mutation is checked against a plain-python model of the
+expected row set — the table is only bookkeeping, so the model is a
+dict."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dqc_spark import snaptable
+from dqc_spark.snaptable import CommitConflict, SnapshotTable
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r[c] for c in sorted(df.columns)) for r in df.collect()),
+        key=lambda t: [(v is None, v) for v in t])
+
+
+@pytest.fixture()
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            Row(url=f"http://ex.com/{i}", day=f"2024-01-0{1 + i % 3}",
+                text=f"doc {i}", score=float(i))
+            for i in range(12)
+        ]
+    )
+
+
+def test_create_read_roundtrip(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    assert t.current_version() == 1
+    got = t.read()
+    assert _rows(got) == _rows(pages)
+    # partition column keeps its type (string here) and its VALUES
+    assert got.schema["day"].dataType == pages.schema["day"].dataType
+    assert got.filter(F.col("day") == "2024-01-02").count() == 4
+
+
+def test_append_is_versioned(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    extra = spark.createDataFrame(
+        [Row(url="http://ex.com/new", day="2024-01-04",
+             text="new doc", score=99.0)])
+    v2 = t.append(extra)
+    assert v2 == 2
+    assert t.read().count() == 13
+    # time travel: v1 still reads the original 12
+    assert t.read(version=1).count() == 12
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "append"]
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    bad = spark.createDataFrame([Row(url="u", day="d")])
+    with pytest.raises(ValueError, match="does not match"):
+        t.append(bad)
+
+
+def test_overwrite_partitions_replaces_only_named_days(
+        spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    repl = spark.createDataFrame(
+        [Row(url="http://ex.com/r", day="2024-01-01",
+             text="rewritten", score=0.0)])
+    t.overwrite_partitions(repl)
+    got = t.read()
+    assert got.filter(F.col("day") == "2024-01-01").count() == 1
+    # other days untouched, byte-for-byte
+    assert _rows(got.filter(F.col("day") != "2024-01-01")) == _rows(
+        pages.filter(F.col("day") != "2024-01-01"))
+
+
+def test_delete_where_is_copy_on_write(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    before = {fe["path"] for fe in t.manifest()["files"]}
+    t.delete_where("score >= 10.0")  # hits docs 10, 11
+    got = t.read()
+    assert got.count() == 10
+    assert got.filter(F.col("score") >= 10.0).count() == 0
+    after = t.manifest()["files"]
+    # files without matches carried by REFERENCE (same path object)
+    untouched = {fe["path"] for fe in after} & before
+    assert untouched, "copy-on-write must reuse unaffected files"
+    # old version still has all 12 (snapshot isolation)
+    assert t.read(version=1).count() == 12
+
+
+def test_delete_where_on_partition_column(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.delete_where("day = '2024-01-03'")
+    got = t.read()
+    assert got.filter(F.col("day") == "2024-01-03").count() == 0
+    assert got.count() == 8
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    src = spark.createDataFrame(
+        [
+            Row(url="http://ex.com/0", day="2024-01-01",
+                text="recrawled", score=100.0),       # update
+            Row(url="http://ex.com/brandnew", day="2024-01-01",
+                text="fresh", score=50.0),            # insert
+        ]
+    )
+    t.merge_upsert(src, key_cols=["url"])
+    got = t.read()
+    assert got.count() == 13
+    assert got.filter(F.col("url") == "http://ex.com/0") \
+        .select("text").first()["text"] == "recrawled"
+    assert got.filter(F.col("url") == "http://ex.com/brandnew").count() == 1
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(
+        spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    src = spark.createDataFrame(
+        [Row(url="u", day="d", text="a", score=1.0),
+         Row(url="u", day="d", text="b", score=2.0)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(src, key_cols=["url"])
+
+
+def test_partition_filter_prunes_files_from_metadata(
+        spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    got = t.read(partition_filter={"day": "2024-01-02"})
+    assert got.count() == 4
+    assert _rows(got) == _rows(pages.filter(F.col("day") == "2024-01-02"))
+    # a filter matching nothing returns a typed empty frame
+    empty = t.read(partition_filter={"day": "1970-01-01"})
+    assert empty.count() == 0
+    assert empty.schema["score"].dataType == pages.schema["score"].dataType
+
+
+def test_as_of_time_travel(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    ts_v1 = t.manifest(1)["ts"]
+    t.delete_where("score >= 6.0")
+    assert t.read(as_of=ts_v1).count() == 12
+    assert t.read().count() == 6
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.read(as_of="1999-01-01T00:00:00+00:00")
+
+
+def test_commit_conflict_on_concurrent_mutation(spark, tmp_path, pages):
+    root = str(tmp_path / "t")
+    t = snaptable.create(spark, root, pages, partition_cols=["day"])
+    # simulate a writer that committed between our read and our commit:
+    # hand-advance the table with an append through a second handle
+    t2 = SnapshotTable(spark, root)
+    base = t.current_version()
+    m = t.manifest(base)
+    t2.append(spark.createDataFrame(
+        [Row(url="x", day="2024-01-01", text="y", score=0.0)]))
+    with pytest.raises(CommitConflict):
+        t._commit([], "delete", m["schema"], m["partition_cols"], base)
+
+
+def test_concurrent_appends_both_land(spark, tmp_path, pages):
+    root = str(tmp_path / "t")
+    t = snaptable.create(spark, root, pages, partition_cols=["day"])
+    a = SnapshotTable(spark, root)
+    b = SnapshotTable(spark, root)
+    a.append(spark.createDataFrame(
+        [Row(url="a", day="2024-01-01", text="a", score=1.0)]))
+    b.append(spark.createDataFrame(
+        [Row(url="b", day="2024-01-02", text="b", score=2.0)]))
+    assert t.read().count() == 14
+    assert t.current_version() == 3
+
+
+def test_stale_pointer_recovers(spark, tmp_path, pages):
+    """A crash between manifest create and pointer swap must not hide
+    the committed version."""
+    root = str(tmp_path / "t")
+    t = snaptable.create(spark, root, pages, partition_cols=["day"])
+    t.append(spark.createDataFrame(
+        [Row(url="x", day="2024-01-01", text="y", score=0.0)]))
+    with open(os.path.join(t.meta, "_current"), "w") as f:
+        f.write("1")  # stale cache
+    assert t.current_version() == 2
+    assert t.read().count() == 13
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.delete_where("score >= 10.0")
+    # plant an orphan: a staged write whose commit never happened
+    orphan_dir = os.path.join(t.data, "stage-orphan")
+    pages.limit(1).write.parquet(orphan_dir)
+    removed = t.vacuum()
+    assert any("stage-orphan" in p for p in removed)
+    # both versions still fully readable afterwards
+    assert t.read(version=1).count() == 12
+    assert t.read().count() == 10
+
+
+def test_compact_preserves_rows(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.append(spark.createDataFrame(
+        [Row(url="x", day="2024-01-01", text="y", score=0.0)]))
+    v = t.compact()
+    assert _rows(t.read(version=v)) == _rows(t.read(version=2))
+    assert t.manifest(v)["operation"] == "compact"
+
+
+def test_unpartitioned_table(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages.drop("day"))
+    assert t.read().count() == 12
+    t.delete_where("score = 0.0")
+    assert t.read().count() == 11
+    with pytest.raises(ValueError, match="partitioned"):
+        t.overwrite_partitions(pages.drop("day"))
+
+
+def test_null_partition_value_round_trips(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(url="a", day=None, text="x", score=1.0),
+         Row(url="b", day="2024-01-01", text="y", score=2.0)])
+    t = snaptable.create(spark, str(tmp_path / "t"), df,
+                         partition_cols=["day"])
+    got = t.read()
+    assert got.filter(F.col("day").isNull()).count() == 1
+    assert _rows(got) == _rows(df)
+    pruned = t.read(partition_filter={"day": None})
+    assert pruned.count() == 1 and pruned.first()["url"] == "a"
+
+
+def test_snapshot_audit_sink_versions_every_flush(spark, tmp_path):
+    from dqc_spark.audit import SnapshotAuditSink
+
+    sink = SnapshotAuditSink(spark, str(tmp_path / "audit"))
+    sink.log("check-unique", True, {"table": "pages"})
+    sink.flush()
+    v_after_first = sink._tbl().current_version()
+    sink.log("check-not-null", False, {"table": "pages"}, error_count=3)
+    sink.flush()
+    assert sink.read().count() == 2
+    # time travel: the audit table as of the first flush has one row
+    assert sink.read_version(v_after_first).count() == 1
+    # clear is a committed version, not an rm: history keeps everything
+    sink.clear_logs()
+    assert sink.read().count() == 0
+    assert sink.read_version(v_after_first).count() == 1
+
+
+def test_snapshot_audit_sink_survives_reopen(spark, tmp_path):
+    from dqc_spark.audit import SnapshotAuditSink
+
+    path = str(tmp_path / "audit")
+    s1 = SnapshotAuditSink(spark, path)
+    s1.log("check-enum", True, {})
+    s1.flush()
+    s2 = SnapshotAuditSink(spark, path)  # fresh handle, same table
+    s2.log("check-regex", True, {})
+    s2.flush()
+    assert s2.read().count() == 2
+
+
+def test_manifest_counts_match_data(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    m = t.manifest()
+    assert sum(fe["rows"] for fe in m["files"]) == 12
+    # manifest is valid JSON on disk with relative paths only
+    with open(t._manifest_path(1)) as f:
+        raw = json.load(f)
+    assert all(not fe["path"].startswith("/") for fe in raw["files"])
