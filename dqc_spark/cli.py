@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "versioned pipeline spec")
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True)
+    p.add_argument("--output-format", choices=["parquet", "snapshot"],
+                   default="parquet",
+                   help="'snapshot' writes a snapshot-versioned table "
+                        "(snaptable.py): the whole curated corpus lands "
+                        "as ONE atomic commit — a crashed run leaves no "
+                        "half-visible output, and prior versions stay "
+                        "readable by time travel")
     p.add_argument("--near-dup-threshold", type=float, default=0.7,
                    help="MinHash Jaccard threshold; negative disables")
     p.add_argument("--domain-quota", type=int, default=0,
@@ -939,6 +946,12 @@ def main(argv=None) -> int:
                     if args.langid_model else None),
             )
             if args.incremental:
+                if args.output_format == "snapshot":
+                    raise SystemExit(
+                        "error: --output-format snapshot is not supported "
+                        "with --incremental (increments append to a plain "
+                        "parquet output; atomic increments would need the "
+                        "digest state inside the same commit)")
                 from dqc_spark.audit import ParquetAuditSink
                 from dqc_spark.resume import curate_incremental
 
@@ -971,12 +984,27 @@ def main(argv=None) -> int:
             cur = curate(pages, **curate_kwargs)
         except ValueError as e:
             raise SystemExit(f"error: {e}") from None
-        cur.write.mode("overwrite").parquet(args.output)
+        if args.output_format == "snapshot":
+            from dqc_spark import snaptable
+
+            t = snaptable.SnapshotTable(spark, args.output)
+            try:
+                t.current_version()
+            except FileNotFoundError:
+                t = None
+            if t is None:
+                t = snaptable.create(spark, args.output, cur)
+            else:
+                t.overwrite(cur)
+            out_df = t.read()
+        else:
+            cur.write.mode("overwrite").parquet(args.output)
+            out_df = spark.read.parquet(args.output)
         if stage_metrics is not None:
             for stage, n in stage_metrics.items():
                 print(f"stage {stage}: {n} docs")
         n_in = pages.count()
-        n_out = spark.read.parquet(args.output).count()
+        n_out = out_df.count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")
         return 0
     if c == "profile":

@@ -295,6 +295,18 @@ class SnapshotTable:
         return self._commit(
             files, "append", m["schema"], m["partition_cols"], None)
 
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the ENTIRE table contents as one atomic commit (a
+        full curation rebuild): readers see the old corpus until the
+        manifest lands, then the new one — never a mix, never a
+        half-written directory.  Old versions stay time-travelable."""
+        base = self.current_version()
+        m = self.manifest(base)
+        self._check_schema(df, m, "overwrite")
+        files = self._write_data_files(df, m["partition_cols"])
+        return self._commit(
+            files, "overwrite", m["schema"], m["partition_cols"], base)
+
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Replace exactly the partitions present in ``df`` (dynamic
         partition overwrite — the resume-idempotency primitive): new

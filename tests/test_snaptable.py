@@ -277,6 +277,49 @@ def test_snapshot_audit_sink_survives_reopen(spark, tmp_path):
     assert s2.read().count() == 2
 
 
+def test_overwrite_replaces_whole_table_atomically(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    rebuilt = pages.filter(F.col("score") < 3.0)
+    v = t.overwrite(rebuilt)
+    assert _rows(t.read()) == _rows(rebuilt)
+    assert t.read(version=1).count() == 12  # old corpus still readable
+    assert t.manifest(v)["operation"] == "overwrite"
+    # no file of v1 survives into the overwrite manifest
+    v1_paths = {fe["path"] for fe in t.manifest(1)["files"]}
+    assert not v1_paths & {fe["path"] for fe in t.manifest(v)["files"]}
+
+
+def test_cli_curate_snapshot_output(capsys, spark, tmp_path):
+    from dqc_spark import cli
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.snaptable import SnapshotTable
+
+    src = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "curated_snap")
+    generate_pages(spark, 80, n_partitions=2).write.parquet(src)
+    args = ["--db-path", str(tmp_path / "q.db"), "curate",
+            "--input", src, "--output", out,
+            "--near-dup-threshold", "-1",
+            "--output-format", "snapshot"]
+    rc = cli.main(args)
+    assert rc == 0 and "curated" in capsys.readouterr().out
+    t = SnapshotTable(spark, out)
+    assert t.current_version() == 1
+    n1 = t.read().count()
+    assert n1 > 0
+    # second run = version 2, atomically replacing version 1
+    rc = cli.main(args)
+    assert rc == 0
+    capsys.readouterr()
+    assert t.current_version() == 2
+    assert t.read(version=1).count() == n1
+    # incremental + snapshot is an explicit contract error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="not supported"):
+        cli.main(args + ["--incremental"])
+
+
 def test_manifest_counts_match_data(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
