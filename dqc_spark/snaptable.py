@@ -473,6 +473,27 @@ class SnapshotTable:
         return (F.lit(None).cast(dtype) if value is None
                 else F.lit(value).cast(dtype))
 
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop the manifests of all but the newest ``keep_last``
+        versions (every manifest is self-contained, so removing old
+        ones never breaks newer reads), then ``vacuum`` reclaims the
+        data files only they referenced.  The retention/storage dial
+        a production table needs: time travel works within the kept
+        window, storage is bounded by it.  Returns the expired
+        version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.current_version()
+        expired = [
+            h["version"] for h in self.history()
+            if h["version"] <= head - keep_last
+        ]
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        if expired:
+            self.vacuum()
+        return expired
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO committed manifest —
         orphans from crashed writers (files land before the manifest;

@@ -214,6 +214,31 @@ def test_vacuum_removes_only_orphans(spark, tmp_path, pages):
     assert t.read().count() == 10
 
 
+def test_expire_snapshots_bounds_history_and_storage(
+        spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.delete_where("score >= 9.0")   # v2
+    t.overwrite(pages.filter(F.col("score") < 5.0))  # v3: fresh files
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    # live version unaffected; expired versions are gone
+    assert t.read().count() == 5
+    with pytest.raises(ValueError, match="does not exist"):
+        t.manifest(1)
+    # v1/v2-only files were reclaimed by the implicit vacuum
+    live = {fe["path"] for fe in t.manifest()["files"]}
+    on_disk = set()
+    for dirpath, _d, files in os.walk(t.data):
+        for name in files:
+            if name.endswith(".parquet"):
+                on_disk.add(os.path.relpath(
+                    os.path.join(dirpath, name), t.root))
+    assert on_disk == live
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_compact_preserves_rows(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
