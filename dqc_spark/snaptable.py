@@ -356,10 +356,19 @@ class SnapshotTable:
     def _read_file(self, fe: dict, schema: T.StructType) -> DataFrame:
         """One manifest file with its path-encoded partition columns
         re-attached at their original types — conditions and merge keys
-        on partition columns must resolve like any other column."""
+        on partition columns must resolve like any other column.
+        Columns the file predates (schema evolution) come back as
+        typed NULLs, exactly Iceberg's add-column read semantics."""
         fdf = self.spark.read.parquet(os.path.join(self.root, fe["path"]))
         for k, v in fe["partition"].items():
             fdf = fdf.withColumn(k, self._pcol_lit(schema, k, v))
+        return self._reconcile(fdf, schema)
+
+    @staticmethod
+    def _reconcile(fdf: DataFrame, schema: T.StructType) -> DataFrame:
+        for f in schema.fields:
+            if f.name not in fdf.columns:
+                fdf = fdf.withColumn(f.name, F.lit(None).cast(f.dataType))
         return fdf.select(*[f.name for f in schema.fields])
 
     def merge_upsert(self, df: DataFrame, key_cols: list[str]) -> int:
@@ -455,10 +464,14 @@ class SnapshotTable:
         for key, paths in sorted(
                 groups.items(),
                 key=lambda kv: [(k, v is None, v or "") for k, v in kv[0]]):
-            fdf = self.spark.read.parquet(*paths)
+            # mergeSchema: one partition group can mix files written
+            # before and after an add_column evolution — the default
+            # first-footer schema would silently DROP the new column
+            # from the whole group
+            fdf = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             for k, v in key:
                 fdf = fdf.withColumn(k, self._pcol_lit(schema, k, v))
-            parts.append(fdf.select(*[f.name for f in schema.fields]))
+            parts.append(self._reconcile(fdf, schema))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -472,6 +485,24 @@ class SnapshotTable:
         dtype = schema[name].dataType
         return (F.lit(None).cast(dtype) if value is None
                 else F.lit(value).cast(dtype))
+
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """Schema evolution: add a nullable column as a METADATA-ONLY
+        commit — zero data files touched or rewritten.  Files written
+        before the evolution read back with typed NULLs in the new
+        column (Iceberg's add-column contract); subsequent writes must
+        carry it.  Dropping/renaming/retyping are deliberately not
+        offered — each silently breaks old readers, and Iceberg itself
+        needs field-ID indirection to do them safely."""
+        base = self.current_version()
+        m = self.manifest(base)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(T.StructField(name, dtype, True))
+        return self._commit(
+            m["files"], "add_column", json.dumps(schema.jsonValue()),
+            m["partition_cols"], base)
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop the manifests of all but the newest ``keep_last``

@@ -239,6 +239,37 @@ def test_expire_snapshots_bounds_history_and_storage(
         t.expire_snapshots(keep_last=0)
 
 
+def test_add_column_is_metadata_only_and_old_files_read_null(
+        spark, tmp_path, pages):
+    from pyspark.sql import types as T
+
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    files_before = {fe["path"] for fe in t.manifest()["files"]}
+    v = t.add_column("lang", T.StringType())
+    # metadata-only: exact same data files
+    assert {fe["path"] for fe in t.manifest(v)["files"]} == files_before
+    got = t.read()
+    assert got.schema["lang"].dataType == T.StringType()
+    assert got.filter(F.col("lang").isNull()).count() == 12
+    # appends now carry the column; mixed-era reads reconcile
+    t.append(spark.createDataFrame(
+        [Row(url="n", day="2024-01-01", text="x", score=1.0, lang="en")],
+        schema=t.read().schema))
+    mixed = t.read()
+    assert mixed.count() == 13
+    assert mixed.filter(F.col("lang") == "en").count() == 1
+    # a delete that rewrites an OLD file keeps the evolved schema
+    t.delete_where("score >= 11.0")
+    assert t.read().schema["lang"].dataType == T.StringType()
+    assert t.read().count() == 12
+    # pre-evolution appends are now schema errors
+    with pytest.raises(ValueError, match="does not match"):
+        t.append(pages.limit(1))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("lang", T.StringType())
+
+
 def test_compact_preserves_rows(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
