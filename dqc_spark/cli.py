@@ -492,6 +492,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable the bloom prefilter with this many bits "
                         "(0 = exact anti-join only)")
 
+    p = sub.add_parser("table-history",
+                       help="list a snapshot table's committed versions "
+                            "(see curate --output-format snapshot)")
+    p.add_argument("--table", required=True, help="snapshot table root")
+
+    p = sub.add_parser("table-compact",
+                       help="rewrite a snapshot table's live version into "
+                            "fewer files (audit tables accrete one file "
+                            "per flush)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--max-files", type=int, default=1)
+
+    p = sub.add_parser("table-expire",
+                       help="drop all but the newest N versions and "
+                            "reclaim their files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+
+    p = sub.add_parser("table-vacuum",
+                       help="delete data files no committed version "
+                            "references (crashed-writer orphans)")
+    p.add_argument("--table", required=True)
+
     return ap
 
 
@@ -1287,6 +1310,34 @@ def main(argv=None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n_in, n_out = snap.count(), spark.read.parquet(args.output).count()
         print(f"snapshot-new: {n_in} -> {n_out} new docs at {args.output}")
+        return 0
+    if c in ("table-history", "table-compact", "table-expire",
+             "table-vacuum"):
+        from dqc_spark.snaptable import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        try:
+            t.current_version()
+        except FileNotFoundError:
+            raise SystemExit(
+                f"error: no snapshot table at {args.table}") from None
+        if c == "table-history":
+            for h in t.history():
+                print(f"v{h['version']:<4} {h['ts']}  "
+                      f"{h['operation']:<20} files={h['n_files']:<5} "
+                      f"rows={h['n_rows']}")
+        elif c == "table-compact":
+            v = t.compact(args.max_files)
+            m = t.manifest(v)
+            print(f"compacted to v{v}: {len(m['files'])} files, "
+                  f"{sum(fe['rows'] for fe in m['files'])} rows")
+        elif c == "table-expire":
+            expired = t.expire_snapshots(args.keep_last)
+            print(f"expired versions: {expired or 'none'} "
+                  f"(kept the newest {args.keep_last})")
+        else:
+            removed = t.vacuum()
+            print(f"vacuumed {len(removed)} orphan file(s)")
         return 0
     if c == "induce-blocklist":
         from pyspark.sql import functions as F

@@ -376,6 +376,32 @@ def test_cli_curate_snapshot_output(capsys, spark, tmp_path):
         cli.main(args + ["--incremental"])
 
 
+def test_cli_table_ops(capsys, spark, tmp_path, pages):
+    from dqc_spark import cli
+
+    root = str(tmp_path / "t")
+    t = snaptable.create(spark, root, pages, partition_cols=["day"])
+    t.append(pages.limit(2))
+    db = str(tmp_path / "q.db")
+    assert cli.main(["--db-path", db, "table-history",
+                     "--table", root]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "append" in out
+    assert cli.main(["--db-path", db, "table-compact",
+                     "--table", root]) == 0
+    assert "compacted to v3" in capsys.readouterr().out
+    assert cli.main(["--db-path", db, "table-expire",
+                     "--table", root, "--keep-last", "1"]) == 0
+    assert "[1, 2]" in capsys.readouterr().out
+    assert cli.main(["--db-path", db, "table-vacuum",
+                     "--table", root]) == 0
+    assert "orphan" in capsys.readouterr().out
+    assert t.read().count() == 14
+    with pytest.raises(SystemExit, match="no snapshot table"):
+        cli.main(["--db-path", db, "table-history",
+                  "--table", str(tmp_path / "nope")])
+
+
 def test_manifest_counts_match_data(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
