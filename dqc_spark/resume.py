@@ -57,13 +57,24 @@ def run_resumable(
     audit: ParquetAuditSink,
     run_group: str,
     thresholds: dict | None = None,
+    output_format: str = "parquet",
 ) -> dict:
     """Process only the not-yet-completed day partitions.
 
     Returns {'processed': [...], 'skipped': [...]}.  All pending days run
     in ONE Spark job (a single isin filter + partitioned write), not a
     per-day loop — day count can be large.
+
+    ``output_format="snapshot"`` writes through a snapshot table
+    (snaptable.py) instead of raw dynamic partition overwrite: the
+    run's whole day batch lands as ONE atomic ``overwrite_partitions``
+    commit, so a crash mid-write leaves the prior corpus fully intact
+    (raw dynamic overwrite can die with some days replaced and some
+    not — recoverable via the audit anti-join, but visible to
+    concurrent readers; the snapshot commit is not).
     """
+    if output_format not in ("parquet", "snapshot"):
+        raise ValueError(f"unknown output_format {output_format!r}")
     days_df = pages.select(F.to_date("warc_ts").alias("day")).distinct()
     all_days = sorted(str(r["day"]) for r in days_df.collect())
     done = completed_days(audit, run_group)
@@ -77,27 +88,43 @@ def run_resumable(
     ann = annotate(subset, thresholds=thresholds).withColumn(
         "day", F.to_date("warc_ts")
     )
-    # dynamic overwrite (replace only the written days) — scoped with a
-    # save/restore: leaking the session-wide conf would silently turn
-    # run_pipeline's later full overwrites into partial ones
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev_mode = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        (
-            ann.write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(output_path)
-        )
-    finally:
-        if prev_mode is None:
-            spark.conf.unset(conf_key)
+    if output_format == "snapshot":
+        from dqc_spark import snaptable
+
+        t = snaptable.SnapshotTable(spark, output_path)
+        try:
+            t.current_version()
+        except FileNotFoundError:
+            t = None
+        if t is None:
+            t = snaptable.create(spark, output_path, ann,
+                                 partition_cols=["day"])
         else:
-            spark.conf.set(conf_key, prev_mode)
+            t.overwrite_partitions(ann)
+        out = t.read()
+    else:
+        # dynamic overwrite (replace only the written days) — scoped
+        # with a save/restore: leaking the session-wide conf would
+        # silently turn run_pipeline's later full overwrites into
+        # partial ones
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                ann.write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(output_path)
+            )
+        finally:
+            if prev_mode is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev_mode)
+        out = spark.read.parquet(output_path)
 
     # per-partition lineage metrics from the written output (cheap: the
     # day column prunes, and only 3 small aggregates per day)
-    out = spark.read.parquet(output_path)
     metrics = (
         out.filter(F.col("day").isin(pending))
         .groupBy("day")

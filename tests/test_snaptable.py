@@ -402,6 +402,55 @@ def test_cli_table_ops(capsys, spark, tmp_path, pages):
                   "--table", str(tmp_path / "nope")])
 
 
+def test_run_resumable_snapshot_output(spark, tmp_path):
+    """Resume semantics hold when the day-partitioned output is a
+    snapshot table: each run's pending days land as ONE atomic
+    overwrite_partitions commit, and a re-run after a lost completion
+    record replaces only that day (new version, other days' files
+    carried by reference)."""
+    from dqc_spark.audit import ParquetAuditSink
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.resume import run_resumable
+    from dqc_spark.snaptable import SnapshotTable
+
+    pages = generate_pages(spark, 200, n_partitions=2)
+    out = str(tmp_path / "out")
+    audit = ParquetAuditSink(spark, str(tmp_path / "audit"))
+    s1 = run_resumable(spark, pages, out, audit, run_group="g",
+                       output_format="snapshot")
+    assert s1["processed"] and not s1["skipped"]
+    t = SnapshotTable(spark, out)
+    assert t.current_version() == 1
+    assert t.read().count() == 200
+
+    # full rerun: nothing pending, no new commit
+    s2 = run_resumable(spark, pages, out, audit, run_group="g",
+                       output_format="snapshot")
+    assert s2["processed"] == []
+    assert t.current_version() == 1
+
+    # drop one day's completion record -> only that day recommits
+    lost = s1["processed"][-1]
+    audit2_path = str(tmp_path / "audit2")
+    audit.read().filter(~(F.col("params")["day"] == lost)) \
+        .write.parquet(audit2_path)
+    audit2 = ParquetAuditSink(spark, audit2_path)
+    s3 = run_resumable(spark, pages, out, audit2, run_group="g",
+                       output_format="snapshot")
+    assert s3["processed"] == [lost]
+    assert t.current_version() == 2
+    assert t.read().count() == 200  # still complete, no duplicate days
+    # untouched days' files carried by reference into v2
+    v1_untouched = {fe["path"] for fe in t.manifest(1)["files"]
+                    if fe["partition"].get("day") != lost}
+    v2_paths = {fe["path"] for fe in t.manifest(2)["files"]}
+    assert v1_untouched <= v2_paths
+
+    with pytest.raises(ValueError, match="unknown output_format"):
+        run_resumable(spark, pages, out, audit, run_group="g",
+                      output_format="csv")
+
+
 def test_manifest_counts_match_data(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
