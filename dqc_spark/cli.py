@@ -172,6 +172,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "readable by time travel")
     p.add_argument("--near-dup-threshold", type=float, default=0.7,
                    help="MinHash Jaccard threshold; negative disables")
+    p.add_argument("--max-ppl", type=float, default=-1.0,
+                   help="perplexity-gate cutoff (<0 = library default); "
+                        "tune together with --ppl-model when scoring "
+                        "against a domain-trained LM")
+    p.add_argument("--ppl-model", default=None,
+                   help="bigram-LM parquet written by train-lm: the "
+                        "CCNet loop (train on a trusted slice, score "
+                        "the crawl); omit for the built-in LM")
     p.add_argument("--domain-quota", type=int, default=0,
                    help="max docs per domain (0 = unlimited)")
     p.add_argument("--pack-budget", type=int, default=0,
@@ -427,6 +435,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-column", default="lang")
     p.add_argument("--max-trigrams", type=int, default=20000,
                    help="profile cap per language")
+
+    p = sub.add_parser("train-lm",
+                       help="train the add-k bigram perplexity LM on a "
+                            "trusted slice (CCNet: train on reference "
+                            "text, score the crawl); writes a parquet "
+                            "for curate --ppl-model")
+    p.add_argument("--input", required=True,
+                   help="trusted-slice parquet with a text column")
+    p.add_argument("--output", required=True, help="model parquet path")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--max-vocab", type=int, default=65536)
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--max-bigrams", type=int, default=2_000_000)
+    p.add_argument("--smoothing-k", type=float, default=0.1,
+                   help="add-k smoothing constant")
 
     p = sub.add_parser("tag",
                        help="one tagging pass -> narrow per-document "
@@ -831,6 +854,7 @@ def main(argv=None) -> int:
         return 0
     if c == "curate":
         from dqc_spark.langid import model_from_df
+        from dqc_spark.lmtrain import lm_from_df
         from dqc_spark.pipeline import curate
         from dqc_spark.toxicity import load_wordlist
 
@@ -926,6 +950,9 @@ def main(argv=None) -> int:
             curate_kwargs = dict(
                 near_dup_threshold=(args.near_dup_threshold
                                 if args.near_dup_threshold >= 0 else None),
+                max_ppl=(args.max_ppl if args.max_ppl >= 0 else None),
+                lm=(lm_from_df(spark.read.parquet(args.ppl_model))
+                    if args.ppl_model else None),
                 domain_quota=args.domain_quota or None,
                 pack_budget=args.pack_budget or None,
                 prior=(spark.read.parquet(args.prior) if args.prior else None),
@@ -1238,6 +1265,18 @@ def main(argv=None) -> int:
         model_to_df(spark, model).write.mode("overwrite").parquet(args.output)
         print(f"trained langid profiles for {len(model['langs'])} "
               f"languages ({len(model['keys'])} grams) -> {args.output}")
+        return 0
+    if c == "train-lm":
+        from dqc_spark.lmtrain import lm_to_df, train_bigram_lm
+
+        trusted = spark.read.parquet(args.input)
+        lm = train_bigram_lm(
+            trusted, text_col=args.text_column, max_vocab=args.max_vocab,
+            min_count=args.min_count, max_bigrams=args.max_bigrams,
+            k=args.smoothing_k)
+        lm_to_df(spark, lm).write.mode("overwrite").parquet(args.output)
+        print(f"trained bigram LM: {len(lm['unigrams'])} words, "
+              f"{len(lm['bigrams'])} bigrams -> {args.output}")
         return 0
     if c == "tag":
         from dqc_spark.attributes import tag as tag_attrs

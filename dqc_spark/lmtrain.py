@@ -63,6 +63,8 @@ __all__ = [
     "capped_word_freqs",
     "train_lm_py",
     "train_bigram_lm",
+    "lm_to_df",
+    "lm_from_df",
 ]
 
 # one shared spelling (see module docstring); the old dual names are
@@ -266,3 +268,53 @@ def train_bigram_lm(
     # pruning already applied distributed; _prune re-applies as a no-op
     # to share the assembly (and guards the caps exactly once)
     return _prune(uni, bi, max_vocab, min_count, max_bigrams, k)
+
+
+def lm_to_df(spark, lm: dict) -> DataFrame:
+    """Serialize an add-k bigram LM dict (``textmodels.build_lm`` /
+    ``train_bigram_lm`` shape) to a (kind, gram, n, f) frame — the
+    persistence shape for the CCNet loop (train on a trusted slice
+    once, write it next to the corpus, score every later crawl with
+    it).  Counts ride a long column and ``k`` a double, so the round
+    trip is exact; the ``\\x00`` bigram separator passes through
+    parquet strings untouched."""
+    rows = (
+        [("uni", g, int(n), None) for g, n in lm["unigrams"].items()]
+        + [("bi", g, int(n), None) for g, n in lm["bigrams"].items()]
+        + [("meta", "total", int(lm["total"]), None),
+           ("meta", "vocab", int(lm["vocab"]), None),
+           ("meta", "k", None, float(lm["k"]))]
+    )
+    return spark.createDataFrame(
+        rows, "kind string, gram string, n long, f double")
+
+
+def lm_from_df(df: DataFrame) -> dict:
+    """Inverse of ``lm_to_df`` — bit-exact (integer counts and one
+    float pass through verbatim), validated so a truncated or foreign
+    parquet fails loudly instead of scoring every document as
+    out-of-vocabulary."""
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    meta: dict[str, float] = {}
+    for r in df.collect():
+        if r["kind"] == "uni":
+            uni[r["gram"]] = r["n"]
+        elif r["kind"] == "bi":
+            bi[r["gram"]] = r["n"]
+        elif r["kind"] == "meta":
+            meta[r["gram"]] = r["f"] if r["n"] is None else r["n"]
+        else:
+            raise ValueError(f"unknown LM row kind {r['kind']!r}")
+    missing = {"total", "vocab", "k"} - set(meta)
+    if missing or not uni:
+        raise ValueError(
+            f"not an LM table: missing meta {sorted(missing)}"
+            f"{' and no unigram rows' if not uni else ''}")
+    return {
+        "unigrams": uni,
+        "bigrams": bi,
+        "total": int(meta["total"]),
+        "vocab": int(meta["vocab"]),
+        "k": float(meta["k"]),
+    }

@@ -253,6 +253,7 @@ def curate(
     max_toxicity: float = 0.0,
     boilerplate_max_frac: float | None = None,
     boilerplate_min_pages: int | None = None,
+    max_ppl: float | None = None,
 ) -> DataFrame:
     """Full corpus curation: (snapshot filter) -> (normalize) ->
     (line dedup) -> quality filter -> dedup -> (decontaminate) ->
@@ -549,8 +550,9 @@ def curate(
     # ``lm``: a trained perplexity model (lmtrain.train_bigram_lm) for
     # the high-ppl gate — the CCNet loop (train on a trusted slice,
     # score the crawl); None keeps the default broadcast LM
+    _ppl_kw = {} if max_ppl is None else {"max_ppl": max_ppl}
     ann = annotate(pages, text_col=text_col, thresholds=thresholds, lm=lm,
-                   langid_model=langid_model)
+                   langid_model=langid_model, **_ppl_kw)
     # persist the annotated survivors: the frame embeds the fused Arrow
     # scoring UDF and feeds 4+ downstream consumers (exact-dedup winners
     # + semi join, minhash signatures, canonical anti-join) — without

@@ -58,6 +58,7 @@ def run_resumable(
     run_group: str,
     thresholds: dict | None = None,
     output_format: str = "parquet",
+    max_ppl: float | None = None,
 ) -> dict:
     """Process only the not-yet-completed day partitions.
 
@@ -85,7 +86,8 @@ def run_resumable(
     subset = pages.filter(
         F.to_date("warc_ts").isin([_dt.date.fromisoformat(d) for d in pending])
     )
-    ann = annotate(subset, thresholds=thresholds).withColumn(
+    _ppl_kw = {} if max_ppl is None else {"max_ppl": max_ppl}
+    ann = annotate(subset, thresholds=thresholds, **_ppl_kw).withColumn(
         "day", F.to_date("warc_ts")
     )
     if output_format == "snapshot":

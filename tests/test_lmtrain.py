@@ -158,3 +158,57 @@ def test_multilingual_gram_tables(spark):
            for r in bigram_counts(df).collect()}
     assert got == dict(want)
     assert "日 本" in got  # CJK bigram = character bigram
+
+
+def test_lm_parquet_round_trip_is_exact(spark, pages, tmp_path):
+    """lm_to_df/lm_from_df: the persisted model scores every document
+    bit-identically to the in-memory one (counts are ints, k is one
+    float — nothing to drift), and a foreign/truncated table fails
+    loudly instead of scoring everything OOV."""
+    from dqc_spark.lmtrain import lm_from_df, lm_to_df, train_bigram_lm
+
+    lm = train_bigram_lm(pages, max_vocab=500, max_bigrams=2000)
+    path = str(tmp_path / "lm.parquet")
+    lm_to_df(spark, lm).write.parquet(path)
+    back = lm_from_df(spark.read.parquet(path))
+    assert back == lm  # dict equality: exact counts, exact k
+    texts = [r["text"] for r in pages.limit(20).collect()]
+    assert [perplexity(t, back) for t in texts] == \
+        [perplexity(t, lm) for t in texts]
+    with pytest.raises(ValueError, match="not an LM table"):
+        lm_from_df(spark.createDataFrame(
+            [("uni", "word", 1, None)],
+            "kind string, gram string, n long, f double"))
+
+
+def test_cli_train_lm_then_curate_with_it(capsys, spark, tmp_path):
+    """The CCNet loop from the CLI: train-lm on a trusted slice, curate
+    the crawl with --ppl-model/--max-ppl.  A permissive cutoff keeps
+    docs the default model's gate would also keep; an absurdly strict
+    one drops everything — proving the flags actually reach the gate."""
+    from dqc_spark import cli
+
+    src = str(tmp_path / "pages.parquet")
+    model = str(tmp_path / "lm.parquet")
+    generate_pages(spark, 120, n_partitions=2).write.parquet(src)
+    db = str(tmp_path / "q.db")
+    rc = cli.main(["--db-path", db, "train-lm", "--input", src,
+                   "--output", model, "--max-vocab", "2000"])
+    assert rc == 0 and "trained bigram LM" in capsys.readouterr().out
+
+    out1 = str(tmp_path / "curated1")
+    rc = cli.main(["--db-path", db, "curate", "--input", src,
+                   "--output", out1, "--near-dup-threshold", "-1",
+                   "--ppl-model", model, "--max-ppl", "1e9"])
+    assert rc == 0
+    capsys.readouterr()
+    n_loose = spark.read.parquet(out1).count()
+    assert n_loose > 0
+
+    out2 = str(tmp_path / "curated2")
+    rc = cli.main(["--db-path", db, "curate", "--input", src,
+                   "--output", out2, "--near-dup-threshold", "-1",
+                   "--ppl-model", model, "--max-ppl", "0.1"])
+    assert rc == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out2).count() == 0
