@@ -247,8 +247,13 @@ class SnapshotTable:
                 )
             version = head + 1
             if operation == "append" and head > 0:
-                # carry the live head's files; ours add to them
-                base_files = self.manifest(head)["files"]
+                # carry the live head's files AND its schema: a retry
+                # that raced a concurrent add_column must not stamp the
+                # caller's pre-evolution schema into the new manifest
+                # (silently reverting the evolution for every reader)
+                head_m = self.manifest(head)
+                base_files = head_m["files"]
+                schema_json = head_m["schema"]
             elif operation == "append":
                 base_files = []
             else:

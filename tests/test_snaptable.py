@@ -270,6 +270,28 @@ def test_add_column_is_metadata_only_and_old_files_read_null(
         t.add_column("lang", T.StringType())
 
 
+def test_append_racing_add_column_keeps_evolved_schema(
+        spark, tmp_path, pages):
+    """An append whose commit retries past a concurrent add_column must
+    inherit the head's EVOLVED schema, not stamp its stale capture back
+    (which would silently revert the evolution for every reader).
+    Simulated by replaying append's internals around an interleaved
+    evolution commit."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "t")
+    t = snaptable.create(spark, root, pages, partition_cols=["day"])
+    m_stale = t.manifest()  # appender's read
+    SnapshotTable(spark, root).add_column("lang", T.StringType())  # racer
+    files = t._write_data_files(pages.limit(1), m_stale["partition_cols"])
+    v = t._commit(files, "append", m_stale["schema"],
+                  m_stale["partition_cols"], None)
+    got = T.StructType.fromJson(json.loads(t.manifest(v)["schema"]))
+    assert "lang" in [f.name for f in got.fields]
+    assert t.read().count() == 13
+    assert t.read().filter(F.col("lang").isNull()).count() == 13
+
+
 def test_compact_preserves_rows(spark, tmp_path, pages):
     t = snaptable.create(spark, str(tmp_path / "t"), pages,
                          partition_cols=["day"])
