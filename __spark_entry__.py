@@ -295,9 +295,7 @@ DRIVER_ORDER = [
     "check_completeness_freshness",
     "check_date_format",
     "check_row_counts",
-    "check_not_in_set",
     "check_increasing",
-    "check_date_parseable",
     # --- round-4 rotation: the 13 registered queries with no driver
     # row in r1∪r2∪r3 (VERDICT r3 'What's wrong' §3 / 'Next round' #2).
     # 8 have full SQL oracles (locally green every round); the 5
@@ -340,13 +338,19 @@ DRIVER_ORDER = [
     "dedup_priority_keep",
     "dedup_canonical_priority",
     "mix_epoch_expand",
+    # continuation-session operators: snapshot-table version diff and
+    # the corpus data-card report.  Two more thrice-green simple-
+    # predicate checks (not-in-set, date-parseable) yielded their
+    # slots, same policy as the six above.
+    "snaptable_diff",
+    "corpus_report_by_lang",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
-    # the six checks rotated out of the r4 window (see DRIVER_ORDER
+    # the eight checks rotated out of the r4 window (see DRIVER_ORDER
     # note): driver-green in r1∪r2∪r3, re-verified locally every round
     "check_col_count",
     "check_pair_equal",
@@ -354,6 +358,8 @@ TAIL_ORDER = [
     "check_enum",
     "check_length",
     "check_distinct_in_set",
+    "check_not_in_set",
+    "check_date_parseable",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",

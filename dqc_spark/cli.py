@@ -287,6 +287,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx", action="store_true",
                    help="HLL distinct counts (the at-scale path)")
 
+    p = sub.add_parser("report",
+                       help="corpus data card: per-group doc/char/token "
+                            "counts, length mix and corpus share "
+                            "(markdown to stdout)")
+    p.add_argument("--input", required=True, help="docs parquet path")
+    p.add_argument("--group-column", default="lang")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--short-chars", type=int, default=200,
+                   help="docs under this many chars count as short")
+    p.add_argument("--long-chars", type=int, default=2000,
+                   help="docs at/over this many chars count as long")
+    p.add_argument("--output", default=None,
+                   help="optional parquet destination for the report")
+
     p = sub.add_parser("shard",
                        help="deterministic fixed-size training shards "
                             "(shard=N/ parquet layout)")
@@ -537,6 +551,23 @@ def build_parser() -> argparse.ArgumentParser:
                        help="delete data files no committed version "
                             "references (crashed-writer orphans)")
     p.add_argument("--table", required=True)
+
+    p = sub.add_parser("table-diff",
+                       help="added/removed/changed keys between two "
+                            "snapshot versions (the what-did-run-N-do "
+                            "audit)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keys", required=True,
+                   help="comma-separated key column(s), e.g. url")
+    p.add_argument("--from", dest="v_from", type=int, required=True,
+                   help="older version number")
+    p.add_argument("--to", dest="v_to", type=int, default=None,
+                   help="newer version number (default: current)")
+    p.add_argument("--output", default=None,
+                   help="optional parquet destination for the full diff")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows printed (the parquet output is "
+                        "never truncated)")
 
     return ap
 
@@ -1067,6 +1098,31 @@ def main(argv=None) -> int:
                   f"distinct={r['n_distinct']:<10} "
                   f"min={r['min_str']!r} max={r['max_str']!r}")
         return 0
+    if c == "report":
+        from dqc_spark.cache import track
+        from dqc_spark.report import corpus_report, report_markdown
+
+        df = spark.read.parquet(args.input)
+        for col in (args.group_column, args.text_column):
+            if col not in df.columns:
+                raise SystemExit(
+                    f"report: column {col!r} not in {args.input} "
+                    f"(has {df.columns})")
+        try:
+            rep = corpus_report(
+                df, group_col=args.group_column,
+                text_col=args.text_column,
+                short_max_chars=args.short_chars,
+                long_min_chars=args.long_chars)
+        except ValueError as e:
+            raise SystemExit(f"report: {e}") from None
+        rep = track(rep)  # markdown + parquet: two consumers, one plan
+        if args.output:
+            rep.write.mode("overwrite").parquet(args.output)
+        print(report_markdown(rep, group_col=args.group_column))
+        if args.output:
+            print(f"report written to {args.output}")
+        return 0
     if c == "shard":
         from dqc_spark.ordering import write_shards
 
@@ -1351,7 +1407,7 @@ def main(argv=None) -> int:
         print(f"snapshot-new: {n_in} -> {n_out} new docs at {args.output}")
         return 0
     if c in ("table-history", "table-compact", "table-expire",
-             "table-vacuum"):
+             "table-vacuum", "table-diff"):
         from dqc_spark.snaptable import SnapshotTable
 
         t = SnapshotTable(spark, args.table)
@@ -1374,6 +1430,37 @@ def main(argv=None) -> int:
             expired = t.expire_snapshots(args.keep_last)
             print(f"expired versions: {expired or 'none'} "
                   f"(kept the newest {args.keep_last})")
+        elif c == "table-diff":
+            from pyspark.sql import functions as F
+
+            keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            if not keys:
+                raise SystemExit("table-diff: --keys must name at least "
+                                 "one column")
+            try:
+                diff = t.diff_versions(keys, args.v_from, args.v_to)
+            except (ValueError, FileNotFoundError) as e:
+                raise SystemExit(f"table-diff: {e}") from None
+            from dqc_spark.cache import track
+
+            diff = track(diff)  # printed counts + rows + parquet: one plan
+            counts = {r["change"]: r["n"] for r in
+                      diff.groupBy("change")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+            if args.output:
+                diff.write.mode("overwrite").parquet(args.output)
+            shown = diff.orderBy("change", *keys).limit(args.limit).collect()
+            for r in shown:
+                key_str = " ".join(str(r[k]) for k in keys)
+                print(f"{r['change']:<8} {key_str}  "
+                      f"n_from={r['n_from']} n_to={r['n_to']}")
+            to_v = args.v_to if args.v_to is not None \
+                else t.current_version()
+            dest = f" -> {args.output}" if args.output else ""
+            print(f"table-diff v{args.v_from}->v{to_v}: "
+                  f"added={counts.get('added', 0)} "
+                  f"removed={counts.get('removed', 0)} "
+                  f"changed={counts.get('changed', 0)}{dest}")
         else:
             removed = t.vacuum()
             print(f"vacuumed {len(removed)} orphan file(s)")

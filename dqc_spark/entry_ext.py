@@ -2935,6 +2935,91 @@ def q_dedup_priority(spark, sf):
         "doc_id", "source")
 
 
+def _snaptable_fixture_root(spark, sf) -> str:
+    """Author a 3-version snapshot table from the documents slice so
+    the diff entry exercises REAL commits (create -> copy-on-write
+    delete -> merge upsert), while the DuckDB oracle recomputes the
+    expected diff rows straight from the parquet via the same
+    deterministic mutation rules.  Content-addressed /tmp cache like
+    the WARC fixture; built under a scratch name and renamed into
+    place so a crashed half-build is never mistaken for done."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from dqc_spark import snaptable
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(r.doc_id).encode())
+        h.update((r.text or "\x00").encode())
+        h.update((r.lang or "\x00").encode())
+    root = f"/tmp/dqc_snaptable_fixture_{h.hexdigest()[:12]}"
+    if os.path.exists(os.path.join(root, "meta", "_current")):
+        return root
+    build = f"{root}.build-{_uuid.uuid4().hex[:8]}"
+    t = snaptable.create(spark, build, docs.orderBy("doc_id"))
+    # v2: takedown-style delete of every doc_id % 10 == 3
+    t.delete_where("doc_id % 10 = 3")
+    # v3: re-crawl upsert — revise every doc_id % 10 == 4 (disjoint
+    # from the deleted set) and add fresh docs keyed doc_id + 100000
+    revised = docs.filter(F.col("doc_id") % 10 == 4).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" [rev2]")).alias("text"),
+        "lang")
+    added = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("added doc "),
+                 F.col("doc_id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"))
+    t.merge_upsert(revised.union(added), ["doc_id"])
+    try:
+        os.rename(build, root)
+    except OSError:
+        # lost a concurrent-build race: the winner's table is complete
+        shutil.rmtree(build, ignore_errors=True)
+    return root
+
+
+def q_snaptable_diff(spark, sf):
+    """Snapshot-table version diff (snaptable.diff_versions): the
+    added/removed/changed audit between table v1 and the current
+    version, computed over narrow per-key fingerprints (never the
+    text).  The Spark leg runs real snapshot commits (copy-on-write
+    delete + merge upsert) on a table authored from the documents
+    slice; the oracle derives the identical expected diff from the
+    mutation rules.  documents.doc_id is unique, so n_from/n_to are
+    exactly 1 on the present sides."""
+    from dqc_spark.snaptable import SnapshotTable
+
+    root = _snaptable_fixture_root(spark, sf)
+    t = SnapshotTable(spark, root)
+    return t.diff_versions(["doc_id"], 1).select(
+        "doc_id", "change", "n_from", "n_to")
+
+
+def q_corpus_report(spark, sf):
+    """Corpus data card (report.py): per-language doc/char/token
+    counts, NULL + length mix and corpus share in one fused groupBy.
+    Token counts ride the shared Unicode tokenizer's Catalyst leg, the
+    oracle its DuckDB leg; the three ratio columns are int-ratio
+    doubles truncated to 4dp per the repo rounding rule."""
+    from dqc_spark.report import corpus_report
+
+    docs = _t(spark, sf, "documents")
+    r = corpus_report(docs, group_col="lang")
+    return r.select(
+        "lang", "n_docs", "n_null_text", "total_chars", "total_tokens",
+        _trunc4("avg_chars").alias("avg_chars"),
+        _trunc4("avg_tokens").alias("avg_tokens"),
+        "n_short", "n_medium", "n_long",
+        _trunc4("doc_share").alias("doc_share"),
+    )
+
+
 def extra_queries():
     return {
         "attr_refilter": q_attr_refilter,
@@ -3060,6 +3145,8 @@ def extra_queries():
         "text_pii_spans": q_pii_spans,
         "dedup_priority_keep": q_dedup_priority,
         "dedup_canonical_priority": q_keep_canonical_priority,
+        "snaptable_diff": q_snaptable_diff,
+        "corpus_report_by_lang": q_corpus_report,
     }
 
 
@@ -4862,5 +4949,63 @@ def extra_oracle_sql():
             FROM series s
             JOIN med m USING (event_type)
             JOIN mad d USING (event_type)
+        """,
+        # Snapshot-diff differential: the Spark leg runs real commits
+        # (create -> delete doc_id%10=3 -> merge revising doc_id%10=4
+        # and inserting doc_id+100000 for doc_id<25); the oracle
+        # derives the same diff from the mutation rules.  The revised
+        # text is old||' [rev2]' which ALWAYS differs (coalesce makes
+        # the NULL-text case differ too), so every %10=4 key is
+        # 'changed'; the deleted and revised sets are disjoint.
+        "snaptable_diff": """
+            SELECT doc_id, 'removed' AS change,
+                   CAST(1 AS BIGINT) AS n_from,
+                   CAST(NULL AS BIGINT) AS n_to
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id, 'changed',
+                   CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id % 10 = 4
+            UNION ALL
+            SELECT doc_id + 100000, 'added',
+                   CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id < 25
+        """,
+        # Corpus data card: same grouping/bucket/ratio spelling as
+        # report.corpus_report, token counts via the shared tokenizer's
+        # DuckDB leg; sums cast to BIGINT (DuckDB SUM(int) is HUGEINT),
+        # ratios FLOOR-truncated to 4dp on both sides (int-ratio rule)
+        "corpus_report_by_lang": f"""
+            WITH per_doc AS (
+              SELECT lang,
+                     text IS NULL AS is_null,
+                     length(coalesce(text, '')) AS n_ch,
+                     len({_WSTOKS_SQL}) AS n_tok
+              FROM documents
+            ), g AS (
+              SELECT lang,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null_text,
+                     CAST(SUM(n_ch) AS BIGINT) AS total_chars,
+                     CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                     CAST(SUM(CASE WHEN n_ch < 200 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_short,
+                     CAST(SUM(CASE WHEN n_ch >= 200 AND n_ch < 2000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                     CAST(SUM(CASE WHEN n_ch >= 2000 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_long
+              FROM per_doc GROUP BY lang
+            )
+            SELECT lang, n_docs, n_null_text, total_chars, total_tokens,
+                   FLOOR(CAST(total_chars AS DOUBLE) / n_docs
+                         * 10000) / 10000 AS avg_chars,
+                   FLOOR(CAST(total_tokens AS DOUBLE) / n_docs
+                         * 10000) / 10000 AS avg_tokens,
+                   n_short, n_medium, n_long,
+                   FLOOR(CAST(n_docs AS DOUBLE)
+                         / SUM(n_docs) OVER ()
+                         * 10000) / 10000 AS doc_share
+            FROM g
         """,
     }

@@ -579,3 +579,57 @@ def test_cli_curate_incremental_logs_config_provenance(
     assert params["normalize"] == "True"
     assert params["near_dup_threshold"] == "-1.0"
     assert params["input"] == src
+
+
+def test_cli_table_diff(capsys, spark, db_path, tmp_path):
+    from pyspark.sql import Row
+
+    from dqc_spark import snaptable
+
+    root = str(tmp_path / "tbl")
+    t = snaptable.create(spark, root, spark.createDataFrame(
+        [Row(url="a", text="one"), Row(url="b", text="two")]))
+    t.delete_where("url = 'a'")
+    t.append(spark.createDataFrame([Row(url="c", text="three")]))
+    out_p = str(tmp_path / "diff.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "table-diff",
+                            "--table", root, "--keys", "url",
+                            "--from", "1", "--output", out_p])
+    assert rc == 0
+    assert "added=1 removed=1 changed=0" in out
+    got = {r["url"]: r["change"]
+           for r in spark.read.parquet(out_p).collect()}
+    assert got == {"a": "removed", "c": "added"}
+    # bad version / missing table surface as clean SystemExit
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "table-diff",
+                      "--table", root, "--keys", "", "--from", "1"])
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "table-diff",
+                      "--table", str(tmp_path / "nope"), "--keys", "url",
+                      "--from", "1"])
+
+
+def test_cli_report(capsys, spark, db_path, docs_parquet, tmp_path):
+    from pyspark.sql import functions as F
+
+    # docs_parquet has no lang column -> group by a derived parquet
+    src = str(tmp_path / "langdocs.parquet")
+    spark.read.parquet(docs_parquet).withColumn(
+        "lang", F.when(F.col("doc_id") < 2, "en").otherwise("fr")
+    ).write.parquet(src)
+    out_p = str(tmp_path / "report.parquet")
+    rc, out = _run(capsys, ["--db-path", db_path, "report",
+                            "--input", src, "--output", out_p])
+    assert rc == 0
+    assert "| **TOTAL** | 4 | 100.0% |" in out
+    assert "report written to" in out
+    rep = {r["lang"]: r["n_docs"]
+           for r in spark.read.parquet(out_p).collect()}
+    assert rep == {"en": 2, "fr": 2}
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "report", "--input", src,
+                      "--group-column", "nope"])
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "report", "--input", src,
+                      "--short-chars", "500", "--long-chars", "100"])

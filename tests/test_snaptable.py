@@ -482,3 +482,72 @@ def test_manifest_counts_match_data(spark, tmp_path, pages):
     with open(t._manifest_path(1)) as f:
         raw = json.load(f)
     assert all(not fe["path"].startswith("/") for fe in raw["files"])
+
+
+# -- diff_versions -----------------------------------------------------------
+
+
+def test_diff_versions_add_remove_change(spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    # v2: delete urls 0-2, upsert url 3 (changed) + a brand-new url,
+    # leave 4-11 untouched
+    t.delete_where("url IN ('http://ex.com/0', 'http://ex.com/1', "
+                   "'http://ex.com/2')")
+    t.merge_upsert(
+        spark.createDataFrame([
+            Row(url="http://ex.com/3", day="2024-01-01",
+                text="doc 3 EDITED", score=3.0),
+            Row(url="http://ex.com/new", day="2024-01-04",
+                text="new doc", score=99.0),
+        ]),
+        ["url"])
+    d = {r["url"]: (r["change"], r["n_from"], r["n_to"])
+         for r in t.diff_versions(["url"], 1).collect()}
+    assert d == {
+        "http://ex.com/0": ("removed", 1, None),
+        "http://ex.com/1": ("removed", 1, None),
+        "http://ex.com/2": ("removed", 1, None),
+        "http://ex.com/3": ("changed", 1, 1),
+        "http://ex.com/new": ("added", None, 1),
+    }
+    # same version -> empty; explicit v_to pins the other endpoint
+    assert t.diff_versions(["url"], 1, v_to=1).count() == 0
+    assert {r["change"] for r in t.diff_versions(["url"], 2, 3).collect()
+            } == {"changed", "added"}
+
+
+def test_diff_versions_added_column_alone_is_not_a_change(
+        spark, tmp_path, pages):
+    from pyspark.sql import types as T
+
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.add_column("ppl", T.DoubleType())
+    # schema evolution only: no row is added/removed/changed
+    assert t.diff_versions(["url"], 1).count() == 0
+    # but a row whose NEW column gets a value IS changed vs the
+    # post-evolution version (both versions carry the column then)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [Row(url="http://ex.com/5", day="2024-01-03",
+                 text="doc 5", score=5.0, ppl=1.5)]),
+        ["url"])
+    d = {r["url"]: r["change"]
+         for r in t.diff_versions(["url"], 2).collect()}
+    assert d == {"http://ex.com/5": "changed"}
+
+
+def test_diff_versions_duplicate_and_null_keys(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k=None, v=3)],
+        "k string, v int")
+    t = snaptable.create(spark, str(tmp_path / "t"), df)
+    # v2: one of the duplicate-key rows changes value; NULL key removed
+    t.overwrite(spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=9)], "k string, v int"))
+    d = {r["k"]: (r["change"], r["n_from"], r["n_to"])
+         for r in t.diff_versions(["k"], 1).collect()}
+    assert d == {"a": ("changed", 2, 2), None: ("removed", 1, None)}
+    with pytest.raises(ValueError, match="key column"):
+        t.diff_versions(["nope"], 1)
