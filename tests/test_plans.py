@@ -427,3 +427,41 @@ def test_redact_spans_shuffles_spans_not_pages(spark, docs):
 
     for m in re.finditer(r"Exchange hashpartitioning[^\n]*", p):
         assert "text" not in m.group(0)
+
+
+def test_diff_versions_joins_fingerprints_not_rows(spark, tmp_path):
+    """Version diff must collapse each side to (key, count, digest)
+    BEFORE the join — a partial-aggregatable groupBy under the join,
+    never a row-level full-outer join carrying the text payload."""
+    from pyspark.sql import Row
+
+    from dqc_spark import snaptable
+
+    t = snaptable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame(
+            [Row(url=f"u{i}", text=f"body {i}") for i in range(6)]))
+    t.delete_where("url = 'u0'")
+    plan = plan_str(t.diff_versions(["url"], 1))
+    # map-side combine on both sides of the join
+    assert plan.count("partial_count") >= 2
+    assert "FullOuter" in plan
+    # the join itself compares fingerprints; text appears only below
+    # the aggregates (inside the digest), never as a join output
+    post_join = plan.split("FullOuter", 1)[0]
+    assert "text" not in post_join.split("Aggregate", 1)[0]
+
+
+def test_corpus_report_is_single_fused_aggregation(docs):
+    """Data card = one partial-aggregatable groupBy + a broadcast
+    1-row total: no Python stage, no window, one shuffle of group
+    rows."""
+    from dqc_spark.report import corpus_report
+
+    out = corpus_report(docs.withColumn("lang", F.lit("en")))
+    plan = plan_str(out)
+    assert "Window" not in plan
+    for py_stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_stage not in plan
+    assert "partial_count" in plan  # map-side combine
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total literal
