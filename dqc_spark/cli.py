@@ -1418,9 +1418,11 @@ def main(argv=None) -> int:
                 f"error: no snapshot table at {args.table}") from None
         if c == "table-history":
             for h in t.history():
+                props = "".join(
+                    f"  {k}={v}" for k, v in sorted(h["props"].items()))
                 print(f"v{h['version']:<4} {h['ts']}  "
                       f"{h['operation']:<20} files={h['n_files']:<5} "
-                      f"rows={h['n_rows']}")
+                      f"rows={h['n_rows']}{props}")
         elif c == "table-compact":
             v = t.compact(args.max_files)
             m = t.manifest(v)

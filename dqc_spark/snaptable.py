@@ -160,6 +160,7 @@ class SnapshotTable:
                     "operation": m["operation"],
                     "n_files": len(m["files"]),
                     "n_rows": sum(fe["rows"] for fe in m["files"]),
+                    "props": m.get("props", {}),
                 }
             )
         out.sort(key=lambda m: m["version"])
@@ -226,6 +227,7 @@ class SnapshotTable:
         schema_json: str,
         partition_cols: list[str],
         expected_parent: int | None,
+        props: dict | None = None,
     ) -> int:
         """Exclusive-create the next manifest.  ``expected_parent``
         pins the read-modify-write base for operations whose file list
@@ -267,6 +269,11 @@ class SnapshotTable:
                 "partition_cols": partition_cols,
                 "files": (base_files + files) if base_files is not None else files,
             }
+            if props:
+                # commit metadata (e.g. the streaming sink's epoch id):
+                # atomically visible WITH the data, which is what makes
+                # replay-idempotence checks race-free
+                manifest["props"] = dict(props)
             try:
                 with open(self._manifest_path(version), "x", encoding="utf-8") as f:
                     json.dump(manifest, f)
@@ -291,14 +298,17 @@ class SnapshotTable:
                 f"table schema {expected.simpleString()} (this format does "
                 "not do schema evolution)")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, props: dict | None = None) -> int:
         """Atomically add ``df``'s rows; concurrent appends both land
-        (the retry merges onto whichever manifest won)."""
+        (the retry merges onto whichever manifest won).  ``props`` ride
+        the manifest (visible in ``history()``) — the streaming sink
+        stamps its epoch id here so replays are detectable."""
         m = self.manifest()
         self._check_schema(df, m, "append")
         files = self._write_data_files(df, m["partition_cols"])
         return self._commit(
-            files, "append", m["schema"], m["partition_cols"], None)
+            files, "append", m["schema"], m["partition_cols"], None,
+            props=props)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the ENTIRE table contents as one atomic commit (a
@@ -664,6 +674,7 @@ def create(
     root: str,
     df: DataFrame,
     partition_cols: list[str] | None = None,
+    props: dict | None = None,
 ) -> SnapshotTable:
     """Create a new snapshot table at ``root`` with ``df`` as v1."""
     t = SnapshotTable(spark, root)
@@ -679,5 +690,5 @@ def create(
     files = t._write_data_files(df, pcols)
     # expected_parent=0: a concurrent create of the same root raises
     # instead of silently stacking a second v-chain
-    t._commit(files, "create", schema_json, pcols, 0)
+    t._commit(files, "create", schema_json, pcols, 0, props=props)
     return t

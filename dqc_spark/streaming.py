@@ -246,3 +246,92 @@ def stream_quality_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snaptable_epoch_sink(
+    spark: SparkSession,
+    table_root: str,
+    thresholds: dict | None = None,
+    audit=None,
+):
+    """foreachBatch body for ``stream_curate_to_snaptable`` (factored
+    out so tests can replay an epoch directly).
+
+    Exactly-once construction: foreachBatch is at-least-once, and the
+    epoch id is stamped into the SAME manifest that commits the data
+    (``props={"stream_epoch": ...}``) — so a replayed batch finds its
+    epoch already in ``history()`` and skips, and a crash between data
+    files landing and the manifest create leaves only orphans that
+    ``vacuum()`` reclaims, never half-visible rows.  at-least-once +
+    atomic data-with-marker commit + idempotent skip = exactly-once,
+    the same recipe as Iceberg's Structured Streaming sink.
+
+    The replay check scans manifest history; replays only ever target
+    recent epochs, so on a long-lived table ``expire_snapshots``
+    keeping a modest tail is enough for the guard to see them.
+    """
+    from dqc_spark import snaptable as st
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = str(epoch_id)
+        t = st.SnapshotTable(spark, table_root)
+        try:
+            hist = t.history()
+        except FileNotFoundError:
+            hist = None
+        if hist is not None and any(
+                h["props"].get("stream_epoch") == marker for h in hist):
+            if audit is not None:
+                audit.log("stream_epoch_replay_skipped", True,
+                          {"epoch": marker},
+                          input_snapshot=f"epoch={marker}")
+            return
+        # persist: the annotated frame embeds the scoring pandas UDF
+        # and feeds TWO consumers (audit agg + commit write)
+        ann = annotate(batch_df, thresholds=thresholds).persist()
+        try:
+            row = ann.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+            ).first()
+            kept = ann.filter(F.col("keep"))
+            if hist is None:
+                st.create(spark, table_root, kept,
+                          props={"stream_epoch": marker})
+                version = 1
+            else:
+                version = t.append(kept, props={"stream_epoch": marker})
+        finally:
+            ann.unpersist()
+        if audit is not None:
+            audit.log(
+                "stream_epoch_committed", True,
+                {"epoch": marker, "version": str(version),
+                 "n_docs": str(row["n"]), "n_kept": str(row["kept"])},
+                input_snapshot=f"epoch={marker}",
+            )
+
+    return sink
+
+
+def stream_curate_to_snaptable(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    thresholds: dict | None = None,
+    audit=None,
+):
+    """readStream -> annotate -> keep-filter -> ATOMIC snapshot-table
+    commits, one version per micro-batch, exactly once (see
+    ``snaptable_epoch_sink``).  Readers time-travel the growing corpus
+    mid-stream; ``table-history`` shows one epoch-stamped commit per
+    batch; ``diff_versions`` audits what any batch added."""
+    return (
+        stream_pages(spark, input_dir)
+        .writeStream.foreachBatch(
+            snaptable_epoch_sink(spark, table_root, thresholds, audit))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -260,3 +260,54 @@ def test_stateful_dedup_null_text_passthrough(spark, tmp_path):
     assert ("u2" in keys) ^ ("u4" in keys)
     assert got.count() == 3
     assert got.filter(F.col("text_hash").isNull()).count() == 2
+
+
+def test_stream_to_snaptable_exactly_once(spark, tmp_path):
+    """Micro-batches land as atomic epoch-stamped snapshot commits:
+    content matches batch, one version per epoch, a replayed epoch is
+    a no-op, and a restart with new files appends only the new
+    epochs."""
+    from dqc_spark.snaptable import SnapshotTable
+    from dqc_spark.streaming import (snaptable_epoch_sink,
+                                     stream_curate_to_snaptable)
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 120, n_partitions=3)
+    pages.write.parquet(src)
+
+    sink = MemoryAuditSink()
+    q = stream_curate_to_snaptable(spark, src, root, ckpt, audit=sink)
+    q.awaitTermination(120)
+
+    t = SnapshotTable(spark, root)
+    want = annotate(spark.read.parquet(src)).filter(F.col("keep"))
+    assert t.read().count() == want.count()
+    hist = t.history()
+    epochs = [h["props"]["stream_epoch"] for h in hist]
+    assert len(epochs) == len(set(epochs))  # one commit per epoch
+    assert hist[0]["operation"] == "create"
+    assert all(h["operation"] == "append" for h in hist[1:])
+
+    # direct replay of an already-committed epoch: no new version
+    v_before = t.current_version()
+    replay = snaptable_epoch_sink(spark, root, audit=sink)
+    replay(spark.read.parquet(src).limit(5), int(epochs[0]))
+    assert t.current_version() == v_before
+    assert any(r["check_type"] == "stream_epoch_replay_skipped"
+               for r in sink.rows)
+
+    # restart with more files: only the new pages commit.  Pages are a
+    # pure function of (SEED, doc_id), so the first 120 of a 180-page
+    # generation equal the original set — anti-join selects the rest.
+    more = generate_pages(spark, 180, n_partitions=2).join(
+        pages.select("url"), "url", "left_anti")
+    more.write.mode("append").parquet(src)
+    q2 = stream_curate_to_snaptable(spark, src, root, ckpt, audit=sink)
+    q2.awaitTermination(120)
+    want_all = annotate(spark.read.parquet(src)).filter(F.col("keep"))
+    assert t.read().count() == want_all.count()
+    assert (
+        t.read().select("url", "scrubbed_text").exceptAll(
+            want_all.select("url", "scrubbed_text")).count() == 0)
