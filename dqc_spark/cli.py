@@ -243,6 +243,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage-metrics", action="store_true",
                    help="print per-stage surviving row counts (one "
                         "extra count job per enabled stage)")
+    p.add_argument("--report", action="store_true",
+                   help="print the per-language data card of the "
+                        "curated output (report.py, one extra "
+                        "aggregation over the written corpus)")
     p.add_argument("--trust-seeds", default=None,
                    help="comma-separated vetted domains: the self-built "
                         "--min-domain-rank prior becomes TrustRank "
@@ -1084,6 +1088,12 @@ def main(argv=None) -> int:
         if stage_metrics is not None:
             for stage, n in stage_metrics.items():
                 print(f"stage {stage}: {n} docs")
+        if args.report:
+            from dqc_spark.report import corpus_report, report_markdown
+
+            # out_df re-reads the WRITTEN corpus (multi-consumer rule:
+            # never re-run the curation plan for a summary)
+            print(report_markdown(corpus_report(out_df)))
         n_in = pages.count()
         n_out = out_df.count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")

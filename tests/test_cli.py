@@ -633,3 +633,17 @@ def test_cli_report(capsys, spark, db_path, docs_parquet, tmp_path):
     with pytest.raises(SystemExit):
         _run(capsys, ["--db-path", db_path, "report", "--input", src,
                       "--short-chars", "500", "--long-chars", "100"])
+
+
+def test_cli_curate_report_flag(capsys, spark, db_path, tmp_path):
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages.parquet")
+    generate_pages(spark, 60).write.parquet(src)
+    out_p = str(tmp_path / "cur")
+    rc, out = _run(capsys, ["--db-path", db_path, "curate",
+                            "--input", src, "--output", out_p,
+                            "--near-dup-threshold", "-1", "--report"])
+    assert rc == 0
+    assert "| lang | docs | share |" in out
+    assert "| **TOTAL** |" in out and "curated 60 ->" in out
