@@ -2956,7 +2956,12 @@ def _snaptable_fixture_root(spark, sf) -> str:
         h.update(str(r.doc_id).encode())
         h.update((r.text or "\x00").encode())
         h.update((r.lang or "\x00").encode())
-    root = f"/tmp/dqc_snaptable_fixture_{h.hexdigest()[:12]}"
+    # the _v1_ tag versions the MUTATION RULES (delete %10=3, revise
+    # %10=4, add +100000 for <25): the content hash only covers the
+    # input rows, so a future rule edit must bump the tag or a stale
+    # cached table silently fails the differential (the WARC fixture's
+    # _v2_ lesson)
+    root = f"/tmp/dqc_snaptable_fixture_v1_{h.hexdigest()[:12]}"
     if os.path.exists(os.path.join(root, "meta", "_current")):
         return root
     build = f"{root}.build-{_uuid.uuid4().hex[:8]}"

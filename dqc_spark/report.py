@@ -10,6 +10,9 @@ ad-hoc queries.
 Scale shape (the 100 TB contract):
   * one ``groupBy(group_col)`` over the corpus — partial-aggregatable
     (map-side combine), shuffle carries one row per (partition, group);
+    the grouped frame (rows = distinct groups) is persisted before the
+    corpus-share total is derived from it, so the corpus is scanned
+    ONCE even though two branches consume the aggregate;
   * token counts via the shared Unicode tokenizer's CATALYST leg
     (``wordhash.unicode_tokens_col`` — split/array_remove/size, whole-
     stage codegen, no Python, no HOF lambda);
@@ -55,6 +58,8 @@ def corpus_report(
         raise ValueError(
             "need 0 < short_max_chars < long_min_chars, got "
             f"{short_max_chars} / {long_min_chars}")
+    from dqc_spark.cache import track
+
     text = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(text)
     n_tokens = F.size(unicode_tokens_col(F.col(text_col)))
@@ -74,6 +79,12 @@ def corpus_report(
         F.sum(F.when(n_chars >= long_min_chars, 1).otherwise(0))
         .alias("n_long"),
     )
+    # persisted: the doc_share total is a SECOND consumer of the
+    # grouped frame — unpersisted, each branch plans its own full
+    # corpus scan (column pruning specializes the exchanges so AQE
+    # ReusedExchange never fires; the CLAUDE.md multi-consumer rule).
+    # The cached frame is one row per group — tens of rows.
+    grouped = track(grouped)
     total = grouped.agg(F.sum("n_docs").alias("__corpus_docs"))
     return grouped.crossJoin(F.broadcast(total)).select(
         group_col,

@@ -12,6 +12,7 @@ structural, not re-implemented.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -248,43 +249,94 @@ def stream_quality_pipeline(
     )
 
 
+def _query_run_id(checkpoint_dir: str) -> str:
+    """The StreamingQuery's persistent id from the checkpoint's
+    ``metadata`` file.  Stable across restarts of the SAME checkpoint
+    (so replays are recognized), regenerated when the checkpoint is
+    lost or a different query targets the table (so a fresh query's
+    epoch 0 is never mistaken for an old run's epoch 0 — batch ids
+    alone are NOT globally unique, only (query, batch) is)."""
+    import json as _json
+
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        return str(_json.load(f)["id"])
+
+
 def snaptable_epoch_sink(
     spark: SparkSession,
     table_root: str,
     thresholds: dict | None = None,
     audit=None,
+    run_id: str | None = None,
+    checkpoint_dir: str | None = None,
+    replay_window: int = 20,
 ):
     """foreachBatch body for ``stream_curate_to_snaptable`` (factored
     out so tests can replay an epoch directly).
 
     Exactly-once construction: foreachBatch is at-least-once, and the
-    epoch id is stamped into the SAME manifest that commits the data
-    (``props={"stream_epoch": ...}``) — so a replayed batch finds its
-    epoch already in ``history()`` and skips, and a crash between data
-    files landing and the manifest create leaves only orphans that
-    ``vacuum()`` reclaims, never half-visible rows.  at-least-once +
-    atomic data-with-marker commit + idempotent skip = exactly-once,
-    the same recipe as Iceberg's Structured Streaming sink.
+    (run, epoch) pair is stamped into the SAME manifest that commits
+    the data (``props``) — so a replayed batch finds its marker and
+    skips, and a crash between data files landing and the manifest
+    create leaves only orphans that ``vacuum()`` reclaims, never
+    half-visible rows.  at-least-once + atomic data-with-marker commit
+    + idempotent skip = exactly-once, the same recipe as Iceberg's
+    Structured Streaming sink (which scopes its marker by queryId for
+    the same reason: a NEW query writing to an existing table restarts
+    batch ids at 0 and must not see them as replays).
 
-    The replay check scans manifest history; replays only ever target
-    recent epochs, so on a long-lived table ``expire_snapshots``
-    keeping a modest tail is enough for the guard to see them.
+    ``run_id`` scopes the marker; when omitted it resolves lazily from
+    ``checkpoint_dir``'s query-metadata file (written at query start).
+    One of the two must be provided.
+
+    The replay guard reads the last ``replay_window`` manifests only —
+    a replay always targets a recent epoch (the crash window between a
+    data commit and its checkpoint write), and scanning full history
+    would re-parse O(versions²) file entries on a long-lived table.
+
+    The create-vs-append decision keys on ``current_version()`` (is
+    there a COMMITTED manifest), not on directory existence: a crash
+    during the first epoch's create leaves ``meta/`` existing but
+    empty, and the sink must retake the create path, not wedge on
+    append-without-a-table.
     """
     from dqc_spark import snaptable as st
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = str(epoch_id)
-        t = st.SnapshotTable(spark, table_root)
+    if run_id is None and checkpoint_dir is None:
+        raise ValueError(
+            "snaptable_epoch_sink needs run_id or checkpoint_dir — an "
+            "unscoped epoch marker would treat a new query's first "
+            "batches as replays of an old run's epochs")
+    resolved: list[str] = [run_id] if run_id is not None else []
+
+    def _recent_props(t: "st.SnapshotTable") -> list[dict] | None:
         try:
-            hist = t.history()
+            head = t.current_version()
         except FileNotFoundError:
-            hist = None
-        if hist is not None and any(
-                h["props"].get("stream_epoch") == marker for h in hist):
+            return None  # no committed manifest -> create path
+        out = []
+        for v in range(head, max(0, head - replay_window), -1):
+            try:
+                out.append(t.manifest(v).get("props", {}))
+            except ValueError:
+                continue  # expired snapshot in the window
+        return out
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not resolved:
+            resolved.append(_query_run_id(checkpoint_dir))
+        run = resolved[0]
+        marker = {"stream_run": run, "stream_epoch": str(epoch_id)}
+        t = st.SnapshotTable(spark, table_root)
+        recent = _recent_props(t)
+        if recent is not None and any(
+                p.get("stream_run") == run
+                and p.get("stream_epoch") == str(epoch_id)
+                for p in recent):
             if audit is not None:
                 audit.log("stream_epoch_replay_skipped", True,
-                          {"epoch": marker},
-                          input_snapshot=f"epoch={marker}")
+                          dict(marker),
+                          input_snapshot=f"epoch={epoch_id}")
             return
         # persist: the annotated frame embeds the scoring pandas UDF
         # and feeds TWO consumers (audit agg + commit write)
@@ -295,20 +347,19 @@ def snaptable_epoch_sink(
                 F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
             ).first()
             kept = ann.filter(F.col("keep"))
-            if hist is None:
-                st.create(spark, table_root, kept,
-                          props={"stream_epoch": marker})
+            if recent is None:
+                st.create(spark, table_root, kept, props=marker)
                 version = 1
             else:
-                version = t.append(kept, props={"stream_epoch": marker})
+                version = t.append(kept, props=marker)
         finally:
             ann.unpersist()
         if audit is not None:
             audit.log(
                 "stream_epoch_committed", True,
-                {"epoch": marker, "version": str(version),
+                {**marker, "version": str(version),
                  "n_docs": str(row["n"]), "n_kept": str(row["kept"])},
-                input_snapshot=f"epoch={marker}",
+                input_snapshot=f"epoch={epoch_id}",
             )
 
     return sink
@@ -330,7 +381,8 @@ def stream_curate_to_snaptable(
     return (
         stream_pages(spark, input_dir)
         .writeStream.foreachBatch(
-            snaptable_epoch_sink(spark, table_root, thresholds, audit))
+            snaptable_epoch_sink(spark, table_root, thresholds, audit,
+                                 checkpoint_dir=checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

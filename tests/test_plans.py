@@ -465,3 +465,7 @@ def test_corpus_report_is_single_fused_aggregation(docs):
         assert py_stage not in plan
     assert "partial_count" in plan  # map-side combine
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total literal
+    # the grouped frame feeds TWO branches (report + corpus total) and
+    # must be persisted — otherwise each branch plans its own full
+    # corpus scan (column pruning defeats ReusedExchange)
+    assert "InMemoryRelation" in plan

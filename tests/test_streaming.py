@@ -290,9 +290,10 @@ def test_stream_to_snaptable_exactly_once(spark, tmp_path):
     assert hist[0]["operation"] == "create"
     assert all(h["operation"] == "append" for h in hist[1:])
 
-    # direct replay of an already-committed epoch: no new version
+    # direct replay of an already-committed (run, epoch): no new version
     v_before = t.current_version()
-    replay = snaptable_epoch_sink(spark, root, audit=sink)
+    run = hist[0]["props"]["stream_run"]
+    replay = snaptable_epoch_sink(spark, root, audit=sink, run_id=run)
     replay(spark.read.parquet(src).limit(5), int(epochs[0]))
     assert t.current_version() == v_before
     assert any(r["check_type"] == "stream_epoch_replay_skipped"
@@ -311,3 +312,37 @@ def test_stream_to_snaptable_exactly_once(spark, tmp_path):
     assert (
         t.read().select("url", "scrubbed_text").exceptAll(
             want_all.select("url", "scrubbed_text")).count() == 0)
+
+
+def test_snaptable_sink_run_scoping_and_crash_recovery(spark, tmp_path):
+    """The epoch marker is scoped by run id: a NEW query's epoch 0 is
+    not an old run's replay (bare batch ids are not globally unique),
+    and a crash during the first create (meta/ exists, no committed
+    manifest) must retake the create path instead of wedging on
+    append."""
+    import os
+
+    import pytest
+
+    from dqc_spark.snaptable import SnapshotTable
+    from dqc_spark.streaming import snaptable_epoch_sink
+
+    pages = generate_pages(spark, 40, n_partitions=2)
+    root = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="run_id or checkpoint"):
+        snaptable_epoch_sink(spark, root)
+    # simulate the first-epoch crash window: dirs exist, nothing committed
+    os.makedirs(os.path.join(root, "meta"))
+    s1 = snaptable_epoch_sink(spark, root, run_id="runA")
+    s1(pages, 0)
+    t = SnapshotTable(spark, root)
+    assert t.current_version() == 1
+    n1 = t.read().count()
+    # same (run, epoch) -> replay skip, no new version
+    s1(pages, 0)
+    assert t.current_version() == 1
+    # same epoch id from a DIFFERENT run -> real data, commits
+    s2 = snaptable_epoch_sink(spark, root, run_id="runB")
+    s2(pages, 0)
+    assert t.current_version() == 2
+    assert t.read().count() == 2 * n1
