@@ -556,6 +556,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "references (crashed-writer orphans)")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser("table-rollback",
+                       help="revert the table to an older version's "
+                            "contents as a NEW metadata-only commit "
+                            "(the bad-run escape hatch)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--to", dest="to_version", type=int, required=True,
+                   help="version whose contents become current again")
+
     p = sub.add_parser("table-diff",
                        help="added/removed/changed keys between two "
                             "snapshot versions (the what-did-run-N-do "
@@ -1417,7 +1425,7 @@ def main(argv=None) -> int:
         print(f"snapshot-new: {n_in} -> {n_out} new docs at {args.output}")
         return 0
     if c in ("table-history", "table-compact", "table-expire",
-             "table-vacuum", "table-diff"):
+             "table-vacuum", "table-diff", "table-rollback"):
         from dqc_spark.snaptable import SnapshotTable
 
         t = SnapshotTable(spark, args.table)
@@ -1442,6 +1450,17 @@ def main(argv=None) -> int:
             expired = t.expire_snapshots(args.keep_last)
             print(f"expired versions: {expired or 'none'} "
                   f"(kept the newest {args.keep_last})")
+        elif c == "table-rollback":
+            from dqc_spark.snaptable import CommitConflict
+
+            try:
+                v = t.rollback(args.to_version)
+            except (ValueError, CommitConflict) as e:
+                raise SystemExit(f"table-rollback: {e}") from None
+            m = t.manifest(v)
+            print(f"rolled back to v{args.to_version} contents as v{v}: "
+                  f"{len(m['files'])} files, "
+                  f"{sum(fe['rows'] for fe in m['files'])} rows")
         elif c == "table-diff":
             from pyspark.sql import functions as F
 

@@ -657,6 +657,24 @@ class SnapshotTable:
                 os.rmdir(dirpath)
         return sorted(removed)
 
+    def rollback(self, version: int) -> int:
+        """Revert the table to ``version``'s contents as a NEW commit
+        (the bad-curation-run escape hatch).  Nothing is rewritten:
+        the new manifest re-references ``version``'s files and schema,
+        so rollback is metadata-only and O(files), and the bad
+        versions stay time-travelable for diagnosis until
+        ``expire_snapshots`` reclaims them.  Read-modify-write
+        semantics: pins the current head as ``expected_parent`` and
+        raises ``CommitConflict`` if a writer races the rollback."""
+        base = self.current_version()
+        if version == base:
+            raise ValueError(
+                f"rollback: v{version} is already the current version")
+        m = self.manifest(version)  # raises ValueError if expired/absent
+        return self._commit(
+            m["files"], "rollback", m["schema"], m["partition_cols"],
+            base, props={"rollback_of": str(version)})
+
     def compact(self, target_max_files: int = 1) -> int:
         """Rewrite the live snapshot into ≤ ``target_max_files`` files
         per partition (small-file compaction — audit tables accrete one

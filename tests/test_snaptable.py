@@ -551,3 +551,27 @@ def test_diff_versions_duplicate_and_null_keys(spark, tmp_path):
     assert d == {"a": ("changed", 2, 2), None: ("removed", 1, None)}
     with pytest.raises(ValueError, match="key column"):
         t.diff_versions(["nope"], 1)
+
+
+def test_rollback_is_metadata_only_and_survives_expiry(
+        spark, tmp_path, pages):
+    t = snaptable.create(spark, str(tmp_path / "t"), pages,
+                         partition_cols=["day"])
+    t.delete_where("url = 'http://ex.com/0'")  # v2: the "bad run"
+    v1_files = {fe["path"] for fe in t.manifest(1)["files"]}
+    v3 = t.rollback(1)
+    assert v3 == 3
+    # contents restored, nothing rewritten (same files by reference)
+    assert _rows(t.read()) == _rows(pages)
+    assert {fe["path"] for fe in t.manifest(3)["files"]} == v1_files
+    assert t.history()[-1]["props"] == {"rollback_of": "1"}
+    # the bad version stays time-travelable
+    assert t.read(version=2).count() == 11
+    # rollback to current / to a missing version rejected loudly
+    with pytest.raises(ValueError, match="already the current"):
+        t.rollback(3)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rollback(99)
+    # expiring v1+v2 must NOT reclaim files v3 re-references
+    t.expire_snapshots(keep_last=1)
+    assert _rows(t.read()) == _rows(pages)
