@@ -318,6 +318,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sink encoding (json = JSON Lines)")
     p.add_argument("--compression", default=None,
                    help="codec passed to the writer (e.g. gzip)")
+    p.add_argument("--manifest", action="store_true",
+                   help="also write _shards_manifest.json: per-shard "
+                        "row counts + per-file bytes/md5 (executor-"
+                        "side hashing) for transfer verification")
 
     p = sub.add_parser("mix-epochs",
                        help="materialize a fixed-budget temperature "
@@ -1152,8 +1156,10 @@ def main(argv=None) -> int:
         n = write_shards(docs, args.output, args.docs_per_shard,
                          key_col=args.key_column,
                          text_col=args.text_column,
-                         fmt=args.format, compression=args.compression)
-        print(f"wrote {n} shards to {args.output}")
+                         fmt=args.format, compression=args.compression,
+                         manifest=args.manifest)
+        extra = " (+ _shards_manifest.json)" if args.manifest else ""
+        print(f"wrote {n} shards to {args.output}{extra}")
         return 0
     if c == "mix-epochs":
         from dqc_spark.mixing import epoch_expand

@@ -37,6 +37,8 @@ range shuffles for the naive multi-branch plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -188,6 +190,7 @@ def write_shards(
     text_col: str = "text",
     fmt: str = "parquet",
     compression: str | None = None,
+    manifest: bool = False,
 ) -> int:
     """Materialize shard-partitioned output (``shard=N/`` dirs, one
     file per shard via an in-partition repartition on the shard key) —
@@ -222,4 +225,68 @@ def write_shards(
     # order/join lineage over the corpus
     fmt_reader = getattr(df.sparkSession.read, fmt)
     n = fmt_reader(path).count()
+    if manifest:
+        _write_shard_manifest(df.sparkSession, path, fmt, docs_per_shard)
     return (n + docs_per_shard - 1) // docs_per_shard if n else 0
+
+
+def _write_shard_manifest(
+    spark, path: str, fmt: str, docs_per_shard: int
+) -> None:
+    """``_shards_manifest.json`` next to the shard dirs: per shard its
+    row count and per-file (path, bytes, md5) — what a downstream
+    training loader verifies after transferring the export (the
+    dataset-card checksum block).
+
+    Scale shape: file checksums come from a ``binaryFile`` scan hashed
+    JVM-side on the executors (one shard file per task, content never
+    reaches the driver); row counts are one partial-aggregated groupBy
+    over the WRITTEN table (parquet footers / narrow line scan).  The
+    driver collects one row per shard FILE — bounded by shard count,
+    not corpus size."""
+    import json
+    import urllib.parse
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "length", F.md5("content").alias("md5"))
+        .collect()
+    )
+    counts = {
+        r["shard"]: r["n"]
+        for r in getattr(spark.read, fmt)(path)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = os.path.abspath(path)
+    shards: dict[int, dict] = {}
+    for r in files:
+        p = urllib.parse.unquote(urllib.parse.urlparse(r["path"]).path)
+        rel = os.path.relpath(p, base)
+        name = os.path.basename(rel)
+        if name.startswith((".", "_")):
+            continue  # _SUCCESS / checksum markers
+        parts = dict(
+            seg.partition("=")[::2] for seg in rel.split(os.sep)[:-1]
+            if "=" in seg)
+        shard = int(parts["shard"])
+        e = shards.setdefault(shard, {"shard": shard, "files": []})
+        e["files"].append(
+            {"path": rel, "bytes": int(r["length"]), "md5": r["md5"]})
+    out = []
+    for shard in sorted(shards):
+        e = shards[shard]
+        e["files"].sort(key=lambda f: f["path"])
+        e["n_rows"] = int(counts.get(shard, 0))
+        out.append(e)
+    doc = {
+        "format": fmt,
+        "docs_per_shard": docs_per_shard,
+        "n_shards": len(out),
+        "n_rows": sum(e["n_rows"] for e in out),
+        "shards": out,
+    }
+    with open(os.path.join(base, "_shards_manifest.json"), "w") as f:
+        json.dump(doc, f, indent=1)

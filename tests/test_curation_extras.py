@@ -578,3 +578,40 @@ def test_decontaminate_rejects_null_keys(spark):
 
     with pytest.raises((PythonException, Py4JJavaError), match="NULL"):
         contamination_scores(docs, bench, "doc_id").collect()
+
+
+def test_write_shards_manifest_verifies_transfer(spark, sf_dir, tmp_path):
+    """_shards_manifest.json: per-shard rows + per-file bytes/md5 must
+    match an independent recomputation from the written files — the
+    downstream loader's verification contract."""
+    import hashlib
+    import json
+    import os
+
+    from dqc_spark.ordering import write_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "shards")
+    n = write_shards(docs, out, 100, manifest=True)
+    with open(os.path.join(out, "_shards_manifest.json")) as f:
+        man = json.load(f)
+    assert man["n_shards"] == n == len(man["shards"])
+    assert man["n_rows"] == docs.count()
+    assert man["format"] == "parquet" and man["docs_per_shard"] == 100
+    for e in man["shards"]:
+        # per-shard rows match the written partition
+        got = spark.read.parquet(os.path.join(out, f"shard={e['shard']}"))
+        assert got.count() == e["n_rows"]
+        # marker files never enter the manifest; data files all do
+        for fe in e["files"]:
+            assert not os.path.basename(fe["path"]).startswith(("_", "."))
+            full = os.path.join(out, fe["path"])
+            blob = open(full, "rb").read()
+            assert len(blob) == fe["bytes"]
+            assert hashlib.md5(blob).hexdigest() == fe["md5"]
+    # tamper detection: flip one byte -> recomputed md5 diverges
+    fe = man["shards"][0]["files"][0]
+    full = os.path.join(out, fe["path"])
+    blob = bytearray(open(full, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    assert hashlib.md5(bytes(blob)).hexdigest() != fe["md5"]
