@@ -205,6 +205,14 @@ def write_shards(
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    if manifest and "://" in path:
+        # checked BEFORE the export lands: the manifest writer is
+        # os-path-based (local only, like snaptable.py) and failing
+        # after a multi-hour distributed write is the worst spot
+        raise ValueError(
+            "write_shards(manifest=True) supports local filesystem "
+            f"paths only, got {path!r} — write the export without a "
+            "manifest or point it at a local staging dir")
     sharded = assign_shards(df, docs_per_shard, key_col, text_col)
     w = (sharded.repartition("shard")
          .write.mode("overwrite").partitionBy("shard"))
@@ -223,16 +231,19 @@ def write_shards(
     # row count of the WRITTEN table is footer metadata for parquet and
     # one narrow line count for JSONL — never a re-run of the
     # order/join lineage over the corpus
-    fmt_reader = getattr(df.sparkSession.read, fmt)
-    n = fmt_reader(path).count()
     if manifest:
-        _write_shard_manifest(df.sparkSession, path, fmt, docs_per_shard)
+        # the manifest's per-shard groupBy count IS the row count —
+        # deriving n from it scans the written table once, not twice
+        n = _write_shard_manifest(
+            df.sparkSession, path, fmt, docs_per_shard)
+    else:
+        n = getattr(df.sparkSession.read, fmt)(path).count()
     return (n + docs_per_shard - 1) // docs_per_shard if n else 0
 
 
 def _write_shard_manifest(
     spark, path: str, fmt: str, docs_per_shard: int
-) -> None:
+) -> int:
     """``_shards_manifest.json`` next to the shard dirs: per shard its
     row count and per-file (path, bytes, md5) — what a downstream
     training loader verifies after transferring the export (the
@@ -243,11 +254,21 @@ def _write_shard_manifest(
     reaches the driver); row counts are one partial-aggregated groupBy
     over the WRITTEN table (parquet footers / narrow line scan).  The
     driver collects one row per shard FILE — bounded by shard count,
-    not corpus size."""
+    not corpus size.  Returns the total row count (the caller's shard
+    arithmetic reuses it — no second scan of the written table).
+
+    Local-filesystem only (like snaptable.py): rel-paths and the JSON
+    write use os-level paths, and a URI output would silently produce
+    garbage paths — rejected loudly instead."""
     import json
     import urllib.parse
     from pyspark.sql import functions as F
 
+    if "://" in path:
+        raise ValueError(
+            "write_shards(manifest=True) supports local filesystem "
+            f"paths only, got {path!r} — write the export without a "
+            "manifest or point it at a local staging dir")
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
@@ -290,3 +311,4 @@ def _write_shard_manifest(
     }
     with open(os.path.join(base, "_shards_manifest.json"), "w") as f:
         json.dump(doc, f, indent=1)
+    return doc["n_rows"]

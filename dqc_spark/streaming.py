@@ -269,7 +269,6 @@ def snaptable_epoch_sink(
     audit=None,
     run_id: str | None = None,
     checkpoint_dir: str | None = None,
-    replay_window: int = 20,
 ):
     """foreachBatch body for ``stream_curate_to_snaptable`` (factored
     out so tests can replay an epoch directly).
@@ -289,10 +288,20 @@ def snaptable_epoch_sink(
     ``checkpoint_dir``'s query-metadata file (written at query start).
     One of the two must be provided.
 
-    The replay guard reads the last ``replay_window`` manifests only —
-    a replay always targets a recent epoch (the crash window between a
-    data commit and its checkpoint write), and scanning full history
-    would re-parse O(versions²) file entries on a long-lived table.
+    The replay guard walks manifests newest-first and STOPS at the
+    first one carrying this run's marker: epochs within a run commit
+    in order, so that marker holds the run's max committed epoch, and
+    the batch is a replay iff its epoch is <= that.  The walk must not
+    be a fixed version window — concurrent writers (other appends,
+    compaction, a second stream) advance the table's version count
+    between this run's commits, and a window measured in global
+    versions could scroll this run's marker out of sight and commit a
+    replayed epoch twice.  Cost: O(versions since this run's last
+    commit) manifest reads — ~1 in steady state (every batch commits,
+    even empty ones), full history only on a new run's first batch.
+    Legacy manifests written before run scoping (bare ``stream_epoch``
+    props) fall back to the old unscoped equality check so upgrading
+    a live checkpoint cannot double-commit its crash-window epoch.
 
     The create-vs-append decision keys on ``current_version()`` (is
     there a COMMITTED manifest), not on directory existence: a crash
@@ -309,18 +318,25 @@ def snaptable_epoch_sink(
             "batches as replays of an old run's epochs")
     resolved: list[str] = [run_id] if run_id is not None else []
 
-    def _recent_props(t: "st.SnapshotTable") -> list[dict] | None:
+    def _is_replay(t: "st.SnapshotTable", run: str,
+                   epoch_id: int) -> bool | None:
+        """None -> no committed manifest (take the create path)."""
         try:
             head = t.current_version()
         except FileNotFoundError:
-            return None  # no committed manifest -> create path
-        out = []
-        for v in range(head, max(0, head - replay_window), -1):
+            return None
+        for v in range(head, 0, -1):
             try:
-                out.append(t.manifest(v).get("props", {}))
+                p = t.manifest(v).get("props", {})
             except ValueError:
-                continue  # expired snapshot in the window
-        return out
+                continue  # expired snapshot
+            if p.get("stream_run") == run:
+                # this run's newest marker = its max committed epoch
+                return int(p["stream_epoch"]) >= epoch_id
+            if ("stream_epoch" in p and "stream_run" not in p
+                    and p["stream_epoch"] == str(epoch_id)):
+                return True  # pre-run-scoping manifest (migration)
+        return False
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if not resolved:
@@ -328,11 +344,8 @@ def snaptable_epoch_sink(
         run = resolved[0]
         marker = {"stream_run": run, "stream_epoch": str(epoch_id)}
         t = st.SnapshotTable(spark, table_root)
-        recent = _recent_props(t)
-        if recent is not None and any(
-                p.get("stream_run") == run
-                and p.get("stream_epoch") == str(epoch_id)
-                for p in recent):
+        recent = _is_replay(t, run, epoch_id)
+        if recent is True:
             if audit is not None:
                 audit.log("stream_epoch_replay_skipped", True,
                           dict(marker),

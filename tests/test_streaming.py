@@ -346,3 +346,53 @@ def test_snaptable_sink_run_scoping_and_crash_recovery(spark, tmp_path):
     s2(pages, 0)
     assert t.current_version() == 2
     assert t.read().count() == 2 * n1
+
+
+def test_snaptable_sink_replay_survives_concurrent_writers(
+        spark, tmp_path):
+    """The replay guard must find this run's marker however many
+    versions OTHER writers committed since (a fixed global-version
+    window would scroll it out of sight and double-commit), must
+    treat any epoch <= the run's newest marker as a replay, and must
+    honor legacy pre-run-scoping markers."""
+    from pyspark.sql import Row
+
+    from dqc_spark.snaptable import SnapshotTable
+    from dqc_spark.streaming import snaptable_epoch_sink
+
+    pages = generate_pages(spark, 30, n_partitions=2)
+    root = str(tmp_path / "tbl")
+    s = snaptable_epoch_sink(spark, root, run_id="runA")
+    s(pages, 0)
+    t = SnapshotTable(spark, root)
+    n_after_epoch0 = t.read().count()
+    # other writers advance the table many versions
+    extra = t.read().limit(1)
+    for _ in range(6):
+        t.append(extra)
+    # replay of runA epoch 0: marker is 6 versions back — still found
+    s(pages, 0)
+    assert t.current_version() == 7  # no new commit
+    # an epoch BELOW the run's newest marker is also a replay
+    s(pages, 1)
+    assert t.current_version() == 8  # epoch 1 committed
+    s(pages, 0)
+    assert t.current_version() == 8  # 0 <= newest(1) -> skip
+    # legacy marker (no stream_run): any run treats it as committed
+    t.append(extra, props={"stream_epoch": "99"})
+    s99 = snaptable_epoch_sink(spark, root, run_id="runC")
+    s99(pages, 99)
+    assert t.current_version() == 9  # legacy skip, no commit
+    assert t.read().count() == n_after_epoch0 * 2 + 7
+
+
+def test_write_shards_manifest_rejects_uri_paths(spark, sf_dir):
+    import os
+
+    import pytest
+
+    from dqc_spark.ordering import write_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with pytest.raises(ValueError, match="local filesystem"):
+        write_shards(docs, "hdfs://nn/exports/run1", 100, manifest=True)
