@@ -243,6 +243,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage-metrics", action="store_true",
                    help="print per-stage surviving row counts (one "
                         "extra count job per enabled stage)")
+    p.add_argument("--gate-thresholds", default=None,
+                   help="override gate thresholds, e.g. "
+                        "'min_words=8,min_alpha_ratio=0.6' — the "
+                        "calibrate verb prints this form from a "
+                        "trusted corpus")
     p.add_argument("--report", action="store_true",
                    help="print the per-language data card of the "
                         "curated output (report.py, one extra "
@@ -291,11 +296,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx", action="store_true",
                    help="HLL distinct counts (the at-scale path)")
 
+    p = sub.add_parser("calibrate",
+                       help="derive gate thresholds from a TRUSTED "
+                            "corpus (tail quantiles of its feature "
+                            "distribution, the CCNet/Gopher practice)")
+    p.add_argument("--trusted", required=True,
+                   help="trusted docs parquet (e.g. a wiki slice)")
+    p.add_argument("--text-column", default="text")
+    p.add_argument("--quantile", type=float, default=0.02,
+                   help="tail mass per bound: at most ~this fraction "
+                        "of trusted-like docs drops per gate")
+    p.add_argument("--output", default=None,
+                   help="optional JSON file (feeds curate --config "
+                        "as {\"gate_thresholds\": {...}})")
+
     p = sub.add_parser("report",
                        help="corpus data card: per-group doc/char/token "
                             "counts, length mix and corpus share "
                             "(markdown to stdout)")
-    p.add_argument("--input", required=True, help="docs parquet path")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="docs parquet path")
+    src.add_argument("--table", help="snapshot table root (data card "
+                                     "of a committed version)")
+    p.add_argument("--version", type=int, default=None,
+                   help="with --table: the version to report "
+                        "(default: current) — the data card of the "
+                        "corpus as of any commit")
     p.add_argument("--group-column", default="lang")
     p.add_argument("--text-column", default="text")
     p.add_argument("--short-chars", type=int, default=200,
@@ -994,7 +1020,22 @@ def main(argv=None) -> int:
         try:
             # curate()'s own validation (bad split weights, thresholds)
             # surfaces as the parser's clean error, not a traceback
+            gate_th = (_parse_kv_floats(args.gate_thresholds)
+                       if args.gate_thresholds else None)
+            if gate_th:
+                from dqc_spark.gates import DEFAULT_THRESHOLDS
+
+                unknown = set(gate_th) - set(DEFAULT_THRESHOLDS)
+                if unknown:
+                    # gate_predicates merges dicts, so a typo'd key
+                    # would silently no-op — the repo's no-silent-noop
+                    # rule says fail loudly instead
+                    raise SystemExit(
+                        f"curate: unknown gate threshold(s) "
+                        f"{sorted(unknown)}; valid: "
+                        f"{sorted(DEFAULT_THRESHOLDS)}")
             curate_kwargs = dict(
+                thresholds=gate_th,
                 near_dup_threshold=(args.near_dup_threshold
                                 if args.near_dup_threshold >= 0 else None),
                 max_ppl=(args.max_ppl if args.max_ppl >= 0 else None),
@@ -1120,15 +1161,52 @@ def main(argv=None) -> int:
                   f"distinct={r['n_distinct']:<10} "
                   f"min={r['min_str']!r} max={r['max_str']!r}")
         return 0
+    if c == "calibrate":
+        import json
+
+        from dqc_spark.gates import calibrate_thresholds
+
+        df = spark.read.parquet(args.trusted)
+        if args.text_column not in df.columns:
+            raise SystemExit(
+                f"calibrate: column {args.text_column!r} not in "
+                f"{args.trusted} (has {df.columns})")
+        try:
+            th = calibrate_thresholds(
+                df, text_col=args.text_column, quantile=args.quantile)
+        except ValueError as e:
+            raise SystemExit(f"calibrate: {e}") from None
+        print(json.dumps(th, indent=1))
+        kv = ",".join(f"{k}={v}" for k, v in th.items())
+        print(f"--gate-thresholds {kv}")
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump({"gate_thresholds": th}, f, indent=1)
+            print(f"calibrated thresholds written to {args.output}")
+        return 0
     if c == "report":
         from dqc_spark.cache import track
         from dqc_spark.report import corpus_report, report_markdown
 
-        df = spark.read.parquet(args.input)
+        if args.version is not None and args.table is None:
+            raise SystemExit("report: --version requires --table")
+        if args.table is not None:
+            from dqc_spark.snaptable import SnapshotTable
+
+            t = SnapshotTable(spark, args.table)
+            try:
+                df = t.read(version=args.version)
+            except (FileNotFoundError, ValueError) as e:
+                raise SystemExit(f"report: {e}") from None
+            src_desc = f"{args.table}@v{args.version}" \
+                if args.version is not None else args.table
+        else:
+            df = spark.read.parquet(args.input)
+            src_desc = args.input
         for col in (args.group_column, args.text_column):
             if col not in df.columns:
                 raise SystemExit(
-                    f"report: column {col!r} not in {args.input} "
+                    f"report: column {col!r} not in {src_desc} "
                     f"(has {df.columns})")
         try:
             rep = corpus_report(

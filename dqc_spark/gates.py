@@ -181,3 +181,67 @@ def gate_predicates(
         "gate_dup_lines": feats["dup_line_fraction"] > t["max_dup_line_fraction"],
         "gate_repetition": feats["dup_bigram_fraction"] > t["max_dup_bigram_fraction"],
     }
+
+
+def calibrate_thresholds(
+    trusted: DataFrame,
+    text_col: str = "text",
+    quantile: float = 0.02,
+    accuracy: int = 10_000,
+) -> dict:
+    """Derive the gate thresholds FROM a trusted corpus (the CCNet /
+    Gopher practice: bounds come from a reference distribution — e.g.
+    a Wikipedia slice — not hand-picked constants).  Each lower bound
+    is the ``quantile`` tail of the trusted feature distribution and
+    each upper bound the ``1-quantile`` tail, so per gate at most
+    ~``quantile`` of trusted-like documents would be dropped; the
+    returned dict is ``DEFAULT_THRESHOLDS``-shaped and feeds straight
+    into ``annotate``/``curate(thresholds=...)``.
+
+    Scale shape: ONE scan — all seven feature columns are pure
+    Catalyst expressions and all thirteen percentiles fuse into a
+    single ``percentile_approx`` aggregate (mergeable sketch; exact
+    percentiles would force ObjectHashAggregate per the repo's
+    measured rule).  At the default accuracy the approximation error
+    is <= 1/accuracy of rank, exact on corpora smaller than it.
+
+    NULL handling: NULL/empty text produces NULL ``mean_word_len``
+    (skipped by the percentile — empties must not drag the word-length
+    band down) and zeros elsewhere, matching the gate features
+    themselves."""
+    if not (0.0 < quantile < 0.5):
+        raise ValueError(
+            f"quantile must be in (0, 0.5), got {quantile}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    feats = feature_columns(text)
+    proj = trusted.select(
+        *[c.alias(k) for k, c in feats.items()])
+    lo, hi = float(quantile), float(1.0 - quantile)
+    qq = F.array(F.lit(lo), F.lit(hi))
+    row = proj.agg(
+        F.percentile_approx("n_words", qq, accuracy).alias("w"),
+        F.percentile_approx("mean_word_len", qq, accuracy).alias("m"),
+        F.percentile_approx("stopword_ratio", F.lit(lo), accuracy)
+        .alias("sw"),
+        F.percentile_approx("alpha_ratio", F.lit(lo), accuracy)
+        .alias("al"),
+        F.percentile_approx("symbol_word_ratio", F.lit(hi), accuracy)
+        .alias("sy"),
+        F.percentile_approx("dup_line_fraction", F.lit(hi), accuracy)
+        .alias("dl"),
+        F.percentile_approx("dup_bigram_fraction", F.lit(hi), accuracy)
+        .alias("db"),
+    ).first()
+    if row["w"] is None:
+        raise ValueError("calibrate_thresholds: trusted corpus is empty")
+    return {
+        "min_words": int(row["w"][0]),
+        "max_words": int(row["w"][1]),
+        "min_mean_word_length": float(row["m"][0]),
+        "max_mean_word_length": float(row["m"][1]),
+        "min_stopword_ratio": float(row["sw"]),
+        "min_alpha_ratio": float(row["al"]),
+        "max_symbol_word_ratio": float(row["sy"]),
+        "max_dup_line_fraction": float(row["dl"]),
+        "max_dup_bigram_fraction": float(row["db"]),
+    }

@@ -647,3 +647,63 @@ def test_cli_curate_report_flag(capsys, spark, db_path, tmp_path):
     assert rc == 0
     assert "| lang | docs | share |" in out
     assert "| **TOTAL** |" in out and "curated 60 ->" in out
+
+
+def test_cli_report_over_snapshot_table_version(capsys, spark, db_path,
+                                                tmp_path):
+    from pyspark.sql import Row
+
+    from dqc_spark import snaptable
+
+    root = str(tmp_path / "tbl")
+    t = snaptable.create(spark, root, spark.createDataFrame(
+        [Row(url="a", text="one two", lang="en"),
+         Row(url="b", text="trois", lang="fr")]))
+    t.delete_where("lang = 'fr'")
+    # current version: en only
+    rc, out = _run(capsys, ["--db-path", db_path, "report",
+                            "--table", root])
+    assert rc == 0 and "| **TOTAL** | 1 |" in out and "| fr |" not in out
+    # time travel: v1 still shows both languages
+    rc, out = _run(capsys, ["--db-path", db_path, "report",
+                            "--table", root, "--version", "1"])
+    assert rc == 0 and "| fr | 1 |" in out and "| **TOTAL** | 2 |" in out
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "report",
+                      "--table", root, "--version", "99"])
+    with pytest.raises(SystemExit):
+        _run(capsys, ["--db-path", db_path, "report",
+                      "--input", root, "--version", "1"])
+
+
+def test_cli_calibrate_and_gate_thresholds(capsys, spark, db_path,
+                                           tmp_path):
+    import json
+
+    from dqc_spark.pagesgen import generate_pages
+
+    src = str(tmp_path / "pages.parquet")
+    generate_pages(spark, 80).write.parquet(src)
+    out_json = str(tmp_path / "th.json")
+    rc, out = _run(capsys, ["--db-path", db_path, "calibrate",
+                            "--trusted", src, "--quantile", "0.05",
+                            "--output", out_json])
+    assert rc == 0 and "--gate-thresholds min_words=" in out
+    th = json.load(open(out_json))["gate_thresholds"]
+    assert set(th) == {
+        "min_words", "max_words", "min_mean_word_length",
+        "max_mean_word_length", "min_stopword_ratio", "min_alpha_ratio",
+        "max_symbol_word_ratio", "max_dup_line_fraction",
+        "max_dup_bigram_fraction"}
+    # an impossible min_words bound through --gate-thresholds drops all
+    out_p = str(tmp_path / "cur")
+    rc, out = _run(capsys, ["--db-path", db_path, "curate",
+                            "--input", src, "--output", out_p,
+                            "--near-dup-threshold", "-1",
+                            "--gate-thresholds", "min_words=100000"])
+    assert rc == 0 and "-> 0 docs" in out
+    with pytest.raises(SystemExit, match="unknown gate threshold"):
+        _run(capsys, ["--db-path", db_path, "curate",
+                      "--input", src, "--output", out_p,
+                      "--near-dup-threshold", "-1",
+                      "--gate-thresholds", "min_wordz=1"])

@@ -615,3 +615,35 @@ def test_write_shards_manifest_verifies_transfer(spark, sf_dir, tmp_path):
     blob = bytearray(open(full, "rb").read())
     blob[len(blob) // 2] ^= 0xFF
     assert hashlib.md5(bytes(blob)).hexdigest() != fe["md5"]
+
+
+def test_calibrate_thresholds_from_trusted_corpus(spark):
+    """Thresholds derive from the trusted corpus's tail quantiles, and
+    gating that same corpus with its own calibrated thresholds keeps
+    the bulk of it (per-gate tail mass ~quantile)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dqc_spark.gates import (calibrate_thresholds, feature_columns,
+                                 gate_predicates)
+
+    docs = spark.createDataFrame(
+        [(i, ("the word list number %d " % i) * (2 + i // 2))
+         for i in range(100)],
+        "doc_id long, text string")
+    th = calibrate_thresholds(docs, quantile=0.05)
+    # n_words spans 10..257 in steps of 5; the 5%/95% cuts land inside
+    assert 10 <= th["min_words"] <= 30
+    assert 220 <= th["max_words"] <= 257
+    assert 0.0 < th["min_stopword_ratio"] <= 0.25  # 'the' is 1/5 words
+    # self-consistency: the trusted corpus passes its own gates almost
+    # everywhere (<= ~8 gates x 2x5% tails, loosely bounded)
+    feats = feature_columns(F.coalesce(F.col("text"), F.lit("")))
+    drop = None
+    for p in gate_predicates(feats, th).values():
+        drop = p if drop is None else (drop | p)
+    assert docs.filter(drop).count() <= 30
+    with pytest.raises(ValueError, match="quantile"):
+        calibrate_thresholds(docs, quantile=0.7)
+    with pytest.raises(ValueError, match="empty"):
+        calibrate_thresholds(docs.filter(F.lit(False)))
