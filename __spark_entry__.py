@@ -350,6 +350,10 @@ DRIVER_ORDER = [
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
+    # gate_threshold_calibration is rows-only (pytest-pinned quantile
+    # semantics): the r4 window is at its 50-row cap, and a rows-only
+    # check adds less than a rotated-out SQL-oracled row would lose
+    "gate_threshold_calibration",
     # the eight checks rotated out of the r4 window (see DRIVER_ORDER
     # note): driver-green in r1∪r2∪r3, re-verified locally every round
     "check_col_count",

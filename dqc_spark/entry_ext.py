@@ -3025,6 +3025,24 @@ def q_corpus_report(spark, sf):
     )
 
 
+def q_gate_calibration(spark, sf):
+    """Trusted-corpus gate calibration (gates.calibrate_thresholds):
+    the nine derived bounds as one row — rows-only (percentile_approx
+    is an engine-specific sketch; the quantile semantics and
+    self-consistency are pinned in tests/test_curation_extras.py).
+    Deterministic: the sketch is exact below its accuracy bound and
+    the documents slice is far smaller."""
+    from dqc_spark.gates import calibrate_thresholds
+
+    th = calibrate_thresholds(
+        _t(spark, sf, "documents"), quantile=0.05)
+    return spark.createDataFrame(
+        [tuple(th[k] for k in sorted(th))],
+        ", ".join(
+            f"`{k}` {'bigint' if isinstance(th[k], int) else 'double'}"
+            for k in sorted(th)))
+
+
 def extra_queries():
     return {
         "attr_refilter": q_attr_refilter,
@@ -3152,6 +3170,7 @@ def extra_queries():
         "dedup_canonical_priority": q_keep_canonical_priority,
         "snaptable_diff": q_snaptable_diff,
         "corpus_report_by_lang": q_corpus_report,
+        "gate_threshold_calibration": q_gate_calibration,
     }
 
 
