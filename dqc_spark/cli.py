@@ -349,6 +349,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "row counts + per-file bytes/md5 (executor-"
                         "side hashing) for transfer verification")
 
+    p = sub.add_parser("verify-shards",
+                       help="check a shard export against its "
+                            "_shards_manifest.json (distributed "
+                            "re-hash; rc 1 on any mismatch)")
+    p.add_argument("--input", required=True, help="shard export dir")
+
     p = sub.add_parser("mix-epochs",
                        help="materialize a fixed-budget temperature "
                             "mix: epoch-tagged rows, rare sources "
@@ -1239,6 +1245,19 @@ def main(argv=None) -> int:
         extra = " (+ _shards_manifest.json)" if args.manifest else ""
         print(f"wrote {n} shards to {args.output}{extra}")
         return 0
+    if c == "verify-shards":
+        from dqc_spark.ordering import verify_shards
+
+        try:
+            res = verify_shards(spark, args.input)
+        except FileNotFoundError as e:
+            raise SystemExit(f"verify-shards: {e}") from None
+        for err in res["errors"]:
+            print(f"  {err}")
+        status = "OK" if res["ok"] else "FAILED"
+        print(f"verify-shards {status}: {res['n_files']} files checked, "
+              f"{len(res['errors'])} error(s)")
+        return 0 if res["ok"] else 1
     if c == "mix-epochs":
         from dqc_spark.mixing import epoch_expand
 

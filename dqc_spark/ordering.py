@@ -312,3 +312,90 @@ def _write_shard_manifest(
     with open(os.path.join(base, "_shards_manifest.json"), "w") as f:
         json.dump(doc, f, indent=1)
     return doc["n_rows"]
+
+
+def verify_shards(spark, path: str) -> dict:
+    """Check a shard export against its ``_shards_manifest.json`` —
+    the loader-side half of the transfer-verification contract.
+
+    Re-hashes every data file distributed over an RDD of paths with
+    plain Python file I/O — deliberately NOT a Hadoop/binaryFile scan:
+    Hadoop's local filesystem verifies its own ``.crc`` sidecars on
+    read and THROWS on a tampered file, which would crash the
+    verification whose whole job is to report that tampering.  (One of
+    the rare legitimate per-partition-imperative RDD uses; the export
+    is local-filesystem by the manifest writer's contract.)  Compares
+    (path, bytes, md5) sets plus per-shard row counts against the
+    manifest.  Returns ``{"ok": bool, "n_files": int, "errors":
+    [...]}`` where each error names the file/shard and what diverged
+    (missing, extra, size, checksum, rows)."""
+    import json
+    from pyspark.sql import functions as F
+
+    base = os.path.abspath(path)
+    man_path = os.path.join(base, "_shards_manifest.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"no _shards_manifest.json under {path} — was the export "
+            "written with manifest=True?")
+    with open(man_path) as f:
+        man = json.load(f)
+    want = {
+        fe["path"]: (fe["bytes"], fe["md5"])
+        for e in man["shards"] for fe in e["files"]
+    }
+    rels = []
+    for dirpath, _dirs, files in os.walk(base):
+        for name in files:
+            if name.startswith((".", "_")):
+                continue
+            rels.append(os.path.relpath(os.path.join(dirpath, name), base))
+
+    def _hash_partition(it):
+        import hashlib
+        import os as _os
+
+        for rel in it:
+            h = hashlib.md5()
+            with open(_os.path.join(base, rel), "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            yield rel, _os.path.getsize(_os.path.join(base, rel)), \
+                h.hexdigest()
+
+    got = {}
+    if rels:
+        sc = spark.sparkContext
+        got = {
+            rel: (size, md5)
+            for rel, size, md5 in sc.parallelize(
+                sorted(rels), max(1, min(len(rels), 32))
+            ).mapPartitions(_hash_partition).collect()
+        }
+    errors = []
+    for rel in sorted(set(want) - set(got)):
+        errors.append(f"missing file: {rel}")
+    for rel in sorted(set(got) - set(want)):
+        errors.append(f"file not in manifest: {rel}")
+    for rel in sorted(set(want) & set(got)):
+        wb, wm = want[rel]
+        gb, gm = got[rel]
+        if wb != gb:
+            errors.append(f"size mismatch: {rel} ({gb} != {wb})")
+        elif wm != gm:
+            errors.append(f"checksum mismatch: {rel}")
+    if not errors:
+        # rows only when the files themselves check out (a corrupt
+        # file can make the reader fail; checksums already said why)
+        counts = {
+            r["shard"]: r["n"]
+            for r in getattr(spark.read, man["format"])(path)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for e in man["shards"]:
+            n = int(counts.get(e["shard"], 0))
+            if n != e["n_rows"]:
+                errors.append(
+                    f"row-count mismatch: shard={e['shard']} "
+                    f"({n} != {e['n_rows']})")
+    return {"ok": not errors, "n_files": len(want), "errors": errors}

@@ -647,3 +647,55 @@ def test_calibrate_thresholds_from_trusted_corpus(spark):
         calibrate_thresholds(docs, quantile=0.7)
     with pytest.raises(ValueError, match="empty"):
         calibrate_thresholds(docs.filter(F.lit(False)))
+
+
+def test_verify_shards_detects_tampering(spark, sf_dir, tmp_path):
+    """verify_shards: clean export passes; a flipped byte, a deleted
+    file and an extra file are each named in the errors."""
+    import os
+
+    import pytest
+
+    from dqc_spark.ordering import verify_shards, write_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, 200, manifest=True)
+    res = verify_shards(spark, out)
+    assert res["ok"] and res["errors"] == [] and res["n_files"] > 0
+
+    # tamper: flip one byte mid-file (size unchanged -> checksum error)
+    victim = None
+    for dirpath, _dirs, files in os.walk(out):
+        for name in files:
+            if name.endswith(".parquet"):
+                victim = os.path.join(dirpath, name)
+                break
+        if victim:
+            break
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    res = verify_shards(spark, out)
+    assert not res["ok"]
+    assert any("checksum mismatch" in e for e in res["errors"])
+
+    # restore via rewrite (fresh filenames), then delete a file +
+    # plant an extra one
+    write_shards(docs, out, 200, manifest=True)
+    victim = None
+    for dirpath, _dirs, files in os.walk(out):
+        for name in files:
+            if name.endswith(".parquet"):
+                victim = os.path.join(dirpath, name)
+                break
+        if victim:
+            break
+    os.remove(victim)
+    extra = os.path.join(out, "shard=0", "part-extra.parquet")
+    open(extra, "wb").write(b"not parquet")
+    res = verify_shards(spark, out)
+    assert any(e.startswith("missing file") for e in res["errors"])
+    assert any("not in manifest" in e for e in res["errors"])
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        verify_shards(spark, str(tmp_path / "nowhere"))
