@@ -234,6 +234,14 @@ def calibrate_thresholds(
     ).first()
     if row["w"] is None:
         raise ValueError("calibrate_thresholds: trusted corpus is empty")
+    if row["m"] is None:
+        # n_words is 0 (not NULL) for empty texts, so the guard above
+        # passes — but mean_word_len is NULL everywhere and its
+        # percentile comes back NULL (review finding: this surfaced
+        # as a raw TypeError instead of the designed error)
+        raise ValueError(
+            "calibrate_thresholds: trusted corpus has no words "
+            "(every text empty/whitespace/NULL)")
     return {
         "min_words": int(row["w"][0]),
         "max_words": int(row["w"][1]),

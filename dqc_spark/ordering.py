@@ -264,11 +264,9 @@ def _write_shard_manifest(
     import urllib.parse
     from pyspark.sql import functions as F
 
-    if "://" in path:
-        raise ValueError(
-            "write_shards(manifest=True) supports local filesystem "
-            f"paths only, got {path!r} — write the export without a "
-            "manifest or point it at a local staging dir")
+    # write_shards validated the path BEFORE the export landed; this
+    # is the invariant restated, not a second user-facing check
+    assert "://" not in path, "caller must pre-validate local path"
     files = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
@@ -276,11 +274,7 @@ def _write_shard_manifest(
         .select("path", "length", F.md5("content").alias("md5"))
         .collect()
     )
-    counts = {
-        r["shard"]: r["n"]
-        for r in getattr(spark.read, fmt)(path)
-        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    counts = _shard_counts(spark, fmt, path)
     base = os.path.abspath(path)
     shards: dict[int, dict] = {}
     for r in files:
@@ -314,6 +308,19 @@ def _write_shard_manifest(
     return doc["n_rows"]
 
 
+def _shard_counts(spark, fmt: str, path: str) -> dict:
+    """shard -> row count over the WRITTEN table — shared by the
+    manifest writer and verify_shards so producer and consumer can
+    never drift onto different read semantics."""
+    from pyspark.sql import functions as F
+
+    return {
+        r["shard"]: r["n"]
+        for r in getattr(spark.read, fmt)(path)
+        .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
 def verify_shards(spark, path: str) -> dict:
     """Check a shard export against its ``_shards_manifest.json`` —
     the loader-side half of the transfer-verification contract.
@@ -330,7 +337,6 @@ def verify_shards(spark, path: str) -> dict:
     [...]}`` where each error names the file/shard and what diverged
     (missing, extra, size, checksum, rows)."""
     import json
-    from pyspark.sql import functions as F
 
     base = os.path.abspath(path)
     man_path = os.path.join(base, "_shards_manifest.json")
@@ -345,7 +351,12 @@ def verify_shards(spark, path: str) -> dict:
         for e in man["shards"] for fe in e["files"]
     }
     rels = []
-    for dirpath, _dirs, files in os.walk(base):
+    for dirpath, dirs, files in os.walk(base):
+        # prune hidden/marker DIRECTORIES too (rsync partial dirs,
+        # Spark _temporary): the manifest writer's Spark listing never
+        # descended into them, so walking them here would flag their
+        # contents as spurious not-in-manifest errors (review finding)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for name in files:
             if name.startswith((".", "_")):
                 continue
@@ -387,11 +398,7 @@ def verify_shards(spark, path: str) -> dict:
     if not errors:
         # rows only when the files themselves check out (a corrupt
         # file can make the reader fail; checksums already said why)
-        counts = {
-            r["shard"]: r["n"]
-            for r in getattr(spark.read, man["format"])(path)
-            .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = _shard_counts(spark, man["format"], path)
         for e in man["shards"]:
             n = int(counts.get(e["shard"], 0))
             if n != e["n_rows"]:

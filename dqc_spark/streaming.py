@@ -333,9 +333,14 @@ def snaptable_epoch_sink(
             if p.get("stream_run") == run:
                 # this run's newest marker = its max committed epoch
                 return int(p["stream_epoch"]) >= epoch_id
-            if ("stream_epoch" in p and "stream_run" not in p
-                    and p["stream_epoch"] == str(epoch_id)):
-                return True  # pre-run-scoping manifest (migration)
+            if "stream_epoch" in p and "stream_run" not in p:
+                # pre-run-scoping manifest (migration): only the
+                # NEWEST legacy commit can be a crash-window replay —
+                # stop the walk here either way.  Matching deeper
+                # legacy epochs would make a FRESH query silently drop
+                # every batch whose id collides with the old run's
+                # history (found in review).
+                return p["stream_epoch"] == str(epoch_id)
         return False
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

@@ -699,3 +699,15 @@ def test_verify_shards_detects_tampering(spark, sf_dir, tmp_path):
     assert any("not in manifest" in e for e in res["errors"])
     with pytest.raises(FileNotFoundError, match="manifest"):
         verify_shards(spark, str(tmp_path / "nowhere"))
+
+
+def test_write_shards_manifest_rejects_uri_paths(spark, sf_dir):
+    import os
+
+    import pytest
+
+    from dqc_spark.ordering import write_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with pytest.raises(ValueError, match="local filesystem"):
+        write_shards(docs, "hdfs://nn/exports/run1", 100, manifest=True)

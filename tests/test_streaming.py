@@ -378,21 +378,16 @@ def test_snaptable_sink_replay_survives_concurrent_writers(
     assert t.current_version() == 8  # epoch 1 committed
     s(pages, 0)
     assert t.current_version() == 8  # 0 <= newest(1) -> skip
-    # legacy marker (no stream_run): any run treats it as committed
+    # legacy markers (no stream_run): only the NEWEST one is a
+    # possible crash-window replay — a fresh run whose epoch id merely
+    # collides with OLDER legacy history must still commit (review:
+    # matching the whole legacy range would silently drop its batches)
+    t.append(extra, props={"stream_epoch": "5"})
     t.append(extra, props={"stream_epoch": "99"})
     s99 = snaptable_epoch_sink(spark, root, run_id="runC")
     s99(pages, 99)
-    assert t.current_version() == 9  # legacy skip, no commit
-    assert t.read().count() == n_after_epoch0 * 2 + 7
-
-
-def test_write_shards_manifest_rejects_uri_paths(spark, sf_dir):
-    import os
-
-    import pytest
-
-    from dqc_spark.ordering import write_shards
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    with pytest.raises(ValueError, match="local filesystem"):
-        write_shards(docs, "hdfs://nn/exports/run1", 100, manifest=True)
+    assert t.current_version() == 10  # newest legacy match -> skip
+    s5 = snaptable_epoch_sink(spark, root, run_id="runD")
+    s5(pages, 5)  # collides with an OLD legacy epoch only -> commits
+    assert t.current_version() == 11
+    assert t.read().count() == n_after_epoch0 * 3 + 8
