@@ -575,3 +575,67 @@ def test_rollback_is_metadata_only_and_survives_expiry(
     # expiring v1+v2 must NOT reclaim files v3 re-references
     t.expire_snapshots(keep_last=1)
     assert _rows(t.read()) == _rows(pages)
+
+
+def test_diff_versions_model_over_random_op_sequence(spark, tmp_path):
+    """Model-based: a deterministic pseudo-random sequence of
+    append/delete/merge/overwrite commits, mirrored in a plain python
+    dict per version; diff_versions between every sampled version pair
+    must equal the model's set difference."""
+    import random
+
+    rng = random.Random(41)
+
+    def frame(d):
+        return spark.createDataFrame(
+            [Row(k=k, v=v) for k, v in sorted(d.items())],
+            "k string, v long")
+
+    state = {f"k{i}": i for i in range(12)}
+    t = snaptable.create(spark, str(tmp_path / "t"), frame(state))
+    models = {1: dict(state)}
+    next_key = 12
+    for _ in range(5):
+        op = rng.choice(["append", "delete", "merge", "overwrite"])
+        if op == "append":
+            add = {f"k{next_key + j}": next_key + j for j in range(3)}
+            next_key += 3
+            t.append(frame(add))
+            state.update(add)
+        elif op == "delete" and state:
+            mod = rng.randrange(2, 5)
+            gone = [k for k in state if int(k[1:]) % mod == 0]
+            t.delete_where(f"CAST(substring(k, 2) AS INT) % {mod} = 0")
+            for k in gone:
+                del state[k]
+        elif op == "merge" and state:
+            upd = {k: state[k] + 1000 for k in sorted(state)[:4]}
+            ins = {f"k{next_key}": next_key}
+            next_key += 1
+            t.merge_upsert(frame({**upd, **ins}), ["k"])
+            state.update(upd)
+            state.update(ins)
+        else:
+            state = {k: v * 7 for k, v in list(state.items())[:8]}
+            t.overwrite(frame(state))
+        models[t.current_version()] = dict(state)
+
+    versions = sorted(models)
+    pairs = [(versions[0], versions[-1]),
+             (versions[1], versions[-2] if len(versions) > 2 else versions[-1]),
+             (versions[-2], versions[-1])]
+    for va, vb in pairs:
+        if va >= vb:
+            continue
+        a, b = models[va], models[vb]
+        expect = {}
+        for k in set(a) - set(b):
+            expect[k] = "removed"
+        for k in set(b) - set(a):
+            expect[k] = "added"
+        for k in set(a) & set(b):
+            if a[k] != b[k]:
+                expect[k] = "changed"
+        got = {r["k"]: r["change"]
+               for r in t.diff_versions(["k"], va, vb).collect()}
+        assert got == expect, (va, vb)
