@@ -288,7 +288,6 @@ DRIVER_ORDER = [
     "check_unique_violations",
     "check_not_null",
     "check_referential",
-    "check_between",
     "check_regex",
     "check_type",
     "check_agg_bounds",
@@ -338,12 +337,14 @@ DRIVER_ORDER = [
     "dedup_priority_keep",
     "dedup_canonical_priority",
     "mix_epoch_expand",
-    # continuation-session operators: snapshot-table version diff and
-    # the corpus data-card report.  Two more thrice-green simple-
-    # predicate checks (not-in-set, date-parseable) yielded their
-    # slots, same policy as the six above.
+    # continuation-session operators: snapshot-table version diff, the
+    # corpus data-card report, and the Gopher structure signals.
+    # Three more thrice-green simple-predicate checks (not-in-set,
+    # date-parseable, between) yielded their slots, same policy as the
+    # six above.
     "snaptable_diff",
     "corpus_report_by_lang",
+    "text_structure_signals",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is
@@ -364,6 +365,7 @@ TAIL_ORDER = [
     "check_distinct_in_set",
     "check_not_in_set",
     "check_date_parseable",
+    "check_between",
     "eval_split_leakage",
     "dedup_ngram_jaccard",
     "text_cdc_chunks",

@@ -3025,6 +3025,41 @@ def q_corpus_report(spark, sf):
     )
 
 
+def _structure_text_col():
+    """Planted list structure over documents.text: a bullet header on
+    every doc, an ellipsis teaser on every 3rd, a tab-indented dash
+    bullet on every 5th (exercises the explicit ' \\t' strip), and a
+    trailing blank line (must not count as a line)."""
+    p1 = F.expr("substring(text, 1, 40)")
+    t = F.concat(F.lit("• "), p1, F.lit("\n"), F.col("text"))
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("\n"), p1, F.lit("...")))
+        .otherwise(F.lit("")))
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("\n\t- "), p1))
+        .otherwise(F.lit("")))
+    return F.concat(t, F.lit("\n")).alias("text")
+
+
+def q_structure_signals(spark, sf):
+    """Gopher A1 document-structure signals (textstats kernel):
+    bullet-line / ellipsis-line fractions and the duplicate-word
+    fraction over planted list-shaped text.  Raw-bit compare: every
+    column is an int-ratio double (or 1.0 minus one) computed from the
+    identical composed string on both engines."""
+    from dqc_spark.textstats import repetition_signals
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _structure_text_col())
+    return repetition_signals(docs, "doc_id").select(
+        "doc_id", "bullet_line_frac", "ellipsis_line_frac",
+        "dup_word_frac")
+
+
 def q_gate_calibration(spark, sf):
     """Trusted-corpus gate calibration (gates.calibrate_thresholds):
     the nine derived bounds as one row — rows-only (percentile_approx
@@ -3171,6 +3206,7 @@ def extra_queries():
         "snaptable_diff": q_snaptable_diff,
         "corpus_report_by_lang": q_corpus_report,
         "gate_threshold_calibration": q_gate_calibration,
+        "text_structure_signals": q_structure_signals,
     }
 
 
@@ -4994,6 +5030,50 @@ def extra_oracle_sql():
             SELECT doc_id + 100000, 'added',
                    CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
             FROM documents WHERE doc_id < 25
+        """,
+        # Gopher structure signals: the same planted composition as
+        # _structure_text_col, lines stripped with the EXPLICIT ' \t'
+        # set (trim(s, chars) is literal in DuckDB, matching the
+        # kernel's str.strip(' \t')); int-ratio doubles compare raw
+        "text_structure_signals": """
+            WITH built AS (
+              SELECT doc_id,
+                     '• ' || substr(text, 1, 40) || chr(10) || text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || substr(text, 1, 40) || '...'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || chr(9) || '- '
+                                  || substr(text, 1, 40)
+                             ELSE '' END
+                     || chr(10) AS t
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(t, chr(10)),
+                                      l -> trim(l, ' ' || chr(9))),
+                       l -> l <> '') AS ls,
+                     list_filter(regexp_split_to_array(t, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM built
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ls) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(ls,
+                               l -> list_contains(
+                                 ['•','‣','▪','◦','·','-','*'],
+                                 substring(l, 1, 1)))) AS DOUBLE)
+                             / len(ls) END AS bullet_line_frac,
+                   CASE WHEN len(ls) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(ls,
+                               l -> ends_with(l, '...')
+                                    OR ends_with(l, '…'))) AS DOUBLE)
+                             / len(ls) END AS ellipsis_line_frac,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                                   / len(ws) END AS dup_word_frac
+            FROM parts
         """,
         # Corpus data card: same grouping/bucket/ratio spelling as
         # report.corpus_report, token counts via the shared tokenizer's

@@ -197,6 +197,11 @@ REP_NGRAM_TOP = (2, 3, 4)
 REP_NGRAM_DUP = (5, 6, 7, 8, 9, 10)
 
 
+# the Gopher bullet set: the paper names "•" and "-"; the CJK/typo-
+# graphic variants cover the same list-page shape on real web text
+_BULLET_CHARS = "•‣▪◦·-*"
+
+
 def repetition_signals_py(text: str | None) -> dict:
     """One document's Gopher-style repetition signals (Rae et al. 2021,
     A1.1), exact definitions as implemented:
@@ -262,6 +267,28 @@ def repetition_signals_py(text: str | None) -> dict:
             frac = sum(
                 l for l, c in zip(wlens, covered) if c) / total_word_chars
         out[f"dup_{n}gram_char_frac"] = frac
+
+    # Gopher A1 document-structure signals (same paper, §A1.1 list
+    # rules): fraction of non-empty lines that are bullet points /
+    # that trail off in an ellipsis, and the duplicate-word fraction
+    # (1 - distinct/total — spelled as a DUPLICATE fraction so every
+    # signal in this family shares exceed-drops threshold semantics).
+    # Lines strip the EXPLICIT " \t" set on both ends — python
+    # str.strip() is Unicode-wide while DuckDB trim(s, chars) is
+    # literal, so the shared explicit set keeps the SQL oracle
+    # byte-equivalent (the wordhash UWS lesson, one level up).
+    stripped = [ln.strip(" \t") for ln in t.split("\n")]
+    nonempty = [ln for ln in stripped if ln]
+    nl = len(nonempty)
+    out["bullet_line_frac"] = (
+        sum(1 for ln in nonempty if ln[0] in _BULLET_CHARS) / nl
+        if nl else 0.0)
+    out["ellipsis_line_frac"] = (
+        sum(1 for ln in nonempty
+            if ln.endswith("...") or ln.endswith("…")) / nl
+        if nl else 0.0)
+    out["dup_word_frac"] = (
+        1.0 - len(set(words)) / len(words) if words else 0.0)
     return out
 
 
@@ -287,6 +314,7 @@ def repetition_signals(
          "dup_para_frac", "dup_para_char_frac"]
         + [f"top_{n}gram_char_frac" for n in REP_NGRAM_TOP]
         + [f"dup_{n}gram_char_frac" for n in REP_NGRAM_DUP]
+        + ["bullet_line_frac", "ellipsis_line_frac", "dup_word_frac"]
     )
     out_schema = T.StructType(
         [T.StructField(key_col, df.schema[key_col].dataType)]

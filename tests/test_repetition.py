@@ -79,3 +79,58 @@ def test_spark_kernel_matches_python(spark):
         have = got[row["k"]]
         for k, v in want.items():
             assert have[k] == pytest.approx(v), (row["k"], k)
+
+
+def test_structure_signals_bullet_ellipsis_dupword():
+    # 4 non-empty lines: 2 bullets (one tab-indented), 1 ellipsis,
+    # 1 plain; the blank and whitespace-only lines don't count
+    t = ("• first point\n"
+         "\t- second point\n"
+         "   \n"
+         "\n"
+         "trailing thought...\n"
+         "plain line here")
+    s = repetition_signals_py(t)
+    assert s["bullet_line_frac"] == pytest.approx(2 / 4)
+    assert s["ellipsis_line_frac"] == pytest.approx(1 / 4)
+    # unicode ellipsis and … variant
+    s2 = repetition_signals_py("ends mid sentence…")
+    assert s2["ellipsis_line_frac"] == 1.0
+    # dup_word_frac: 6 words, 4 distinct -> 1 - 4/6
+    s3 = repetition_signals_py("spark spark rdd rdd plan codegen")
+    assert s3["dup_word_frac"] == pytest.approx(1 - 4 / 6)
+    # degenerate inputs
+    for t0 in ("", None, "\n \n\t\n"):
+        s0 = repetition_signals_py(t0)
+        assert s0["bullet_line_frac"] == 0.0
+        assert s0["ellipsis_line_frac"] == 0.0
+        assert s0["dup_word_frac"] == 0.0
+
+
+def test_structure_signal_gates_in_curate(spark):
+    """The new signals ride the existing repetition-gate stage: a
+    bullet-list page drops at max bullet_line_frac while prose
+    survives."""
+    from dqc_spark.pagesgen import generate_pages
+    from dqc_spark.pipeline import curate
+
+    pages = generate_pages(spark, 40, n_partitions=2)
+    from pyspark.sql import functions as F
+    listified = pages.withColumn(
+        "text",
+        F.when(F.col("url").rlike("[02468]$"),
+               F.concat(F.lit("• "),
+                        F.regexp_replace("text", "\n", "\n• ")))
+        .otherwise(F.col("text")))
+    base = curate(listified, near_dup_threshold=None)
+    gated = curate(listified, near_dup_threshold=None,
+                   repetition_thresholds={"bullet_line_frac": 0.5})
+    kept_base = {r["doc_key"] for r in base.select("doc_key").collect()}
+    kept_gated = {r["doc_key"] for r in gated.select("doc_key").collect()}
+    assert kept_gated < kept_base  # strictly fewer survive
+    # every additionally-dropped doc really is bullet-heavy
+    from dqc_spark.textstats import repetition_signals_py
+    texts = {r["doc_key"]: r["scrubbed_text"]
+             for r in base.select("doc_key", "scrubbed_text").collect()}
+    for k in kept_base - kept_gated:
+        assert repetition_signals_py(texts[k])["bullet_line_frac"] > 0.5
