@@ -355,7 +355,7 @@ TAIL_ORDER = [
     # semantics): the r4 window is at its 50-row cap, and a rows-only
     # check adds less than a rotated-out SQL-oracled row would lose
     "gate_threshold_calibration",
-    # the eight checks rotated out of the r4 window (see DRIVER_ORDER
+    # the nine checks rotated out of the r4 window (see DRIVER_ORDER
     # note): driver-green in r1∪r2∪r3, re-verified locally every round
     "check_col_count",
     "check_pair_equal",

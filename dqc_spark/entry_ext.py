@@ -21,6 +21,17 @@ _ALTOKS_SQL = unicode_alnum_tokens_sql("coalesce(text, '')")
 _WSTOKS_SQL = unicode_tokens_sql("coalesce(text, '')")
 _FTOKS_SQL = fold_tokens_sql("coalesce(text, '')")
 
+# python str.split()'s EXACT whitespace set as an RE2 class: the UWS
+# class plus the four ASCII information separators (the full-codepoint
+# sweep in test_unicode_tokens pins UWS == python-whitespace minus
+# exactly those four).  Oracles mirroring a kernel that tokenizes with
+# bare str.split() must split on THIS, not '\s+' — RE2 \s is
+# ASCII-only, so NBSP/NEL/U+2000-200A/ideographic-space text would
+# silently diverge (review finding on text_structure_signals).
+from dqc_spark.wordhash import UWS_CLASS as _UWS
+
+_PYWS_SPLIT = f"[{_UWS}\x1c-\x1f]+"
+
 
 def _t(spark, sf_dir, name):
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -5034,8 +5045,10 @@ def extra_oracle_sql():
         # Gopher structure signals: the same planted composition as
         # _structure_text_col, lines stripped with the EXPLICIT ' \t'
         # set (trim(s, chars) is literal in DuckDB, matching the
-        # kernel's str.strip(' \t')); int-ratio doubles compare raw
-        "text_structure_signals": """
+        # kernel's str.strip(' \t')); words split on _PYWS_SPLIT (the
+        # kernel's str.split() set, NOT RE2's ASCII \s); int-ratio
+        # doubles compare raw
+        "text_structure_signals": f"""
             WITH built AS (
               SELECT doc_id,
                      '• ' || substr(text, 1, 40) || chr(10) || text
@@ -5054,7 +5067,8 @@ def extra_oracle_sql():
                        list_transform(string_split(t, chr(10)),
                                       l -> trim(l, ' ' || chr(9))),
                        l -> l <> '') AS ls,
-                     list_filter(regexp_split_to_array(t, '\\s+'),
+                     list_filter(regexp_split_to_array(t,
+                                   '{_PYWS_SPLIT}'),
                                  w -> w <> '') AS ws
               FROM built
             )

@@ -134,3 +134,31 @@ def test_structure_signal_gates_in_curate(spark):
              for r in base.select("doc_key", "scrubbed_text").collect()}
     for k in kept_base - kept_gated:
         assert repetition_signals_py(texts[k])["bullet_line_frac"] > 0.5
+
+
+def test_structure_oracle_word_split_matches_python_split():
+    """The oracle's word-split class must equal python str.split()'s
+    whitespace set EXACTLY — RE2 '\\s' is ASCII-only, so NBSP/NEL/
+    U+2000-200A/ideographic-space text would silently diverge (review
+    finding).  Probed live against DuckDB on exotic-whitespace text,
+    plus a full-codepoint sweep of the class itself."""
+    import re
+
+    import duckdb
+
+    from dqc_spark.entry_ext import _PYWS_SPLIT
+
+    samples = ["a\u00a0b", "a\u2003b\u2009c", "x\u3000y", "a\x1cb",
+               "a\x0bb", "\u0085n", "plain words here", "", "\u2022"]
+    con = duckdb.connect()
+    for t in samples:
+        got = con.execute(
+            "SELECT len(list_filter(regexp_split_to_array(?, ?),"
+            " x -> x <> ''))", [t, _PYWS_SPLIT]).fetchone()[0]
+        assert got == len(t.split()), repr(t)
+    one = re.compile(_PYWS_SPLIT[:-1])  # strip the '+': one-char class
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue  # surrogates: not encodable text
+        c = chr(cp)
+        assert bool(one.fullmatch(c)) == (c.split() == []), hex(cp)
