@@ -1150,9 +1150,18 @@ def main(argv=None) -> int:
         if args.report:
             from dqc_spark.report import corpus_report, report_markdown
 
-            # out_df re-reads the WRITTEN corpus (multi-consumer rule:
-            # never re-run the curation plan for a summary)
-            print(report_markdown(corpus_report(out_df)))
+            # same column validation as the standalone report verb: a
+            # curated corpus without lang/text must surface as a clean
+            # warning, not an AnalysisException traceback
+            missing = [c_ for c_ in ("lang", "text")
+                       if c_ not in out_df.columns]
+            if missing:
+                print(f"curate: --report skipped (curated output lacks "
+                      f"column(s) {missing}; has {out_df.columns})")
+            else:
+                # out_df re-reads the WRITTEN corpus (multi-consumer
+                # rule: never re-run the curation plan for a summary)
+                print(report_markdown(corpus_report(out_df)))
         n_in = pages.count()
         n_out = out_df.count()
         print(f"curated {n_in} -> {n_out} docs at {args.output}")

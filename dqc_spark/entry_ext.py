@@ -5047,19 +5047,24 @@ def extra_oracle_sql():
         # set (trim(s, chars) is literal in DuckDB, matching the
         # kernel's str.strip(' \t')); words split on _PYWS_SPLIT (the
         # kernel's str.split() set, NOT RE2's ASCII \s); int-ratio
-        # doubles compare raw
+        # doubles compare raw.  The composed string is coalesced to ''
+        # so a NULL-text doc yields 0.0 fractions like the kernel's
+        # None branch (DuckDB list functions otherwise propagate NULL
+        # past the len=0 CASE and the differential breaks on the first
+        # NULL row).
         "text_structure_signals": f"""
             WITH built AS (
               SELECT doc_id,
-                     '• ' || substr(text, 1, 40) || chr(10) || text
-                     || CASE WHEN doc_id % 3 = 0
-                             THEN chr(10) || substr(text, 1, 40) || '...'
-                             ELSE '' END
-                     || CASE WHEN doc_id % 5 = 0
-                             THEN chr(10) || chr(9) || '- '
-                                  || substr(text, 1, 40)
-                             ELSE '' END
-                     || chr(10) AS t
+                     coalesce(
+                       '• ' || substr(text, 1, 40) || chr(10) || text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || substr(text, 1, 40) || '...'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || chr(9) || '- '
+                                    || substr(text, 1, 40)
+                               ELSE '' END
+                       || chr(10), '') AS t
               FROM documents
             ), parts AS (
               SELECT doc_id,

@@ -520,11 +520,14 @@ class SnapshotTable:
         guaranteed to_json key order; diff keys on them are unsupported.
 
         Duplicate keys are handled as multisets: per key each side
-        aggregates (row count, sum of a 31-bit digest slice) — a pair
-        collision would need two different row-sets with equal count
-        AND equal digest sum, vanishing odds for real corpora — and a
-        key is ``changed`` when the pair differs.  ``n_from``/``n_to``
-        carry the per-key row counts for dup-key diagnosis.
+        aggregates (row count, sums of TWO disjoint 31-bit digest
+        slices) — a collision would need two different row-sets with
+        equal count AND equal sums of both independent slices, ~2^-62
+        per changed key, negligible even at 10^9 changed keys per diff
+        (a single slice's 2^-31 would expect ~0.5 silent misses at
+        that scale) — and a key is ``changed`` when the triple
+        differs.  ``n_from``/``n_to`` carry the per-key row counts for
+        dup-key diagnosis.
 
         Returns: ``key_cols…, change ('added'|'removed'|'changed'),
         n_from, n_to`` (counts NULL on the absent side).
@@ -542,15 +545,21 @@ class SnapshotTable:
                   if c in set(old.columns) and c not in key_cols]
 
         def _fp(df: DataFrame) -> DataFrame:
-            # 31-bit slice of the row digest: summable without bigint
-            # overflow below ~2^31 rows per key
+            # two disjoint 31-bit slices of the row digest: each is
+            # summable without bigint overflow below ~2^31 rows per
+            # key, and together they give ~62-bit change resistance
             sig = (F.md5(F.to_json(F.struct(*[F.col(c) for c in common])))
                    if common else F.lit(""))
-            h31 = F.conv(F.substring(F.md5(sig), 1, 8), 16, 10) \
-                .cast("bigint") % F.lit(1 << 31)
+            h = F.md5(sig)
+
+            def _slice(start: int):
+                return F.conv(F.substring(h, start, 8), 16, 10) \
+                    .cast("bigint") % F.lit(1 << 31)
+
             return df.groupBy(*key_cols).agg(
                 F.count(F.lit(1)).alias("__n"),
-                F.sum(h31).alias("__s"))
+                F.sum(_slice(1)).alias("__s"),
+                F.sum(_slice(9)).alias("__s2"))
 
         o = _fp(old).alias("o")
         n = _fp(new).alias("n")
@@ -564,7 +573,8 @@ class SnapshotTable:
             .when(F.col("n.__n").isNull(), F.lit("removed"))
             .when(
                 (F.col("o.__n") != F.col("n.__n"))
-                | (F.col("o.__s") != F.col("n.__s")),
+                | (F.col("o.__s") != F.col("n.__s"))
+                | (F.col("o.__s2") != F.col("n.__s2")),
                 F.lit("changed"))
         )
         keys = [
@@ -616,7 +626,16 @@ class SnapshotTable:
         data files only they referenced.  The retention/storage dial
         a production table needs: time travel works within the kept
         window, storage is bounded by it.  Returns the expired
-        version numbers."""
+        version numbers.
+
+        Stream markers survive expiry: before a manifest carrying a
+        ``stream_run`` commit marker is removed, its (run, epoch) is
+        max-merged into ``meta/stream_markers.json`` so the
+        exactly-once replay check (``streaming.snaptable_epoch_sink``)
+        still sees the run's newest committed epoch even when a
+        crashed query's checkpoint lags the expiry window — without
+        the carry-forward a replayed epoch would silently commit
+        twice.  Carried markers cost bytes, not retained data files."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         head = self.current_version()
@@ -624,11 +643,35 @@ class SnapshotTable:
             h["version"] for h in self.history()
             if h["version"] <= head - keep_last
         ]
+        carried = self.stream_markers()
+        for v in expired:
+            props = self.manifest(v).get("props", {})
+            run, epoch = props.get("stream_run"), props.get("stream_epoch")
+            if run is not None and epoch is not None:
+                prev = carried.get(run)
+                if prev is None or int(epoch) > prev:
+                    carried[run] = int(epoch)
         for v in expired:
             os.remove(self._manifest_path(v))
         if expired:
+            if carried:
+                _atomic_write(
+                    os.path.join(self.meta, "stream_markers.json"),
+                    json.dumps(carried, sort_keys=True),
+                )
             self.vacuum()
         return expired
+
+    def stream_markers(self) -> dict[str, int]:
+        """Per-stream-run newest epochs carried forward from EXPIRED
+        manifests (``{stream_run: max committed epoch}``).  Live
+        manifests are authoritative for anything newer; this file only
+        backstops the replay walk when expiry removed the marker."""
+        try:
+            with open(os.path.join(self.meta, "stream_markers.json")) as f:
+                return {str(k): int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO committed manifest —

@@ -341,6 +341,15 @@ def snaptable_epoch_sink(
                 # every batch whose id collides with the old run's
                 # history (found in review).
                 return p["stream_epoch"] == str(epoch_id)
+        # no live manifest carries this run's marker — consult the
+        # markers carried forward by expire_snapshots.  Carried epochs
+        # are always <= any live manifest's epoch for the same run
+        # (expiry only removes OLDER versions), so checking them last
+        # is safe; without this a crashed query restarting after an
+        # expiry would re-commit its already-committed epochs.
+        carried = t.stream_markers().get(run)
+        if carried is not None:
+            return carried >= epoch_id
         return False
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -356,14 +365,22 @@ def snaptable_epoch_sink(
                           dict(marker),
                           input_snapshot=f"epoch={epoch_id}")
             return
-        # persist: the annotated frame embeds the scoring pandas UDF
-        # and feeds TWO consumers (audit agg + commit write)
-        ann = annotate(batch_df, thresholds=thresholds).persist()
+        # persist only when audited: the annotated frame embeds the
+        # scoring pandas UDF and feeds TWO consumers then (audit agg +
+        # commit write); with no audit sink the agg job (and the
+        # persist that pays for it) would be a wasted extra Spark job
+        # per micro-batch
+        ann = annotate(batch_df, thresholds=thresholds)
+        if audit is not None:
+            ann = ann.persist()
+        row = None
         try:
-            row = ann.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-            ).first()
+            if audit is not None:
+                row = ann.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                    .alias("kept"),
+                ).first()
             kept = ann.filter(F.col("keep"))
             if recent is None:
                 st.create(spark, table_root, kept, props=marker)
@@ -371,7 +388,8 @@ def snaptable_epoch_sink(
             else:
                 version = t.append(kept, props=marker)
         finally:
-            ann.unpersist()
+            if audit is not None:
+                ann.unpersist()
         if audit is not None:
             audit.log(
                 "stream_epoch_committed", True,
