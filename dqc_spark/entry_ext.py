@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -1160,32 +1162,46 @@ def q_substr_dedup(spark, sf):
 
 
 def q_hashed_tfidf(spark, sf):
-    # model-free document vectors (hashing trick + IDF): rows-only (the
-    # md5 bucket assignment is engine-specific; unit-norm/parity pinned
-    # by test_textvectors).  nnz + 2dp norm summarize each vector
-    # robustly (norm is exactly 1 or 0).
-    from dqc_spark.textvectors import hashed_tfidf
+    # model-free document vectors (hashing trick + IDF), compared as
+    # the SPARSE float64 (doc_id, bucket, weight) frame — every stage
+    # (bucket = little-endian md5 % dim, signed tf, smoothed IDF, L2
+    # norm) is SQL-expressible there, unlike the float32 array the
+    # vector path assembles (assembly parity is pinned by
+    # test_textvectors).  ROUND(…,6): idf/norm contain ln/sqrt over
+    # engine-ordered float sums, so the engines compute DIFFERENT
+    # doubles and ROUND absorbs the cross-engine error (CLAUDE.md
+    # rounding-mode rule).
+    from dqc_spark.textvectors import hashed_tfidf_weights
 
     docs = _t(spark, sf, "documents")
-    vecs = hashed_tfidf(docs, "doc_id", dim=128)
-    return vecs.select(
+    w = hashed_tfidf_weights(docs, "doc_id", dim=128)
+    return w.select(
         F.col("key").alias("doc_id"),
-        F.size(F.filter("embedding", lambda x: x != 0)).alias("nnz"),
-        F.round(
-            F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                               lambda a, x: a + x.cast("double") * x)),
-            2,
-        ).alias("norm_2dp"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("weight", 6).alias("w_6dp"),
     )
 
 
+# fixed reference coefficients for the SQL-comparable scoring leg of
+# q_quality_model: the sigmoid/feature plumbing is verified against
+# DuckDB at these constants, independent of whatever beta the IRLS fit
+# converges to (the fit itself is iterative and stays pytest-pinned)
+_QM_REF_BETA = {"intercept": -2.0, "n_words": 0.01, "alpha_ratio": 1.5,
+                "punct_ratio": -2.0, "stopword_ratio": 1.0}
+
+
 def q_quality_model(spark, sf):
-    # distributed IRLS quality-classifier fit (iterative — rows-only;
-    # the convergence/parity contract is pinned by test_qualitymodel):
-    # learn P(n_chars >= 300) from the text-quality features, report a
-    # 1-row training summary.  Accuracy rounds to 2dp — far from any
-    # boundary the 1e-12 partial-sum drift could flip.
-    from dqc_spark.qualitymodel import score_col, train_logreg
+    # distributed IRLS quality-classifier fit + SQL-comparable scoring:
+    # the fit (learn P(n_chars >= 300) from the text-quality features)
+    # is iterative/engine-specific, so its convergence/accuracy
+    # contract is pinned by test_qualitymodel — but the entry now ALSO
+    # surfaces its result for the driver: the returned frame carries
+    # `converged` (the real fit's flag; a broken fit flips every row
+    # vs the oracle's TRUE) plus per-doc sigmoid scores at the FIXED
+    # reference beta above, which the DuckDB oracle reproduces exactly
+    # (ROUND 6: exp is transcendental, so the engines' libms differ in
+    # the last ULP even on bit-identical z — CLAUDE.md rule).
+    from dqc_spark.qualitymodel import LogRegModel, score_col, train_logreg
     from dqc_spark.textstats import quality_scores
 
     docs = _t(spark, sf, "documents")
@@ -1195,15 +1211,20 @@ def q_quality_model(spark, sf):
     fcols = ["n_words", "alpha_ratio", "punct_ratio", "stopword_ratio"]
     feats = feats.persist()
     model = train_logreg(feats, fcols, "y")
-    acc = feats.select(
-        ((score_col(model) > 0.5) == (F.col("y") == 1.0)).cast("double").alias("ok")
-    ).agg(F.avg("ok").alias("acc")).first()["acc"]
-    n = feats.count()
-    feats.unpersist()
-    return spark.createDataFrame(
-        [(n, bool(model.converged), round(acc, 2))],
-        "n_rows bigint, converged boolean, acc_2dp double",
+    ref = LogRegModel(
+        feature_cols=fcols,
+        weights=np.array([_QM_REF_BETA[c] for c in fcols]),
+        intercept=_QM_REF_BETA["intercept"],
+        n_iters=0, converged=True, final_loss=0.0,
     )
+    out = feats.select(
+        "doc_id",
+        F.round(score_col(ref), 6).alias("score_6dp"),
+        F.lit(bool(model.converged)).alias("converged"),
+    )
+    out = out.localCheckpoint()  # materialize before the unpersist
+    feats.unpersist()
+    return out
 
 
 def q_dsir_select(spark, sf):
@@ -3718,6 +3739,88 @@ def extra_oracle_sql():
                           + LEAST(sw_r * 4, 1.0) * 0.3
                           + alpha_r * 0.3) * 10000) / 10000 AS quality_score
             FROM f
+        """,
+        # fixed-beta logistic scoring over the quality features: z is
+        # built from int-ratio doubles (bit-identical across engines)
+        # with literals CAST to DOUBLE and the same left-to-right
+        # association as score_col; sigmoid contains exp, so ROUND 6 on
+        # both sides (transcendental rule).  `converged` mirrors the
+        # real IRLS fit's flag — the oracle pins it TRUE, so a broken
+        # fit flips every row.
+        "quality_model_fit": rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS nw,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS alpha_r,
+                     CASE WHEN length(text) > 0 THEN
+                       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                       / length(text) ELSE 0.0 END AS punct_r,
+                     CASE WHEN length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                                  x -> x <> '')) > 0 THEN
+                       CAST(length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                       / length(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) ELSE 0.0 END AS sw_r
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(CAST(-2.0 AS DOUBLE)
+                     + COALESCE(CAST(nw AS DOUBLE), CAST(0.0 AS DOUBLE))
+                       * CAST(0.01 AS DOUBLE)
+                     + alpha_r * CAST(1.5 AS DOUBLE)
+                     + punct_r * CAST(-2.0 AS DOUBLE)
+                     + sw_r * CAST(1.0 AS DOUBLE)))), 6) AS score_6dp,
+                   TRUE AS converged
+            FROM f
+        """,
+        # sparse hashed TF-IDF frame.  bucket = (little-endian md5
+        # uint64) % 128 — 128 divides 256, so only the digest's FIRST
+        # byte (hex chars 1-2) matters; sign = bit 0 of byte 8 (hex
+        # char 18).  tf is an exact integer-valued double; idf/norm
+        # contain ln/sqrt over engine-ordered sums -> ROUND 6 on both
+        # sides.  The per-doc sentinel in the Spark DF pass counts ALL
+        # docs (incl. empty), matching COUNT(*).
+        "text_hashed_tfidf": f"""
+            WITH tw AS (
+              SELECT doc_id, unnest({_FTOKS_SQL}) AS w
+              FROM documents
+            ), tb AS (
+              SELECT doc_id, md5(w) AS hx FROM tw
+            ), tok AS (
+              SELECT doc_id,
+                     ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1))
+                       % 128 AS bucket,
+                     CASE WHEN (strpos('0123456789abcdef',
+                                       substr(hx, 18, 1)) - 1) % 2 = 1
+                          THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+              FROM tb
+            ), tf AS (
+              SELECT doc_id, bucket, SUM(sgn) AS tf
+              FROM tok GROUP BY doc_id, bucket
+            ), dfreq AS (
+              SELECT bucket, COUNT(DISTINCT doc_id) AS dfb
+              FROM tok GROUP BY bucket
+            ), nd AS (
+              SELECT COUNT(*) AS n_docs FROM documents
+            ), widf AS (
+              SELECT tf.doc_id, tf.bucket,
+                     tf.tf * (ln((CAST(1.0 AS DOUBLE) + nd.n_docs)
+                                 / (CAST(1.0 AS DOUBLE) + dfreq.dfb))
+                              + CAST(1.0 AS DOUBLE)) AS wgt
+              FROM tf JOIN dfreq USING (bucket) CROSS JOIN nd
+            ), nrm AS (
+              SELECT doc_id, sqrt(SUM(wgt * wgt)) AS nn
+              FROM widf GROUP BY doc_id
+            )
+            SELECT widf.doc_id, CAST(widf.bucket AS BIGINT) AS bucket,
+                   ROUND(widf.wgt / nrm.nn, 6) AS w_6dp
+            FROM widf JOIN nrm USING (doc_id)
+            WHERE widf.wgt <> 0
         """,
         "text_langid_heuristic": r"""
             WITH f AS (

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from dqc_spark.wordhash import fold_tokens, md5_word
 
-__all__ = ["hashed_tfidf", "hashed_tf_py"]
+__all__ = ["hashed_tfidf", "hashed_tfidf_weights", "hashed_tf_py"]
 
 
 def _tok_bucket_sign(word: str, dim: int, cache: dict) -> tuple[int, float]:
@@ -87,6 +87,27 @@ def _doc_buckets(df: DataFrame, text_col: str, dim: int) -> DataFrame:
     )
 
 
+def _idf_vector(df: DataFrame, text_col: str, dim: int) -> np.ndarray:
+    """The broadcastable IDF table — shared by the vector and weights
+    paths so the two can never drift."""
+    dfreq = (
+        _doc_buckets(df, text_col, dim)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()  # <= dim+1 rows — the IDF table is metadata-sized
+    )
+    # bucket -1 is the per-doc sentinel: its count IS n_docs (one
+    # DF pass yields both — no separate df.count() action)
+    n_docs = sum(r["df"] for r in dfreq if r["bucket"] == -1)
+    idf_vec = np.ones(dim, dtype=np.float64)
+    for r in dfreq:
+        if r["bucket"] < 0:
+            continue
+        # smoothed idf: ln((1+N)/(1+df)) + 1  (sklearn convention)
+        idf_vec[r["bucket"]] = np.log((1.0 + n_docs) / (1.0 + r["df"])) + 1.0
+    return idf_vec
+
+
 def hashed_tfidf(
     df: DataFrame,
     key_col: str,
@@ -98,24 +119,8 @@ def hashed_tfidf(
     TF(-IDF) vectors, drop-in input for ``similarity.embedding_near_dups``
     / ``LshIndex`` / ``ivf``.  Empty/NULL docs get the zero vector."""
     spark = df.sparkSession
-    if idf:
-        dfreq = (
-            _doc_buckets(df, text_col, dim)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .collect()  # <= dim+1 rows — the IDF table is metadata-sized
-        )
-        # bucket -1 is the per-doc sentinel: its count IS n_docs (one
-        # DF pass yields both — no separate df.count() action)
-        n_docs = sum(r["df"] for r in dfreq if r["bucket"] == -1)
-        idf_vec = np.ones(dim, dtype=np.float64)
-        for r in dfreq:
-            if r["bucket"] < 0:
-                continue
-            # smoothed idf: ln((1+N)/(1+df)) + 1  (sklearn convention)
-            idf_vec[r["bucket"]] = np.log((1.0 + n_docs) / (1.0 + r["df"])) + 1.0
-    else:
-        idf_vec = np.ones(dim, dtype=np.float64)
+    idf_vec = (_idf_vector(df, text_col, dim) if idf
+               else np.ones(dim, dtype=np.float64))
     bc_idf = spark.sparkContext.broadcast(idf_vec)
 
     out_schema = T.StructType(
@@ -137,5 +142,60 @@ def hashed_tfidf(
                     v /= n
                 vecs.append(v.astype(np.float32).tolist())
             yield pd.DataFrame({"key": pdf[key_col].to_numpy(), "embedding": vecs})
+
+    return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def hashed_tfidf_weights(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    idf: bool = True,
+) -> DataFrame:
+    """(key, bucket, weight:double) — the NONZERO entries of the same
+    L2-normalized vectors ``hashed_tfidf`` assembles, kept in float64.
+
+    This sparse frame is the SQL-expressible face of the hashing trick
+    (bucket = little-endian-md5 % dim, signed tf, smoothed IDF, L2
+    norm are all plain aggregates), so it can be differentialed
+    against a DuckDB oracle where the float32 array cannot; it shares
+    ``hashed_tf_py`` and ``_idf_vector`` with the vector path, so the
+    two can never drift — pinned by ``test_textvectors``'s
+    assembly-parity test.  Empty/NULL docs emit no rows (their vector
+    is all-zero)."""
+    spark = df.sparkSession
+    idf_vec = (_idf_vector(df, text_col, dim) if idf
+               else np.ones(dim, dtype=np.float64))
+    bc_idf = spark.sparkContext.broadcast(idf_vec)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", df.schema[key_col].dataType),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iv = bc_idf.value
+        cache: dict = {}
+        for pdf in batches:
+            keys: list = []
+            buckets: list[int] = []
+            weights: list[float] = []
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                v = hashed_tf_py(text, dim, cache) * iv
+                n = np.linalg.norm(v)
+                if n > 0:
+                    v /= n
+                (nz,) = np.nonzero(v)
+                keys.extend([key] * len(nz))
+                buckets.extend(int(b) for b in nz)
+                weights.extend(float(v[b]) for b in nz)
+            yield pd.DataFrame(
+                {"key": keys, "bucket": pd.array(buckets, dtype="int32"),
+                 "weight": pd.array(weights, dtype="float64")}
+            )
 
     return df.select(key_col, text_col).mapInPandas(kernel, schema=out_schema)

@@ -82,3 +82,26 @@ def test_feeds_embedding_near_dup_stack(spark, vec_docs):
         vecs, q, k=2, key_col="key", vec_col="embedding"
     ).collect()
     assert [r["key"] for r in top][:2] == [1, 2]  # self, then the near-dup
+
+
+def test_weights_frame_assembles_to_the_vector_path(spark, vec_docs):
+    # hashed_tfidf_weights is the SQL-oracled sparse face of
+    # hashed_tfidf: scattering its float64 (key, bucket, weight) rows
+    # into a dense float32 vector must reproduce the vector path
+    # bit-for-bit (both share hashed_tf_py + _idf_vector), and
+    # empty/NULL docs emit no rows (their vector is all-zero)
+    from dqc_spark.textvectors import hashed_tfidf_weights
+
+    rows, df = vec_docs
+    dim = 64
+    dense = {r["key"]: np.array(r["embedding"], dtype=np.float32)
+             for r in hashed_tfidf(df, "doc_id", dim=dim).collect()}
+    sparse: dict[int, np.ndarray] = {
+        key: np.zeros(dim, dtype=np.float64) for key, _ in rows}
+    for r in hashed_tfidf_weights(df, "doc_id", dim=dim).collect():
+        assert r["weight"] != 0.0
+        sparse[r["key"]][r["bucket"]] = r["weight"]
+    for key, _ in rows:
+        np.testing.assert_array_equal(
+            sparse[key].astype(np.float32), dense[key])
+    assert not np.any(sparse[4]) and not np.any(sparse[5])
