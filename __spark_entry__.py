@@ -267,12 +267,13 @@ def q_distinct_not_in_set(spark, sf):
 # so the dict order below is the row budget.  Round-4 policy (the r3
 # verdict's rotation ask): the reference check surface (20 rows, always
 # in the window) + the 13 registered queries that had NO driver row in
-# r1∪r2∪r3 + every operator new in round 4 — after r4 every registered
-# query has a driver row in some round.  Everything rotated out keeps
-# its prior-round green row and stays pinned by the local differential
-# (tools/oracle_check.py re-verifies all 117+ every round) and pytest.
-# tests/test_entry_contract.py asserts the order lists and the
-# registered queries stay in sync.
+# r1∪r2∪r3 + round-4 operators + the round-5 rotation (text_pii_spans,
+# gate_threshold_calibration, dedup_incremental_near) — after r5 every
+# registered query has a driver row in some round.  Everything rotated
+# out keeps its prior-round green row and stays pinned by the local
+# differential (tools/oracle_check.py re-verifies the full registry
+# every round) and pytest.  tests/test_entry_contract.py asserts the
+# order lists and the registered queries stay in sync.
 DRIVER_ORDER = [
     # reference check surface.  Three trivial members (col-count,
     # column-exists — catalog ops with no scan — and pair-equal, one
@@ -285,15 +286,17 @@ DRIVER_ORDER = [
     # distinct-in-set) yield their slots to the final-session
     # operators (priority dedup ×2, epoch mixing) so the r4 window
     # stays at the 50-row cap with full registry coverage.
+    # r5: three more four-times-green checks (regex, type, row-counts)
+    # yield their slots so the two never-driver-checked entries
+    # (text_pii_spans, gate_threshold_calibration) and the new
+    # incremental near-dup operator fit the 50-row cap with every
+    # registered query driver-checked in r1∪…∪r5.
     "check_unique_violations",
     "check_not_null",
     "check_referential",
-    "check_regex",
-    "check_type",
     "check_agg_bounds",
     "check_completeness_freshness",
     "check_date_format",
-    "check_row_counts",
     "check_increasing",
     # --- round-4 rotation: the 13 registered queries with no driver
     # row in r1∪r2∪r3 (VERDICT r3 'What's wrong' §3 / 'Next round' #2).
@@ -345,18 +348,26 @@ DRIVER_ORDER = [
     "snaptable_diff",
     "corpus_report_by_lang",
     "text_structure_signals",
+    # --- new/rotated in for round 5 ---
+    # the two entries with no driver row in any prior round (both
+    # rows-only, pytest-pinned; VERDICT r4 'Next round' #2)…
+    "text_pii_spans",
+    "gate_threshold_calibration",
+    # …and the round-5 operator: persisted cross-run MinHash band
+    # index (bandindex.py; rows-only, parity pytest-pinned)
+    "dedup_incremental_near",
 ]
 
 # Everything below has a green driver row in r1∪r2∪r3; correctness is
 # re-pinned every round by the local differential + pytest.  Head of
 # the tail = the r3-window entries rotated out for the round-4 batch.
 TAIL_ORDER = [
-    # gate_threshold_calibration is rows-only (pytest-pinned quantile
-    # semantics): the r4 window is at its 50-row cap, and a rows-only
-    # check adds less than a rotated-out SQL-oracled row would lose
-    "gate_threshold_calibration",
-    # the nine checks rotated out of the r4 window (see DRIVER_ORDER
-    # note): driver-green in r1∪r2∪r3, re-verified locally every round
+    # the twelve checks rotated out of the r4/r5 windows (see
+    # DRIVER_ORDER note): driver-green in three+ prior rounds,
+    # re-verified locally every round
+    "check_regex",
+    "check_type",
+    "check_row_counts",
     "check_col_count",
     "check_pair_equal",
     "check_column_exists",
@@ -451,10 +462,6 @@ TAIL_ORDER = [
     "olap_asof_join",
     "olap_range_join",
     "media_features",
-    # new after the r4 window filled — no driver row yet: rows-only,
-    # pinned by the byte-parity pytest (test_piispans.py); first r5
-    # rotation candidate
-    "text_pii_spans",
 ]
 
 

@@ -289,6 +289,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-group", default="incremental",
                    help="audit input_snapshot label for --incremental "
                         "runs")
+    p.add_argument("--near-index", default=None,
+                   help="persisted MinHash band index path for "
+                        "--incremental: drop increment docs that are "
+                        "near-dups of PRIOR runs' survivors (prior "
+                        "text is never re-read) and append this run's "
+                        "survivors to the index; first run creates it")
+    p.add_argument("--near-index-threshold", type=float, default=0.7,
+                   help="estimated-Jaccard cut for --near-index "
+                        "(default 0.7)")
 
     p = sub.add_parser("profile",
                        help="per-column null/distinct/min/max, one scan")
@@ -1113,6 +1122,8 @@ def main(argv=None) -> int:
                           input_snapshot=args.run_group)
                 summary = curate_incremental(
                     spark, pages, args.output, audit, args.run_group,
+                    near_index_path=args.near_index,
+                    near_index_threshold=args.near_index_threshold,
                     **curate_kwargs)
                 if stage_metrics is not None:
                     for stage, n in stage_metrics.items():
@@ -1121,9 +1132,13 @@ def main(argv=None) -> int:
                     print(f"incremental: nothing new "
                           f"({summary['n_input']} inputs all ingested)")
                 else:
+                    near = (f", {summary['n_near_dropped']} cross-run "
+                            f"near-dups dropped" if args.near_index
+                            else "")
                     print(f"incremental: {summary['n_new']} new of "
                           f"{summary['n_input']} inputs -> appended "
-                          f"{summary['n_appended']} docs at {args.output}")
+                          f"{summary['n_appended']} docs at "
+                          f"{args.output}{near}")
                 return 0
             cur = curate(pages, **curate_kwargs)
         except ValueError as e:

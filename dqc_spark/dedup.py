@@ -267,6 +267,32 @@ def _cap_buckets(exploded: DataFrame, bucket_cols: list[str],
     )
 
 
+def band_frame(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(key, band_id, band_hash) — each signature exploded into its
+    banded LSH bucket keys.  Shared by the in-corpus candidate join
+    below and the persisted cross-run index (``bandindex.py``), so the
+    two can never hash bands differently.
+
+    Band hashes as an EXPLICIT literal array (bands is known at plan
+    time): stays inside whole-stage codegen.  The tempting
+    F.transform(F.sequence(...), lambda ...) form runs the lambda
+    interpreted per element and is re-evaluated for every consumer —
+    measured ~3x slower for the candidate join."""
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        "key", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
     max_bucket: int | None = 500,
@@ -280,22 +306,7 @@ def minhash_lsh_candidates(
     No cross join; hot buckets are capped (``max_bucket``), residual
     skew handled by AQE.
     """
-    # band hashes as an EXPLICIT literal array (bands is known at plan
-    # time): stays inside whole-stage codegen.  The tempting
-    # F.transform(F.sequence(...), lambda ...) form runs the lambda
-    # interpreted per element and is re-evaluated for every consumer —
-    # measured ~3x slower for the candidate join.
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(
-        "key", F.posexplode(band_arr).alias("band_id", "band_hash")
-    )
+    banded = band_frame(signatures, bands, rows_per_band)
     # persisted: consumed three times (bucket-cap counts + both sides of
     # the self-join) — otherwise the explode re-runs per consumer
     banded = track(_cap_buckets(banded, ["band_id", "band_hash"], max_bucket))

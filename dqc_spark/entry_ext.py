@@ -3038,6 +3038,50 @@ def q_snaptable_diff(spark, sf):
         "doc_id", "change", "n_from", "n_to")
 
 
+def q_dedup_incremental_near(spark, sf):
+    """Cross-run incremental near-dup (bandindex.py): the documents
+    slice split into a 'prior crawl' (even doc_id, persisted as a
+    MinHash band-index artifact — content-addressed /tmp cache, built
+    under a scratch name and renamed into place) and a 'new snapshot'
+    (odd doc_id) band-joined against it.  The prior half's text is
+    never re-read by the query (plan-pinned in test_bandindex).
+    Rows-only: minhash signatures are engine-specific; the
+    prior-pairs ∪ incremental == whole-corpus parity contract is
+    pytest-pinned (test_bandindex.py)."""
+    import hashlib
+    import shutil
+    import uuid as _uuid
+
+    from dqc_spark.bandindex import (
+        create_band_index, incremental_near_dups, load_band_index)
+
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    h = hashlib.md5()
+    for did, txt in sorted(
+            (r["doc_id"], r["text"] or "\x00")
+            for r in prior.select("doc_id", "text").collect()):
+        h.update(str(did).encode())
+        h.update(txt.encode())
+    root = f"/tmp/dqc_bandindex_fixture_v1_{h.hexdigest()[:12]}"
+    try:
+        idx = load_band_index(spark, root)
+    except FileNotFoundError:
+        build = f"{root}.build-{_uuid.uuid4().hex[:8]}"
+        create_band_index(prior, "doc_id", build)
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+        idx = load_band_index(spark, root)
+    pairs = incremental_near_dups(idx, new, "doc_id", threshold=0.5)
+    return pairs.select(
+        "key_a", "key_b",
+        F.round("est_jaccard", 6).alias("est_j_6dp"),
+        "a_is_new", "b_is_new")
+
+
 def q_corpus_report(spark, sf):
     """Corpus data card (report.py): per-language doc/char/token
     counts, NULL + length mix and corpus share in one fused groupBy.
@@ -3239,6 +3283,7 @@ def extra_queries():
         "corpus_report_by_lang": q_corpus_report,
         "gate_threshold_calibration": q_gate_calibration,
         "text_structure_signals": q_structure_signals,
+        "dedup_incremental_near": q_dedup_incremental_near,
     }
 
 

@@ -164,6 +164,8 @@ def curate_incremental(
     run_group: str,
     state_path: str | None = None,
     text_col: str = "text",
+    near_index_path: str | None = None,
+    near_index_threshold: float = 0.7,
     **curate_kwargs,
 ) -> dict:
     """Curate only content never processed by a previous run and APPEND
@@ -193,12 +195,21 @@ def curate_incremental(
     would silently LOSE the increment, which is worse.  At cluster
     scale both writes would be one Iceberg transaction.
 
-    Cross-run near-dup caveat: dedup inside ``curate`` sees only the
-    current increment.  A new document that is a near-duplicate of a
-    PRIOR run's survivor is appended anyway; corpus-wide near-dup
-    remains a periodic full-corpus pass.
+    Cross-run near-dup: dedup inside ``curate`` sees only the current
+    increment, so by default a new document that is a near-duplicate
+    of a PRIOR run's survivor is appended anyway.  ``near_index_path``
+    closes that hole with the persisted MinHash band index
+    (``bandindex.py``): each run band-joins its curated increment
+    against the stored index (prior text is never re-read), drops the
+    cross-run near-dups, and appends the survivors' signatures to the
+    index.  The first run bootstraps the index from its survivors.
+    ``near_index_threshold`` is the estimated-Jaccard cut, matching
+    ``minhash_near_dups``.  Intra-increment near-dups stay ``curate``'s
+    job (``near_dup_threshold``), so the index pass runs with
+    ``include_new_new=False`` — only the new-vs-prior question.
 
-    Returns {'n_input', 'n_new', 'n_appended', 'skipped'}.
+    Returns {'n_input', 'n_new', 'n_appended', 'n_near_dropped',
+    'skipped'}.
     """
     from pyspark.errors import AnalysisException
 
@@ -244,15 +255,60 @@ def curate_incremental(
                   input_snapshot=run_group)
         audit.flush()
         return {"n_input": n_input, "n_new": 0, "n_appended": 0,
-                "skipped": True}
+                "n_near_dropped": 0, "skipped": True}
     cur = track(curate(new, text_col=text_col, **curate_kwargs))
+    n_near_dropped = 0
+    idx = None
+    if near_index_path is not None:
+        from dqc_spark.bandindex import (
+            incremental_near_dups, load_band_index)
+
+        key_col = curate_kwargs.get("key_col", "url")
+        try:
+            idx = load_band_index(spark, near_index_path)
+        except FileNotFoundError:
+            idx = None  # first run bootstraps the index below
+        if idx is not None:
+            pairs = incremental_near_dups(
+                idx, cur, key_col, text_col,
+                threshold=near_index_threshold,
+                include_new_new=False)
+            drop_keys = pairs.select(
+                F.when(F.col("a_is_new"), F.col("key_a"))
+                .otherwise(F.col("key_b")).alias(key_col)).distinct()
+            drop_keys = track(drop_keys)
+            n_near_dropped = drop_keys.count()
+            if n_near_dropped:
+                cur = track(cur.join(drop_keys, on=key_col,
+                                     how="left_anti"))
+        # break lineage before the writes: appending the digest state
+        # below triggers refreshByPath(state_path), which invalidates
+        # any cached plan that reads `seen` — cur would silently
+        # recompute over the UPDATED state (an empty increment) right
+        # when the index append consumes it (found live: the index
+        # gained 0 rows while the output gained the increment)
+        cur = cur.localCheckpoint()
     n_appended = cur.count()
     cur.write.mode("append").parquet(output_path)
     content_digests(new, text_col).write.mode("append").parquet(state_path)
+    if near_index_path is not None:
+        # index state is appended LAST (same crash contract as the
+        # digest state: a crash re-processes the increment rather than
+        # losing it) and carries only the SURVIVORS — dropped docs must
+        # not anchor future near-dup decisions
+        from dqc_spark.bandindex import create_band_index, extend_band_index
+
+        key_col = curate_kwargs.get("key_col", "url")
+        if idx is None:
+            create_band_index(cur, key_col, near_index_path,
+                              text_col=text_col)
+        else:
+            extend_band_index(idx, cur, key_col, text_col)
     audit.log(INCREMENT_DONE, True,
               {"n_input": str(n_input), "n_new": str(n_new),
-               "n_appended": str(n_appended)},
+               "n_appended": str(n_appended),
+               "n_near_dropped": str(n_near_dropped)},
               error_count=None, partition_id=0, input_snapshot=run_group)
     audit.flush()
     return {"n_input": n_input, "n_new": n_new, "n_appended": n_appended,
-            "skipped": False}
+            "n_near_dropped": n_near_dropped, "skipped": False}
