@@ -4,7 +4,12 @@ parquet, compare row count, sorted column names, and an
 order-insensitive value hash.  Usage:
 
     python tools/oracle_check.py [sf_dir] [name ...]
-"""
+    python tools/oracle_check.py --heavy [sf_dir]
+
+``--heavy`` runs the most expensive SQL-oracled entries at sf0.1
+(default dir /root/testdata/sf0.1) — the round-checklist sweep that
+catches SCALE-DEPENDENT divergence the per-round sf0.001/0.01 runs
+can miss (the repo's ln-ULP lesson surfaced at exactly one SF)."""
 
 from __future__ import annotations
 
@@ -43,9 +48,27 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+# the most expensive SQL-oracled entries — heaviest Python kernels,
+# widest shuffles, or float expressions with known SF-sensitivity
+HEAVY = [
+    "text_substr_dedup", "text_line_dedup", "text_boilerplate_removal",
+    "text_bm25_topk", "text_bm25_batch", "text_decontaminate",
+    "pack_fixed_sequences", "order_shard_assign", "mix_epoch_expand",
+    "snaptable_diff", "corpus_report_by_lang", "html_main_content",
+    "html_extract_text", "warc_ingest", "wet_ingest",
+    "text_structure_signals", "text_repetition", "text_hashed_tfidf",
+    "quality_model_fit", "dedup_ngram_jaccard",
+]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    heavy = "--heavy" in args
+    if heavy:
+        args = [a for a in args if a != "--heavy"]
+    default_dir = "/root/testdata/sf0.1" if heavy else "/root/testdata/sf0.01"
+    sf_dir = args[0] if args else default_dir
+    only = set(args[1:]) | (set(HEAVY) if heavy else set())
 
     import __spark_entry__ as E
     from dqc_spark.session import get_spark
