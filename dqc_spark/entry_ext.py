@@ -2233,6 +2233,12 @@ _UNICODE_PLANTED = [
     "İstanbul ΟΔΥΣΣΕΥΣ",
     "mixed 日本語 and ascii 123, punct-uated!",
     "halfwidth ｶﾀｶﾅ test",
+    # SEA space-free scripts (cluster-segmented in the fold/alnum
+    # families, run-whole in ws — see wordhash SEA_* note)
+    "คนไทยกินข้าวที่บ้าน ภาษาไทย",
+    "ພາສາລາວ ແລະ ໄທ",
+    "မြန်မာစာ ရေးသည်",
+    "ភាសាខ្មែរ និង ឡាវ",
 ]
 _UNICODE_PLANTED_SQL = "[" + ", ".join(
     "'" + s.replace("'", "''") + "'" for s in _UNICODE_PLANTED) + "]"
@@ -2249,7 +2255,7 @@ def q_text_tokens_unicode(spark, sf):
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 512)
     arr = F.array(*[F.lit(s) for s in _UNICODE_PLANTED])
     base = docs.select(
-        F.element_at(arr, (F.col("doc_id") % 8 + 1).cast("int"))
+        F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int"))
         .alias("ptext"))
     ws = base.select(
         F.lit("ws").alias("family"),
@@ -5094,7 +5100,7 @@ def extra_oracle_sql():
         # pattern family breaks this differential first
         "text_tokens_unicode": f"""
             WITH planted AS (
-              SELECT {_UNICODE_PLANTED_SQL}[CAST(doc_id % 8 AS INT) + 1]
+              SELECT {_UNICODE_PLANTED_SQL}[CAST(doc_id % 12 AS INT) + 1]
                          AS ptext
               FROM documents WHERE doc_id < 512
             ), toks AS (

@@ -21,8 +21,11 @@ driver oracle.
   (the CCNet-style codepoint fallback: a space-free Japanese/Chinese
   document otherwise becomes one giant "word"), so LM grams over CJK
   are character n-grams and BM25 matches CJK queries per character.
-  Hangul/Thai are intentionally absent: Korean is space-delimited and
-  splitting Thai per codepoint would break its multi-char words.
+  Hangul is intentionally absent (Korean is space-delimited);
+  Thai/Lao/Myanmar/Khmer get their own CLUSTER treatment via
+  ``SEA_GROUP`` in the gram-identity families only — per codepoint
+  would break their multi-char units, and segmenting the REBUILD
+  family would delete their real phrase spaces (see the SEA_* note).
   Explicit ranges, not ``\\p{script=Han}`` — python ``re`` has no
   script properties, and literal ranges parse identically everywhere.
 * ``UWS_CLASS`` — explicit Unicode whitespace.  ``\\s`` is a trap: it
@@ -69,6 +72,10 @@ __all__ = [
     "md5_word",
     "CJK_CLASS",
     "CJK_GROUP",
+    "SEA_BASE_CLASS",
+    "SEA_MARK_CLASS",
+    "SEA_GROUP",
+    "sea_isolate",
     "UWS_CLASS",
     "UWS_SPLIT",
     "NONALNUM_JAVA",
@@ -101,6 +108,48 @@ CJK_CLASS = (
     "ｦ-ﾟ"  # Halfwidth Katakana
 )
 CJK_GROUP = f"([{CJK_CLASS}])"
+
+# --- Southeast-Asian space-free scripts: Thai, Lao, Myanmar, Khmer ---------
+#
+# These scripts write words without spaces (spaces mark PHRASE
+# boundaries), so a whitespace tokenizer sees whole sentences as one
+# token.  Per-codepoint isolation (the CJK treatment) would detach
+# combining vowel/tone marks from their consonants, so the unit here is
+# the conservative grapheme-ish CLUSTER: one base character plus its
+# trailing dependent vowel/tone/medial marks — ``[SEA_BASE][SEA_MARK]*``.
+# Explicit literal ranges like CJK_CLASS (no \p{script=..}: python re
+# has none), one spelling for all three engines; \u escapes resolve at
+# python parse time, so every leg interpolates identical characters.
+#
+# Only the GRAM-IDENTITY families segment this way (``fold_tokens`` —
+# LM/TF-IDF/decontam/heavy-hitters/DSIR — and ``unicode_alnum_tokens``
+# — BM25): none of their consumers ever rebuilds output text, so the
+# segmentation is free.  ``unicode_tokens`` (the REBUILD family:
+# substr-dedup's token stream that ``join_tokens`` re-joins) stays
+# UN-segmented for these scripts: a no-separator rejoin — correct for
+# CJK, whose running text has no spaces — would here delete the real
+# phrase-boundary spaces of every untouched Thai/Lao/Khmer/Myanmar
+# document (the CLAUDE.md CJK-rebuild failure mode, one script family
+# over).  Consequence, documented: ExactSubstr sees an unbroken SEA
+# phrase as one token; LM/BM25/decontam see clusters.
+SEA_MARK_CLASS = (
+    "\u0e31\u0e33-\u0e3a\u0e47-\u0e4e"    # Thai dependent vowels/tones
+    "\u0eb1\u0eb3-\u0ebc\u0ec8-\u0ecd"    # Lao dependent vowels/tones
+    "\u102b-\u103e\u1056-\u1059"           # Myanmar dependent signs,
+    "\u105e-\u1060\u1062-\u1064"           # medials, virama/asat
+    "\u1067-\u106d\u1071-\u1074"
+    "\u1082-\u108d\u109a-\u109d"
+    "\u17b4-\u17d3\u17dd"                   # Khmer dependent signs
+)
+SEA_BASE_CLASS = (
+    "\u0e01-\u0e30\u0e32\u0e3f-\u0e46\u0e4f-\u0e5b"  # Thai
+    "\u0e81-\u0eb0\u0eb2\u0ebd-\u0ec7\u0ece-\u0edf"  # Lao
+    "\u1000-\u102a\u103f-\u1055\u105a-\u105d"          # Myanmar
+    "\u1061\u1065-\u1066\u106e-\u1070"
+    "\u1075-\u1081\u108e-\u1099\u109e-\u109f"
+    "\u1780-\u17b3\u17d4-\u17dc\u17de-\u17ff"          # Khmer
+)
+SEA_GROUP = f"([{SEA_BASE_CLASS}][{SEA_MARK_CLASS}]*)"
 UWS_CLASS = (
     "\t\n\x0b\x0c\r \x85\xa0 "
     " -     　"
@@ -111,6 +160,8 @@ NONALNUM_PY = re.compile(r"[\W_]+", re.UNICODE)
 
 _CJK_RE = re.compile(CJK_GROUP)
 _UWS_RE = re.compile(UWS_SPLIT)
+_SEA_RE = re.compile(SEA_GROUP)
+_HAS_SEA = re.compile(f"[{SEA_BASE_CLASS}{SEA_MARK_CLASS}]")
 
 
 def fold_case(text: str | None) -> str:
@@ -143,6 +194,18 @@ def cjk_isolate(text: str) -> str:
     Catalyst leg is ``regexp_replace(col, CJK_GROUP, " $1 ")``, the
     DuckDB leg ``regexp_replace(expr, CJK_GROUP, ' \\1 ', 'g')``)."""
     return _CJK_RE.sub(r" \1 ", text)
+
+
+def sea_isolate(text: str) -> str:
+    """Each Thai/Lao/Myanmar/Khmer grapheme-ish cluster
+    (``[SEA_BASE][SEA_MARK]*``) spaced into its own token — the
+    gram-identity-family leg only (see SEA_* comment above).  Catalyst
+    leg: ``regexp_replace(col, SEA_GROUP, " $1 ")``; DuckDB leg:
+    ``regexp_replace(expr, SEA_GROUP, ' \\1 ', 'g')``.  One class scan
+    skips the sub for the (overwhelmingly common) SEA-free document."""
+    if _HAS_SEA.search(text) is None:
+        return text
+    return _SEA_RE.sub(r" \1 ", text)
 
 
 # Fast-path guard: the UWS regex class equals Python's str.split()
@@ -199,22 +262,23 @@ def join_tokens(tokens: list[str]) -> str:
 
 
 def unicode_alnum_tokens(text: str | None) -> list[str]:
-    """BM25-family tokens: fold case, isolate CJK, split on
-    not-(letter|digit).  Matches the Catalyst plan
-    ``split(regexp_replace(fold_case_col(...), CJK_GROUP, " $1 "),
-    NONALNUM_JAVA)`` and the DuckDB oracle spelling from
-    ``unicode_alnum_tokens_sql``."""
-    iso = cjk_isolate(fold_case(text))
+    """BM25-family tokens: fold case, isolate CJK codepoints and SEA
+    clusters, split on not-(letter|digit).  Matches the Catalyst plan
+    from ``unicode_alnum_tokens_col`` and the DuckDB oracle spelling
+    from ``unicode_alnum_tokens_sql``."""
+    iso = sea_isolate(cjk_isolate(fold_case(text)))
     return [t for t in NONALNUM_PY.split(iso) if t]
 
 
 def fold_tokens(text: str | None) -> list[str]:
-    """Case-folded whitespace-family tokens — the LM-family tokenizer
+    """Case-folded gram-identity tokens — the LM-family tokenizer
     (LM gram tables, perplexity scoring, BPE pre-words, DSIR features,
     heavy hitters, decontam grams, anchor terms, TF-IDF buckets).
-    Train-time and score-time vocabularies agree BY CONSTRUCTION:
-    every one of those consumers calls this function."""
-    return unicode_tokens(fold_case(text))
+    Whitespace family plus SEA cluster isolation (no consumer of this
+    family rebuilds output text — see the SEA_* note).  Train-time and
+    score-time vocabularies agree BY CONSTRUCTION: every one of those
+    consumers calls this function."""
+    return unicode_tokens(sea_isolate(fold_case(text)))
 
 
 def unicode_tokens_col(col):
@@ -231,7 +295,8 @@ def fold_tokens_col(col):
     """Catalyst leg of ``fold_tokens``."""
     from pyspark.sql import functions as F
 
-    return unicode_tokens_col(fold_case_col(F.coalesce(col, F.lit(""))))
+    return unicode_tokens_col(F.regexp_replace(
+        fold_case_col(F.coalesce(col, F.lit(""))), SEA_GROUP, " $1 "))
 
 
 def unicode_alnum_tokens_col(col):
@@ -241,15 +306,19 @@ def unicode_alnum_tokens_col(col):
     return F.array_remove(
         F.split(
             F.regexp_replace(
-                fold_case_col(F.coalesce(col, F.lit(""))),
-                CJK_GROUP, " $1 "),
+                F.regexp_replace(
+                    fold_case_col(F.coalesce(col, F.lit(""))),
+                    CJK_GROUP, " $1 "),
+                SEA_GROUP, " $1 "),
             NONALNUM_JAVA),
         "")
 
 
 def fold_tokens_sql(expr: str) -> str:
     """DuckDB leg of ``fold_tokens``."""
-    return unicode_tokens_sql(fold_case_sql(expr))
+    return unicode_tokens_sql(
+        f"regexp_replace({fold_case_sql(expr)}, '{SEA_GROUP}', ' \\1 ', 'g')"
+    )
 
 
 def unicode_tokens_sql(expr: str) -> str:
@@ -266,8 +335,9 @@ def unicode_tokens_sql(expr: str) -> str:
 def unicode_alnum_tokens_sql(expr: str) -> str:
     """DuckDB list expression for ``unicode_alnum_tokens(expr)``."""
     return (
-        "list_filter(regexp_split_to_array(regexp_replace("
+        "list_filter(regexp_split_to_array(regexp_replace(regexp_replace("
         f"{fold_case_sql(expr)}, '{CJK_GROUP}', ' \\1 ', 'g'), "
+        f"'{SEA_GROUP}', ' \\1 ', 'g'), "
         f"'[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')"
     )
 

@@ -197,3 +197,22 @@ def test_batch_rejects_non_string_query_ids(spark):
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     with pytest.raises(ValueError, match="strings"):
         bm25_topk_batch(docs, {1: ["hello"]})
+
+
+def test_thai_query_retrieves_thai_doc(spark):
+    """SEA cluster segmentation end-to-end: before the wordhash
+    SEA_GROUP fallback, an unbroken Thai phrase was ONE token and no
+    query could match inside it.  A raw Thai query now expands to the
+    same clusters the index tokenized, and BM25 ranks the Thai doc
+    first."""
+    docs = [
+        (0, "ภาษาไทยเขียนติดกันไม่มีช่องว่าง"),
+        (1, "plain english document about spark joins"),
+        (2, "another english document about hash tables"),
+        (3, "ພາສາລາວຂຽນຕິດກັນ"),  # Lao: related script, disjoint clusters
+    ]
+    out = bm25_topk(_df(spark, docs), ["ภาษาไทย"], k=4).collect()
+    assert out, "Thai query matched nothing — SEA segmentation broken"
+    assert out[0]["doc_id"] == 0
+    # English docs share no cluster with the query
+    assert {r["doc_id"] for r in out} <= {0, 3}

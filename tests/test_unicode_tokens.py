@@ -17,11 +17,14 @@ from pyspark.sql import functions as F
 from dqc_spark.wordhash import (
     CJK_GROUP,
     NONALNUM_JAVA,
+    SEA_GROUP,
     UWS_SPLIT,
     ascii_tokens,
     fold_case,
     fold_case_col,
     fold_case_sql,
+    fold_tokens,
+    fold_tokens_sql,
     unicode_alnum_tokens,
     unicode_alnum_tokens_sql,
     unicode_tokens,
@@ -47,12 +50,23 @@ SAMPLES = [
     "κόσμος ελληνικά UPPER ΚΌΣΜΟΣ ΣΙΓΜΑΣ",
     "İstanbul DİYARBAKIR",
     "ㄅㄆㄇ bopomofo stays wordy 한국어 hangul stays wordy",
+    # SEA space-free scripts: cluster-segmented in the gram-identity
+    # families (fold/alnum), left run-whole in the ws/rebuild family
+    "คนไทยกินข้าวที่บ้าน ภาษาไทย ๑๒๓",
+    "ພາສາລາວ ແລະ ໄທ ຕົວເລກ",
+    "မြန်မာစာ ရေးသည် မြို့တော်",
+    "ភាសាខ្មែរ និង ឡាវ អក្សរ",
+    "mixed ไทย with Latin and 中文 together",
 ]
 
 
 @pytest.fixture(scope="module")
 def legs(spark):
-    """(python, spark, duckdb) token lists per sample, both families."""
+    """(python, spark, duckdb) token lists per sample, all three
+    families: ws (unicode_tokens, the rebuild family), al (BM25), fold
+    (LM/gram-identity).  The Catalyst columns are spelled INLINE from
+    the shared class constants — that is the pin: a leg edit that
+    forgets one engine breaks this fixture."""
     sdf = spark.createDataFrame(
         [(i, s) for i, s in enumerate(SAMPLES)], "i int, t string"
     )
@@ -62,14 +76,27 @@ def legs(spark):
     )
     al_col = F.array_remove(
         F.split(
-            F.regexp_replace(fold_case_col(t), CJK_GROUP, " $1 "),
+            F.regexp_replace(
+                F.regexp_replace(fold_case_col(t), CJK_GROUP, " $1 "),
+                SEA_GROUP, " $1 "),
             NONALNUM_JAVA,
         ),
         "",
     )
+    fold_col = F.array_remove(
+        F.split(
+            F.regexp_replace(
+                F.regexp_replace(fold_case_col(t), SEA_GROUP, " $1 "),
+                CJK_GROUP, " $1 "),
+            UWS_SPLIT,
+        ),
+        "",
+    )
     spark_rows = {
-        r["i"]: (r["ws"], r["al"])
-        for r in sdf.select("i", ws_col.alias("ws"), al_col.alias("al")).collect()
+        r["i"]: (r["ws"], r["al"], r["fo"])
+        for r in sdf.select(
+            "i", ws_col.alias("ws"), al_col.alias("al"),
+            fold_col.alias("fo")).collect()
     }
     con = duckdb.connect()
     con.execute(
@@ -80,14 +107,15 @@ def legs(spark):
     )
     expr = "coalesce(t, '')"
     duck_rows = {
-        i: (ws, al)
-        for i, ws, al in con.execute(
+        i: (ws, al, fo)
+        for i, ws, al, fo in con.execute(
             f"SELECT i, {unicode_tokens_sql(expr)}, "
-            f"{unicode_alnum_tokens_sql(expr)} FROM s"
+            f"{unicode_alnum_tokens_sql(expr)}, "
+            f"{fold_tokens_sql(expr)} FROM s"
         ).fetchall()
     }
     py_rows = {
-        i: (unicode_tokens(s), unicode_alnum_tokens(s))
+        i: (unicode_tokens(s), unicode_alnum_tokens(s), fold_tokens(s))
         for i, s in enumerate(SAMPLES)
     }
     return py_rows, spark_rows, duck_rows
@@ -105,6 +133,27 @@ def test_three_engines_alnum_family(legs):
     for i, s in enumerate(SAMPLES):
         assert list(sp[i][1]) == py[i][1], (i, s)
         assert list(dk[i][1]) == py[i][1], (i, s)
+
+
+def test_three_engines_fold_family(legs):
+    py, sp, dk = legs
+    for i, s in enumerate(SAMPLES):
+        assert list(sp[i][2]) == py[i][2], (i, s)
+        assert list(dk[i][2]) == py[i][2], (i, s)
+
+
+def test_sea_cluster_segmentation():
+    # gram-identity families segment Thai into clusters (marks bound to
+    # their base), never lone combining marks; the rebuild family keeps
+    # the unbroken run whole and the phrase space intact
+    assert fold_tokens("กินข้าว") == ["กิ", "น", "ข้", "า", "ว"]
+    assert unicode_tokens("คนไทย กิน") == ["คนไทย", "กิน"]
+    # Lao/Myanmar/Khmer clusters keep their dependent signs attached
+    assert all(len(t) >= 1 for t in fold_tokens("ພາສາລາວ"))
+    assert fold_tokens("မြန်မာ") == ["မြ", "န်", "မာ"]
+    assert fold_tokens("ខ្មែរ") == ["ខ្", "មែ", "រ"]
+    # a BM25-family Thai query term matches per cluster
+    assert "ไ" in unicode_alnum_tokens("ค้นหา ไทย")
 
 
 def test_ascii_corpus_unchanged():
