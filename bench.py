@@ -448,6 +448,11 @@ def _history_best() -> dict[str, float]:
 
 def main() -> None:
     results: dict[str, float] = {}
+    # sample provenance: the 1-min load average brackets the run, so a
+    # record self-documents whether it came from a quiet window (r4
+    # verdict: the grading record must not need history.jsonl to argue
+    # a low sample was co-tenant load)
+    load_start = os.getloadavg()[0]
 
     spark = _session(CPUS)
     _ensure_pages(spark)
@@ -499,6 +504,7 @@ def main() -> None:
     dps_lo = N_DOCS / t_lo
     eff = (dps_hi / dps_lo) / (SCALE_HIGH / SCALE_LOW)
     total = sum(results.values())
+    load_end = os.getloadavg()[0]
 
     # best recorded run (same code family, this host) for the capability
     # line: the co-tenant noise band spans ~2x on the 32-core leg, so
@@ -536,6 +542,10 @@ grading record should cite.
 Input: `{SF_DIR}` + synthetic pages table ({N_DOCS} docs, seed-stable).
 Timings are best-of-{TRIALS} (this host shares cores with other
 tenants at a steady background load; min filters their noise).
+Sample provenance: 1-min load average {load_start:.2f} at start /
+{load_end:.2f} at end on {CPUS} cores (the run itself contributes to
+the end value) — a sub-~2 start is a quiet window and the sample
+stands on its own.
 {best_line}
 ## Scaling evidence (BASELINE.md criterion: efficiency >= 0.8 from N to 4N)
 
@@ -580,6 +590,8 @@ deterministic synthetic docs: **keep/drop F1 = {quality['keep_f1']}**,
         "queries": {k: round(v, 3) for k, v in results.items()},
         "sf": _sf_label(),
         "docs": N_DOCS,
+        "load_1m": {"start": round(load_start, 2),
+                    "end": round(load_end, 2), "cores": CPUS},
         "quality": quality,
         "scaling": {
             "cores_low": SCALE_LOW,
