@@ -1799,13 +1799,21 @@ def q_text_repetition(spark, sf):
 
 
 def q_text_repetition_ngrams(spark, sf):
+    # SQL-oracled since r5 (was rows-only): every signal is count/length
+    # arithmetic over word n-grams, so DuckDB can rebuild it — grams as
+    # single-space-joined strings (len == word chars + n-1 exactly, and
+    # words can't contain spaces so the join is collision-free), dup
+    # coverage via min-pos-per-gram windows + position-range explode
+    # (see _rep_ngram_oracle_sql).  Int-ratio doubles, trunc4 per the
+    # repo rounding rule (same as text_repetition).
     from dqc_spark.textstats import (REP_NGRAM_DUP, REP_NGRAM_TOP,
                                      repetition_signals)
 
     docs = _t(spark, sf, "documents").select("doc_id", _rep_text_col())
     cols = ([f"top_{n}gram_char_frac" for n in REP_NGRAM_TOP]
             + [f"dup_{n}gram_char_frac" for n in REP_NGRAM_DUP])
-    return repetition_signals(docs, "doc_id").select("doc_id", *cols)
+    return repetition_signals(docs, "doc_id").select(
+        "doc_id", *[_trunc4(c).alias(c) for c in cols])
 
 
 # planted link structure for the graph entries: every doc anchors to
@@ -3294,6 +3302,96 @@ def extra_queries():
 
 
 _STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
+
+
+def _rep_ngram_oracle_sql() -> str:
+    """DuckDB spelling of repetition_signals_py's n-gram family (the
+    Gopher A1.1 top/dup n-gram char fractions) over the same composed
+    rep text.  Words = the kernel's str.split() set (_PYWS_SPLIT);
+    grams join with ONE space, so length(gram) == word chars + n-1
+    exactly and distinct grams can't collide (words contain no
+    whitespace).  Dup coverage mirrors the kernel's left-to-right
+    seen-set scan: an occurrence is a duplicate iff its position
+    exceeds the gram's MIN position (window), and covered word indices
+    are the DISTINCT union of [pos, pos+n-1] ranges.  All fractions
+    are int-ratio doubles -> FLOOR trunc4 on both sides."""
+    from dqc_spark.textstats import REP_NGRAM_DUP, REP_NGRAM_TOP
+
+    def gram(n: int) -> str:
+        return " || ' ' || ".join(
+            f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+
+    ctes, cols, joins = [], [], []
+    for n in REP_NGRAM_TOP:
+        ctes.append(f"""
+            t{n} AS (
+              SELECT doc_id, MAX(c * length(g)) AS best
+              FROM (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(1, len(ws) - {n} + 1),
+                               i -> {gram(n)})) AS g
+                      FROM w WHERE len(ws) >= {n})
+                GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )""")
+        cols.append(
+            f"FLOOR(CASE WHEN t{n}.best IS NULL OR tot.tl = 0 THEN 0.0 "
+            f"ELSE CAST(t{n}.best AS DOUBLE) / tot.tl END * 10000) / 10000 "
+            f"AS top_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN t{n} ON tot.doc_id = t{n}.doc_id")
+    for n in REP_NGRAM_DUP:
+        ctes.append(f"""
+            p{n} AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ws) - {n} + 1)) AS pos,
+                     unnest(list_transform(
+                       generate_series(1, len(ws) - {n} + 1),
+                       i -> {gram(n)})) AS g
+              FROM w WHERE len(ws) >= {n}
+            ),
+            c{n} AS (
+              SELECT DISTINCT doc_id, wi
+              FROM (SELECT doc_id,
+                           unnest(generate_series(pos, pos + {n} - 1)) AS wi
+                    FROM (SELECT doc_id, pos,
+                                 MIN(pos) OVER (PARTITION BY doc_id, g)
+                                     AS fp
+                          FROM p{n})
+                    WHERE pos > fp)
+            ),
+            d{n} AS (
+              SELECT c.doc_id, SUM(length(w.ws[c.wi])) AS cov
+              FROM c{n} c JOIN w ON c.doc_id = w.doc_id
+              GROUP BY c.doc_id
+            )""")
+        cols.append(
+            f"FLOOR(CASE WHEN d{n}.cov IS NULL OR tot.twc = 0 THEN 0.0 "
+            f"ELSE CAST(d{n}.cov AS DOUBLE) / tot.twc END * 10000) / 10000 "
+            f"AS dup_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN d{n} ON tot.doc_id = d{n}.doc_id")
+    return f"""
+        WITH src AS (
+            SELECT doc_id, coalesce({_REP_TEXT_SQL}, '') AS t
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, length(t) AS tl,
+                   list_filter(regexp_split_to_array(t, '{_PYWS_SPLIT}'),
+                               x -> x <> '') AS ws
+            FROM src
+        ),
+        tot AS (
+            SELECT doc_id, tl,
+                   COALESCE(CAST(list_sum(
+                       list_transform(ws, x -> length(x))) AS BIGINT), 0)
+                       AS twc
+            FROM w
+        ),{",".join(ctes)}
+        SELECT tot.doc_id, {", ".join(cols)}
+        FROM tot {" ".join(joins)}
+    """
 
 
 def _noindex_oracle_sql() -> str:
@@ -5029,9 +5127,12 @@ def extra_oracle_sql():
         # independent mechanism: unnest + groupBy per line/paragraph
         # (the corpus-shuffling spelling the Arrow kernel avoids);
         # ratios are int-derived identical doubles -> FLOOR (_trunc4)
+        # coalesce('') keeps a NULL-text doc's row (kernel maps None to
+        # all-0.0) — same latent-NULL fix as text_structure_signals
         "text_repetition": f"""
             WITH src AS (
-                SELECT doc_id, {_REP_TEXT_SQL} AS t FROM documents
+                SELECT doc_id, coalesce({_REP_TEXT_SQL}, '') AS t
+                FROM documents
             ),
             lc AS (
                 SELECT doc_id, u, length(u) AS len, COUNT(*) AS c
@@ -5075,6 +5176,7 @@ def extra_oracle_sql():
                    FLOOR(dpcf * 10000) / 10000 AS dup_para_char_frac
             FROM ls JOIN ps ON ls.doc_id = ps.doc_id
         """,
+        "text_repetition_ngrams": _rep_ngram_oracle_sql(),
         "url_domain_stats": f"""
             WITH urls AS (
                 SELECT doc_id, text, {_synthetic_url_sql()} AS url

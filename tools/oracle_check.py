@@ -56,8 +56,8 @@ HEAVY = [
     "pack_fixed_sequences", "order_shard_assign", "mix_epoch_expand",
     "snaptable_diff", "corpus_report_by_lang", "html_main_content",
     "html_extract_text", "warc_ingest", "wet_ingest",
-    "text_structure_signals", "text_repetition", "text_hashed_tfidf",
-    "quality_model_fit", "dedup_ngram_jaccard",
+    "text_structure_signals", "text_repetition", "text_repetition_ngrams",
+    "text_hashed_tfidf", "quality_model_fit", "dedup_ngram_jaccard",
 ]
 
 
