@@ -228,6 +228,13 @@ def incremental_near_dups(
         # function of the canonical pair, so distinct is safe
         .distinct()
     )
+    # persisted: cand feeds TWO consumers (the jaccard scoring join and
+    # the flags re-join below) — without it the band self-join +
+    # distinct runs once per consumer (multi-consumer rule)
+    cand = track(cand)
+    # scoring joins the candidate keys against new ∪ stored signatures;
+    # the candidate side is small, so AQE broadcasts it and the big
+    # signature scan streams without shuffling
     sigs_all = sigs_new.unionByName(idx.signatures())
     scored = minhash_jaccard(cand.select("key_a", "key_b"), sigs_all) \
         .filter(F.col("est_jaccard") >= threshold)
