@@ -105,12 +105,23 @@ def create_band_index(
     num_perm: int = 64,
     shingle_k: int = 5,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> BandIndex:
     """Signature ``df`` and persist a fresh index at ``path``.
 
     Refuses to overwrite an existing index (meta.json present): the
     artifact is cross-run state, and silently restarting it would turn
-    every future increment's "seen" set into just that increment."""
+    every future increment's "seen" set into just that increment.
+
+    Crash-safe: the index is built under a scratch sibling and RENAMED
+    into place as the last step, so a crash mid-build leaves only an
+    orphan scratch dir — never a loadable-but-dataless index (the
+    snaptable create-crash wedge, one artifact over: meta.json first
+    would make load_band_index succeed while banded() throws on a
+    missing parquet dir, wedging every later run)."""
+    import shutil
+    import uuid
+
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
         raise FileExistsError(
@@ -118,20 +129,26 @@ def create_band_index(
             f"+ extend_band_index to grow it")
     if num_perm % bands != 0:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    os.makedirs(path, exist_ok=True)
     meta = {
         "num_perm": num_perm,
         "shingle_k": shingle_k,
         "bands": bands,
         "rows_per_band": num_perm // bands,
     }
-    tmp = f"{meta_path}.tmp.{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
-    idx = BandIndex(df.sparkSession, path, meta)
-    extend_band_index(idx, df, key_col, text_col)
-    return idx
+    build = f"{path.rstrip('/')}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(build)
+    try:
+        idx = BandIndex(df.sparkSession, build, meta)
+        extend_band_index(idx, df, key_col, text_col,
+                          signatures=signatures)
+        with open(os.path.join(build, "meta.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.rename(build, path)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    return BandIndex(df.sparkSession, path, meta)
 
 
 def load_band_index(spark: SparkSession, path: str) -> BandIndex:
@@ -150,21 +167,32 @@ def extend_band_index(
     text_col: str = "text",
     signatures: DataFrame | None = None,
 ) -> None:
-    """Append ``df``'s signatures + band rows to the index.  Pass
-    ``signatures`` (a ``minhash_signatures`` frame for the SAME docs
-    under the index's params) to skip re-signaturing when the caller
-    already computed them for the query pass."""
+    """Append ``df``'s signatures + band rows to the index, FIRST-WINS
+    per key: keys already present are anti-joined away before the
+    append.  That makes extend idempotent under the crash-reprocess
+    contract (a replayed increment re-extends to a no-op instead of
+    duplicating signature rows, which would multiply every scored pair
+    touching the key) and pins the re-crawl semantics — a url whose
+    text changed keeps its ORIGINAL signature; revision-level dedup is
+    the url-canonicalization layer's job, not the index's.
+
+    Pass ``signatures`` (a ``minhash_signatures`` frame for the SAME
+    docs under the index's params) to skip re-signaturing when the
+    caller already computed them for the query pass."""
     sigs = signatures if signatures is not None else minhash_signatures(
         df, key_col, text_col, idx.num_perm, idx.shingle_k)
-    # persisted: the signature kernel is the expensive Python stage and
-    # feeds TWO writes (signatures + bands) — the multi-consumer rule
-    sigs = sigs.persist()
-    try:
-        sigs.write.mode("append").parquet(idx.sig_path)
-        band_frame(sigs, idx.bands, idx.rows_per_band) \
-            .write.mode("append").parquet(idx.band_path)
-    finally:
-        sigs.unpersist()
+    if os.path.isdir(idx.sig_path):
+        seen = idx.signatures().select("key")
+        sigs = sigs.join(seen, on="key", how="left_anti")
+    # localCheckpoint, not persist: the anti-join READS sig_path and the
+    # append WRITES it — the write would otherwise refreshByPath-refresh
+    # a plan scanning the very directory being appended (the resume.py
+    # lesson); the checkpoint also covers the two-writes multi-consumer
+    # rule (signatures + bands consume the expensive Python stage once)
+    sigs = sigs.localCheckpoint()
+    sigs.write.mode("append").parquet(idx.sig_path)
+    band_frame(sigs, idx.bands, idx.rows_per_band) \
+        .write.mode("append").parquet(idx.band_path)
 
 
 def incremental_near_dups(
@@ -175,6 +203,7 @@ def incremental_near_dups(
     threshold: float = 0.7,
     max_bucket: int | None = 500,
     include_new_new: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of ``new_df`` against the index (and, with
     ``include_new_new``, within ``new_df``) — every returned pair has
@@ -192,13 +221,28 @@ def incremental_near_dups(
     cap, bucket counts are taken over the stored ∪ new band rows, so
     candidate generation still matches the whole-corpus run; only
     pairs both sides of which are prior (decisions already made in
-    earlier runs) are out of scope here."""
-    sigs_new = track(minhash_signatures(
-        new_df, key_col, text_col, idx.num_perm, idx.shingle_k))
+    earlier runs) are out of scope here.
+
+    ``signatures``: a precomputed ``minhash_signatures`` frame for
+    ``new_df`` under the index's params — pass it when the caller also
+    extends the index afterwards, so the expensive signature kernel
+    runs once per increment instead of twice (resume.py does)."""
+    sigs_new = track(signatures if signatures is not None
+                     else minhash_signatures(
+                         new_df, key_col, text_col,
+                         idx.num_perm, idx.shingle_k))
+    # stored rows for keys that are ALSO in the increment are ignored:
+    # they are the same documents (a replayed increment after a crash,
+    # or a caller querying docs it already indexed), and keeping them
+    # would put one key on both sides — self-compares, conflicting
+    # is_new flags, and duplicate scored rows per pair.  Disjoint runs
+    # make this anti-join a no-op.
+    new_keys = sigs_new.select("key")
     banded_new = band_frame(sigs_new, idx.bands, idx.rows_per_band) \
         .withColumn("is_new", F.lit(True))
     banded_all = banded_new.unionByName(
-        idx.banded().withColumn("is_new", F.lit(False)))
+        idx.banded().join(new_keys, on="key", how="left_anti")
+        .withColumn("is_new", F.lit(False)))
     # cap over the UNION (see contract above); persisted — consumed by
     # the cap counts and both join sides
     banded_all = track(_cap_buckets(
@@ -235,7 +279,8 @@ def incremental_near_dups(
     # scoring joins the candidate keys against new ∪ stored signatures;
     # the candidate side is small, so AQE broadcasts it and the big
     # signature scan streams without shuffling
-    sigs_all = sigs_new.unionByName(idx.signatures())
+    sigs_all = sigs_new.unionByName(
+        idx.signatures().join(new_keys, on="key", how="left_anti"))
     scored = minhash_jaccard(cand.select("key_a", "key_b"), sigs_all) \
         .filter(F.col("est_jaccard") >= threshold)
     return scored.join(cand, on=["key_a", "key_b"])

@@ -984,6 +984,11 @@ def main(argv=None) -> int:
             return 2
         # static flag checks BEFORE any Spark work: a --audit mistake
         # must not cost a full classifier training run first
+        if args.near_index and not args.incremental:
+            print("error: --near-index requires --incremental "
+                  "(the band index is cross-RUN state; a one-shot "
+                  "curate would silently skip it)", file=sys.stderr)
+            return 2
         if args.audit and not args.incremental:
             print("error: --audit requires --incremental",
                   file=sys.stderr)

@@ -259,9 +259,11 @@ def curate_incremental(
     cur = track(curate(new, text_col=text_col, **curate_kwargs))
     n_near_dropped = 0
     idx = None
+    sigs_cur = drop_keys = None
     if near_index_path is not None:
         from dqc_spark.bandindex import (
             incremental_near_dups, load_band_index)
+        from dqc_spark.dedup import minhash_signatures
 
         key_col = curate_kwargs.get("key_col", "url")
         try:
@@ -269,10 +271,15 @@ def curate_incremental(
         except FileNotFoundError:
             idx = None  # first run bootstraps the index below
         if idx is not None:
+            # ONE signature pass per increment: the same frame feeds
+            # the near-dup query here and the index extend below
+            # (the minhash kernel is the expensive Python stage)
+            sigs_cur = track(minhash_signatures(
+                cur, key_col, text_col, idx.num_perm, idx.shingle_k))
             pairs = incremental_near_dups(
                 idx, cur, key_col, text_col,
                 threshold=near_index_threshold,
-                include_new_new=False)
+                include_new_new=False, signatures=sigs_cur)
             drop_keys = pairs.select(
                 F.when(F.col("a_is_new"), F.col("key_a"))
                 .otherwise(F.col("key_b")).alias(key_col)).distinct()
@@ -290,12 +297,17 @@ def curate_incremental(
         cur = cur.localCheckpoint()
     n_appended = cur.count()
     cur.write.mode("append").parquet(output_path)
-    content_digests(new, text_col).write.mode("append").parquet(state_path)
     if near_index_path is not None:
-        # index state is appended LAST (same crash contract as the
-        # digest state: a crash re-processes the increment rather than
-        # losing it) and carries only the SURVIVORS — dropped docs must
-        # not anchor future near-dup decisions
+        # index extends BEFORE the digest-state commit: the digest
+        # append is the only "increment done" marker, so a crash
+        # anywhere earlier re-processes the increment (bounded
+        # duplicate OUTPUT rows, the contract above) and the replayed
+        # extend is a no-op (extend_band_index anti-joins keys already
+        # present).  The reverse order would let a crash between
+        # digests and extend silently omit these survivors from the
+        # index FOREVER — their future near-dups would all pass.  Only
+        # SURVIVORS are indexed: dropped docs must not anchor future
+        # near-dup decisions.
         from dqc_spark.bandindex import create_band_index, extend_band_index
 
         key_col = curate_kwargs.get("key_col", "url")
@@ -303,7 +315,14 @@ def curate_incremental(
             create_band_index(cur, key_col, near_index_path,
                               text_col=text_col)
         else:
-            extend_band_index(idx, cur, key_col, text_col)
+            sigs_surv = sigs_cur
+            if n_near_dropped:
+                sigs_surv = sigs_cur.join(
+                    drop_keys.withColumnRenamed(key_col, "key"),
+                    on="key", how="left_anti")
+            extend_band_index(idx, cur, key_col, text_col,
+                              signatures=sigs_surv)
+    content_digests(new, text_col).write.mode("append").parquet(state_path)
     audit.log(INCREMENT_DONE, True,
               {"n_input": str(n_input), "n_new": str(n_new),
                "n_appended": str(n_appended),

@@ -651,14 +651,19 @@ class SnapshotTable:
                 prev = carried.get(run)
                 if prev is None or int(epoch) > prev:
                     carried[run] = int(epoch)
+        # markers are persisted BEFORE any manifest is removed: a crash
+        # between the two would otherwise lose exactly the markers the
+        # carry-forward exists to keep, re-enabling the double-commit
+        # (carrying a marker early is harmless — it only ever matches
+        # its own run, and max-merge makes the write idempotent)
+        if expired and carried:
+            _atomic_write(
+                os.path.join(self.meta, "stream_markers.json"),
+                json.dumps(carried, sort_keys=True),
+            )
         for v in expired:
             os.remove(self._manifest_path(v))
         if expired:
-            if carried:
-                _atomic_write(
-                    os.path.join(self.meta, "stream_markers.json"),
-                    json.dumps(carried, sort_keys=True),
-                )
             self.vacuum()
         return expired
 

@@ -200,3 +200,54 @@ def test_curate_incremental_near_index(spark, tmp_path):
            .filter(F.col("check_type") == "curate_increment")
            .orderBy(F.col("seq").desc()).first())
     assert int(row["params"]["n_near_dropped"]) >= 1
+
+
+def test_extend_is_first_wins_and_idempotent(spark, tmp_path, corpora):
+    """Review fixes: (a) a replayed extend (crash-reprocess contract)
+    must be a no-op, not a duplicate-signature append that would
+    multiply every scored pair touching the key; (b) a re-crawled key
+    with CHANGED text keeps its original signature (first-wins —
+    revision dedup is the url-canonicalization layer's job)."""
+    a, b = corpora
+    idx = create_band_index(a, "key", str(tmp_path / "idx"))
+    n0 = idx.signatures().count()
+    extend_band_index(idx, a, "key")  # replay: all keys already present
+    assert idx.signatures().count() == n0
+    assert idx.banded().count() == n0 * idx.bands
+    changed = a.withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    extend_band_index(idx, changed, "key")  # re-crawl, same keys
+    assert idx.signatures().count() == n0
+    extend_band_index(idx, b, "key")  # genuinely new keys still land
+    assert idx.signatures().count() == n0 + b.count()
+    # pairs stay unique per (key_a, key_b) — no duplicate scored rows
+    pairs = incremental_near_dups(idx, b, "key").collect()
+    keys = [(r["key_a"], r["key_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_create_crash_leaves_no_wedged_index(spark, tmp_path, corpora,
+                                             monkeypatch):
+    """Review fix: create builds under a scratch dir and renames into
+    place LAST — a crash mid-build must leave the path absent (so the
+    next run bootstraps cleanly), never a loadable index whose parquet
+    dirs are missing (which would wedge every later incremental run)."""
+    import dqc_spark.bandindex as bi
+
+    a, _ = corpora
+    path = str(tmp_path / "idx")
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("simulated mid-build crash")
+
+    monkeypatch.setattr(bi, "minhash_signatures", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        create_band_index(a, "key", path)
+    monkeypatch.undo()
+    import os
+
+    assert not os.path.exists(path)
+    with pytest.raises(FileNotFoundError):
+        load_band_index(spark, path)
+    # and the path is immediately re-creatable
+    idx = create_band_index(a, "key", path)
+    assert idx.signatures().count() == a.count()

@@ -67,8 +67,14 @@ def main() -> int:
     if heavy:
         args = [a for a in args if a != "--heavy"]
     default_dir = "/root/testdata/sf0.1" if heavy else "/root/testdata/sf0.01"
-    sf_dir = args[0] if args else default_dir
-    only = set(args[1:]) | (set(HEAVY) if heavy else set())
+    # an sf_dir is a path (contains a separator or exists as a dir);
+    # everything else is a query name — so `--heavy <name>` selects a
+    # SUBSET of the heavy list at the heavy default dir instead of
+    # misreading the name as a directory
+    dirs = [a for a in args if os.sep in a or os.path.isdir(a)]
+    names = [a for a in args if a not in dirs]
+    sf_dir = dirs[0] if dirs else default_dir
+    only = set(names) if names else (set(HEAVY) if heavy else set())
 
     import __spark_entry__ as E
     from dqc_spark.session import get_spark
